@@ -1,0 +1,98 @@
+"""Keyset-cursor ("seek") pagination — the reference's core query pattern.
+
+Re-expresses the row-value comparison machinery of
+``haskell-src/lib/ChainwebDb/BoundedScan.hs:256-343`` (``cursorCmp`` /
+``tupleCmp``: ``WHERE (height, requestkey, idx) < (:h, :rk, :i)`` with
+per-column direction) as a composed boolean Column expression.
+
+Why it matters at scale: a keyset predicate on the leading sort column is a
+*range predicate*, so Catalyst pushes it into the Parquet scan (min/max row-
+group skipping + partition pruning on the height bucket).  OFFSET pagination
+scans O(offset) rows; keyset scans O(page).  Same reasoning as the
+reference's covering DESC indexes (SURVEY §4 X1/X3), transplanted to
+columnar layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+@dataclass(frozen=True)
+class CursorSpec:
+    """Ordered cursor columns with per-column direction.
+
+    ``cols``  — column names, major-to-minor sort order.
+    ``descs`` — True where that column sorts DESC (reference sorts
+                ``height DESC, requestkey DESC, idx ASC``,
+                ``Queries.hs:201-205``).
+    """
+
+    cols: Sequence[str]
+    descs: Sequence[bool]
+
+    def order_by(self) -> list[Column]:
+        return [
+            F.col(c).desc() if d else F.col(c).asc()
+            for c, d in zip(self.cols, self.descs)
+        ]
+
+
+def keyset_predicate(spec: CursorSpec, cursor: Sequence) -> Column:
+    """Rows strictly *after* ``cursor`` in ``spec`` order.
+
+    Expansion of the SQL row-value comparison
+    ``(a,b,c) < (x,y,z)``  →  ``a<x OR (a=x AND b<y) OR (a=x AND b=y AND c<z)``
+    with ``<`` flipped to ``>`` for ASC columns (DESC order means "after" is
+    smaller).  Reference emits this as native row comparison
+    (``BoundedScan.hs:271-280``); Spark lacks row-value comparison with mixed
+    directions, so we expand.
+    """
+    clauses: list[Column] = []
+    eqs: list[Column] = []
+    for name, desc, cur in zip(spec.cols, spec.descs, cursor):
+        col = F.col(name)
+        strict = col < F.lit(cur) if desc else col > F.lit(cur)
+        clauses.append(strict if not eqs else _and_all(eqs) & strict)
+        eqs.append(col == F.lit(cur))
+    out = clauses[0]
+    for c in clauses[1:]:
+        out = out | c
+    return out
+
+
+def _and_all(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def keyset_page(
+    df: DataFrame,
+    spec: CursorSpec,
+    cursor: Sequence | None,
+    limit: int,
+) -> DataFrame:
+    """One page after ``cursor`` (or the first page) in cursor order."""
+    if cursor is not None:
+        df = df.filter(keyset_predicate(spec, cursor))
+    return df.orderBy(*spec.order_by()).limit(limit)
+
+
+def offset_page(df: DataFrame, spec: CursorSpec, offset: int, limit: int) -> DataFrame:
+    """Classic OFFSET/LIMIT (reference's Unbounded mode,
+    ``BoundedScan.hs:232-245``).  Kept for API compat; discouraged at scale —
+    the global row_number window is a single-partition sort.
+    """
+    w = Window.orderBy(*spec.order_by())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + limit))
+        .drop("__rn")
+    )

@@ -1,0 +1,340 @@
+"""Deduplication operators for large-scale text corpora.
+
+North-star extensions beyond the reference's surface (BASELINE.json): exact
+dedup, MinHash+LSH near-dup, SimHash near-dup, and n-gram Jaccard similarity
+over a ``documents`` table.
+
+Design constraints:
+- **Cross-engine determinism.** All hashing is md5-of-string (identical in
+  Spark and DuckDB), never engine-native hash functions (xxhash64 vs duckdb
+  ``hash()`` differ), so every operator has an exact SQL oracle.
+- **Scale.** Every operator is a shuffle-bounded composition of built-ins:
+  shingle explode → groupBy (map-side combined) → band bucket join.  No
+  cross joins; candidate generation is always through an equi-join on a
+  bucket key, which AQE can re-plan and skew-split.  At 100 TB the band
+  join is the only wide edge and its key cardinality (n_bands × buckets)
+  scales with data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_dups, keep_id, dup_ids).
+
+    Hash-groupBy — one shuffle on md5(text); map-side partial aggregation
+    makes the shuffle carry one row per (partition, hash).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("_id"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("_id").alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate group."""
+    w_keep = (
+        df.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min("_id").alias(id_col))
+    )
+    return df.join(w_keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id, shingle).
+
+    Tokenize on single spaces (the corpus convention), slide a k-window via
+    ``sequence`` + ``transform`` + ``slice`` (all codegen'd array ops — no
+    Python), explode, distinct.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig: array<string>) — sig[i] = min over shingles of md5(i||'|'||shingle).
+
+    One aggregation: groupBy(id).agg(min(md5(i||s)) for each i) — partial
+    (map-side) min per hash keeps the shuffle narrow: num_hashes × 32-byte
+    strings per doc regardless of document size.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    band_hash = md5(band_idx || minhashes-in-band); the self-join is an
+    equi-join on (band_idx, band_hash), never a cross join.  Buckets with a
+    hot key (boilerplate-heavy corpora) are the classic skew case → AQE
+    skew-join handles it; for pathological corpora cap bucket size upstream.
+    """
+    rows_per_band = num_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(b)),
+                                *[
+                                    F.col("sig")[i]
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float | None = None,
+) -> DataFrame:
+    """End-to-end MinHash LSH: shingle → signature → banded candidates,
+    optionally verified with exact Jaccard (computed only on candidates —
+    the LSH point: verification joins are O(candidates), not O(n²))."""
+    sh = word_shingles(df, id_col, text_col, k).cache()
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    if min_jaccard is None:
+        return cand
+    jac = _jaccard_for_pairs(sh, cand, id_col)
+    return jac.filter(F.col("jaccard") >= min_jaccard)
+
+
+def _jaccard_for_pairs(shingled: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, candidate-joined)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.1
+) -> DataFrame:
+    """Exact Jaccard over word k-gram shingle sets for every pair sharing ≥1
+    shingle.  Candidate generation is the shingle equi-self-join (inverted-
+    index pattern) — pairs with zero overlap are never materialized, so cost
+    is Σ_shingle df(s)² not n².  Hot shingles dominate; drop stop-shingles
+    (document frequency cap) before the join at scale.
+    """
+    sh = word_shingles(df, id_col, text_col, k)
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long exactly
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash long) — 60-bit SimHash over word tokens.
+
+    token_hash = first 15 hex chars of md5(token) as a long (`conv` base 16);
+    bit j of the simhash is 1 iff Σ_tokens (±1 per bit j) > 0.  Entirely
+    array/bitwise built-ins: explode tokens → explode 60 bit positions →
+    conditional sum → reassemble with shiftleft.  The double explode is 60×
+    token count — acceptable because the groupBy is map-side combined; for
+    the 100 TB path swap in the vectorized ``mapInPandas`` variant
+    (same signature) in ``multimodal.py`` style.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("th"),
+    )
+    bits = hashed.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        F.col("th"),
+    ).select(
+        id_col,
+        "j",
+        # shiftright's numBits arg must be a literal in the Python API;
+        # the SQL function form accepts a column.
+        F.when(F.expr("shiftright(th, j) & 1") == 1, 1).otherwise(-1).alias("v"),
+    )
+    bit_votes = bits.groupBy(id_col, "j").agg(F.sum("v").alias("s"))
+    return (
+        bit_votes.groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 8, bands: int = 4
+) -> DataFrame:
+    """Pairs within ``max_hamming`` bits, candidate-generated by band equality
+    (pigeonhole: ≤ ``bands-1`` differing bands ⇒ some band identical when
+    hamming < bands).  band b = bits [b*15, (b+1)*15)."""
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    banded = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

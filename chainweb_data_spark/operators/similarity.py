@@ -1,0 +1,306 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two tiers (BASELINE.json north-star):
+- ``cosine_topk_bruteforce`` — exact top-k neighbors; the correctness
+  baseline.  Range-join on block ids keeps the pair explosion bounded and
+  shuffle-partitioned; the dot product is ``F.zip_with`` + ``F.aggregate``
+  (JVM-side, no Python).
+- ``lsh_ann_topk`` — random-hyperplane LSH: md5-derived deterministic
+  hyperplane signs → bit signature → candidates share a band; exact rerank
+  inside buckets only.  This is the 100 TB path: cost is Σ_bucket |bucket|²
+  with bucket size controlled by signature bits.
+
+Determinism: hyperplane components are ±1 derived from md5(plane|dim) so an
+SQL oracle can reproduce them exactly; no RNG state anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Pre-normalize so cosine = dot; cast float→double once up front."""
+    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(dv)
+    return df.withColumn("_unit", F.transform(dv, lambda x: x / n))
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors per vector: (id, neighbor_id, cosine).
+
+    All-pairs inner join on a constant is deliberately avoided; instead we
+    replicate the (small) probe side with ``broadcast`` so the pair space is
+    partitioned by the build side.  For asymmetric workloads (few queries ×
+    many corpus vectors) pass the queries as ``df`` and broadcast them.
+    """
+    u = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("_qid"), F.col("_unit").alias("_qv")
+    )
+    c = with_unit_vectors(df, vec_col).select(
+        F.col(id_col).alias("_cid"), F.col("_unit").alias("_cv")
+    )
+    pairs = c.join(F.broadcast(u), F.col("_qid") != F.col("_cid"))
+    scored = pairs.select(
+        F.col("_qid").alias(id_col),
+        F.col("_cid").alias("neighbor_id"),
+        _dot(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized pairwise cosine for candidate-pair rerank: one Arrow batch
+    of (vec, vec) rows → row-wise dot over an (n, dim) ndarray.  ~100× the
+    interpreted higher-order-function dot; rounded to 6 dp for engine-stable
+    ordering."""
+    A = np.asarray(a.tolist(), dtype=np.float64)
+    B = np.asarray(b.tolist(), dtype=np.float64)
+    A /= np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+    B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+    return pd.Series(np.round(np.einsum("ij,ij->i", A, B), 6))
+
+
+def cosine_topk_matmul(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors via blocked BLAS matmul.
+
+    The corpus side is collected, L2-normalized, and **broadcast** to
+    executors as one ndarray; ``mapInPandas`` streams the query side in
+    Arrow batches computing ``Q @ C.T`` per batch and taking top-k per row
+    (ties broken by neighbor id asc on the 6-dp-rounded cosine — identical
+    to the SQL oracle's ORDER BY).
+
+    Scale: broadcast-side must fit an executor (~1 GB ≈ 2M×64-dim doubles);
+    beyond that, partition the corpus (IVF/LSH — see ``lsh_ann_topk``) or
+    block both sides.  The query side streams at any size with zero shuffle.
+    """
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    order = np.argsort(ids)
+    ids, C = ids[order], C[order]
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, C))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _topk(batches):
+        cids, CM = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            S = np.round(Q @ CM.T, 6)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            out_q, out_n, out_c = [], [], []
+            for r in range(S.shape[0]):
+                srow = S[r]
+                mask = cids != qids[r]
+                # order: cosine desc, neighbor_id asc (cids pre-sorted asc,
+                # stable sort preserves id order within equal cosines)
+                idx = np.flatnonzero(mask)
+                top = idx[np.argsort(-srow[idx], kind="stable")[:k]]
+                out_q.extend([qids[r]] * len(top))
+                out_n.extend(cids[top].tolist())
+                out_c.extend(srow[top].tolist())
+            yield pd.DataFrame(
+                {id_col: out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_topk, out_schema)
+
+
+def near_dup_pairs_matmul(
+    df: DataFrame, id_col: str, vec_col: str, min_cosine: float
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold, via the same
+    broadcast-matmul pattern (threshold applied inside the numpy kernel, so
+    only qualifying pairs ever materialize as rows)."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, C))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _pairs(batches):
+        cids, CM = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            S = np.round(Q @ CM.T, 6)
+            qids = pdf[id_col].to_numpy(dtype=np.int64)
+            hit_q, hit_c = np.nonzero(
+                (S >= min_cosine) & (qids[:, None] < cids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": qids[hit_q],
+                    "id_b": cids[hit_c],
+                    "cosine": S[hit_q, hit_c],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_pairs, out_schema)
+
+
+def _hyperplane_sign(plane: int, dim: int) -> int:
+    """Deterministic ±1 from md5 — reproducible in any engine."""
+    import hashlib
+
+    h = hashlib.md5(f"hp{plane}|{dim}".encode()).hexdigest()
+    return 1 if h[0] < "8" else -1
+
+
+def hyperplane_matrix(num_planes: int, dim: int) -> list[list[int]]:
+    return [[_hyperplane_sign(p, d) for d in range(dim)] for p in range(num_planes)]
+
+
+def lsh_signature(df: DataFrame, vec_col: str, num_planes: int, dim: int) -> DataFrame:
+    """Append ``_sig`` (array<int> of 0/1): sign of dot(v, hyperplane_p)."""
+    planes = hyperplane_matrix(num_planes, dim)
+    sig = F.array(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(s)) for s in planes[p]]),
+                        lambda x, y: x.cast("double") * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            for p in range(num_planes)
+        ]
+    )
+    return df.withColumn("_sig", sig)
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_planes: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 LSH band; exact cosine rerank
+    within candidates.  Recall is tunable via planes/bands; the join is an
+    equi-join on (band, band_bits) — shuffle-partitioned, AQE-skew-safe."""
+    width = num_planes // bands
+    sigged = lsh_signature(with_unit_vectors(df, vec_col), "_unit", num_planes, dim)
+    banded = sigged.select(
+        F.col(id_col),
+        F.col("_unit"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.col("_sig")[i].cast("string")
+                                for i in range(b * width, (b + 1) * width)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "_unit", "bb.band", "bb.key")
+    a = banded.select(
+        F.col(id_col).alias("_qid"), F.col("_unit").alias("_qv"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("_cid"), F.col("_unit").alias("_cv"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select("_qid", "_cid", "_qv", "_cv")
+        .dropDuplicates(["_qid", "_cid"])
+    )
+    scored = cand.select(
+        F.col("_qid").alias(id_col),
+        F.col("_cid").alias("neighbor_id"),
+        _dot(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b)."""
+    u = with_unit_vectors(df, vec_col)
+    a = u.select(F.col(id_col).alias("id_a"), F.col("_unit").alias("_va"))
+    b = u.select(F.col(id_col).alias("id_b"), F.col("_unit").alias("_vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", _dot(F.col("_va"), F.col("_vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

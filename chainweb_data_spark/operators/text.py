@@ -1,0 +1,126 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting (BASELINE.json north-star extensions).
+
+Everything is built-in column expressions (whole-stage codegen; no UDFs in
+the hot path).  Counting idiom: occurrences of a needle =
+``(len(s) - len(replace(s, needle, ''))) / len(needle)`` — exact integer
+arithmetic, reproducible in any SQL engine, no regex dialect drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists per language (public common words).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "es": ["el", "la", "y", "los", "las", "un", "una", "es"],
+    "de": ["der", "die", "und", "das", "ein", "eine", "ist", "nicht"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def occurrences(col: Column, needle: str) -> Column:
+    """Count of non-overlapping occurrences of ``needle`` in ``col``."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count: spaces + 1 on non-empty text (corpus uses
+    single-space separation; exact and engine-portable)."""
+    return F.when(F.length(col) == 0, F.lit(0)).otherwise(
+        occurrences(col, " ") + 1
+    )
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimate: ~1 token per 4 chars, floored at the
+    whitespace word count (common heuristic for English-like text)."""
+    return F.greatest(
+        F.ceil(F.length(col) / F.lit(4.0)).cast("long"), token_count(col)
+    )
+
+
+def word_stopword_hits(col: Column, words: list[str]) -> Column:
+    """Whole-word stopword hits via padded-text occurrence counting."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    out = F.lit(0).cast("long")
+    for w in words:
+        out = out + occurrences(padded, f" {w} ")
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append quality-signal columns: n_chars, n_tokens, mean_token_len,
+    space_ratio, stopword_ratio, quality_score ∈ [0,1].
+
+    Mirrors the shape of public quality heuristics (length, punctuation,
+    stopword density) as pure arithmetic.
+    """
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_spaces = occurrences(c, " ")
+    stop_hits = word_stopword_hits(c, LANG_STOPWORDS["en"])
+    mean_tok = (n_chars - n_spaces) / F.greatest(n_tokens, F.lit(1))
+    space_ratio = n_spaces / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    tok_score = F.when((mean_tok >= 3) & (mean_tok <= 10), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    score = (len_score + tok_score + F.least(stop_ratio * 4, F.lit(1.0))) / F.lit(3.0)
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("mean_token_len", mean_tok.cast("double"))
+        .withColumn("space_ratio", space_ratio.cast("double"))
+        .withColumn("stopword_ratio", stop_ratio.cast("double"))
+        .withColumn("quality_score", score.cast("double"))
+    )
+
+
+def lang_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Append ``lang_pred``: argmax of per-language whole-word stopword hits,
+    deterministic tie-break by language code order.  N-gram-free heuristic
+    language ID; swap the lists for real profiles without changing the plan."""
+    c = F.col(text_col)
+    scores = {
+        lang: word_stopword_hits(c, words) for lang, words in LANG_STOPWORDS.items()
+    }
+    # argmax via max over struct(score, neg-ordered lang) — pure expressions
+    best = F.greatest(
+        *[
+            F.struct(
+                s.alias("score"), F.lit(-i).alias("prio"), F.lit(lang).alias("lang")
+            )
+            for i, (lang, s) in enumerate(sorted(scores.items()))
+        ]
+    )
+    out = df
+    for lang in sorted(scores):
+        out = out.withColumn(f"score_{lang}", scores[lang])
+    return out.withColumn(
+        "lang_pred",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
+    """Append ``fp``: min md5 over all char k-grams (MinHash-style rolling
+    fingerprint / winnowing-lite).  Array built-ins only: sequence of start
+    positions → transform(md5(substr)) → array_min."""
+    c = F.col(text_col)
+    npos = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), npos),
+            lambda i: F.md5(c.substr(i, F.lit(k))),
+        )
+    )
+    return df.withColumn("fp", fp)

@@ -1,0 +1,4 @@
+from .registry import QUERIES, ORACLES, query_fns, oracle_sqls
+from . import pipeline  # noqa: F401 — registers pipeline queries
+
+__all__ = ["QUERIES", "ORACLES", "query_fns", "oracle_sqls"]

@@ -1,0 +1,487 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis —
+the north-star extensions (BASELINE.json), each with a DuckDB oracle.
+
+All hashing is md5-of-string so both engines agree bit-for-bit; Jaccard and
+ratio outputs are exact integer divisions (identical doubles); cosine values
+are rounded to 6 dp before ranking so last-ulp float-order differences can't
+flip results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from .registry import _t, register
+
+# ---------------------------------------------------------------------------
+# Dedup (SURVEY north-star: exact, MinHash+LSH, n-gram Jaccard, SimHash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash (empty on a dup-free corpus —
+    the oracle verifies the empty set too)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_duplicates(docs, "doc_id", "text").orderBy("content_hash")
+
+
+@register(
+    "dedup_exact_props",
+    oracle="""
+    SELECT props AS content, COUNT(*) AS n_dups, MIN(event_id) AS keep_id
+    FROM events GROUP BY props HAVING COUNT(*) > 1
+    ORDER BY content
+    """,
+)
+def dedup_exact_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with guaranteed duplicate groups (events.props values)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("props").alias("content"))
+        .agg(F.count("*").alias("n_dups"), F.min("event_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("content")
+    )
+
+
+_SHINGLE_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-2,1)+1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks
+    )
+"""
+
+
+def _minhash_cols_sql(n: int) -> str:
+    return ",\n".join(
+        f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(n)
+    )
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_cols_sql(8)} FROM sh GROUP BY doc_id)
+    SELECT * FROM sig ORDER BY doc_id
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes) over word 3-gram shingles: one
+    map-side-combined aggregation; shuffle carries 8×32B per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.word_shingles(docs, "doc_id", "text", k=3)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(8)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _band_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rpb = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(f"mh{i}" for i in range(b * rpb, (b + 1) * rpb))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', '{b}', {cols})) AS bucket FROM sig"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_cols_sql(16)} FROM sh GROUP BY doc_id),
+    banded AS ({_band_sql(16, 4)})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH candidate pairs: 16 hashes, 4 bands — banded equi-join,
+    never a cross join (SURVEY north-star dedup at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.word_shingles(docs, "doc_id", "text", k=3)
+    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    return dd.lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           n_inter / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via inverted-index self-join (cost Σ df(s)², not
+    n²); Jaccard is an exact rational so the threshold is engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, min_jaccard=0.2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register(
+    "simhash_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    th AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS th
+      FROM toks WHERE tok <> ''
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, (SELECT unnest(range(0, {dd.SIMHASH_BITS})) AS j) js
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (md5-derived token hashes, bitwise
+    built-ins)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1
+           END AS n_tokens,
+           greatest(CAST(ceil(length(text) / 4.0) AS BIGINT),
+                    CASE WHEN length(text) = 0 THEN 0
+                         ELSE CAST((length(text) - length(replace(text, ' ', ''))) AS BIGINT) + 1
+                    END) AS bpe_est
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish ~4-chars/token estimate."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars_calc"),
+        tx.token_count(c).alias("n_tokens"),
+        tx.bpe_token_estimate(c).alias("bpe_est"),
+    ).orderBy("doc_id")
+
+
+def _stop_hits_sql(words: list[str]) -> str:
+    terms = [
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in words
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, concat(' ', text, ' ') AS p,
+             length(text) AS nc,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS nsp
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, nc, nsp,
+             CASE WHEN nc = 0 THEN 0 ELSE nsp + 1 END AS nt,
+             {_stop_hits_sql(tx.LANG_STOPWORDS["en"])} AS stop_hits
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars_calc,
+           nt AS n_tokens,
+           CAST((nc - nsp) / greatest(nt, 1) AS DOUBLE) AS mean_token_len,
+           CAST(nsp / greatest(nc, 1) AS DOUBLE) AS space_ratio,
+           CAST(stop_hits / greatest(nt, 1) AS DOUBLE) AS stopword_ratio,
+           CAST((least(nt / 100.0, 1.0)
+                 + (CASE WHEN (nc - nsp) / greatest(nt, 1) >= 3
+                          AND (nc - nsp) / greatest(nt, 1) <= 10
+                         THEN 1.0 ELSE 0.5 END)
+                 + least(stop_hits / greatest(nt, 1) * 4, 1.0)) / 3.0 AS DOUBLE) AS quality_score
+    FROM feat ORDER BY doc_id
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/shape ratios as exact arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_features(docs, "text").select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "mean_token_len",
+        "space_ratio",
+        "stopword_ratio",
+        "quality_score",
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    langs = sorted(tx.LANG_STOPWORDS)
+    score_cols = ",\n".join(
+        f"{_stop_hits_sql(tx.LANG_STOPWORDS[lang])} AS score_{lang}" for lang in langs
+    )
+    # tie-break: earlier lang in sorted order wins (matches Spark struct argmax)
+    case = "CASE WHEN " + " + ".join(f"score_{l}" for l in langs) + " = 0 THEN 'und'"
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        case += f" WHEN {cond} THEN '{lang}'"
+    case += " END"
+    return f"""
+    WITH base AS (SELECT doc_id, lang, concat(' ', text, ' ') AS p FROM documents),
+    scored AS (SELECT doc_id, lang, {score_cols} FROM base)
+    SELECT doc_id, lang, {', '.join('score_' + l for l in langs)},
+           {case} AS lang_pred
+    FROM scored ORDER BY doc_id
+    """
+
+
+@register("text_langid", oracle=_langid_sql())
+def text_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language whole-word stopword hits, argmax
+    with deterministic tie-break; 'und' when nothing hits."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.lang_id(docs, "text")
+    langs = sorted(tx.LANG_STOPWORDS)
+    return out.select(
+        "doc_id", "lang", *[f"score_{l}" for l in langs], "lang_pred"
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(range(1, greatest(length(text)-7, 1)+1),
+                            i -> md5(substr(text, CAST(i AS INT), 8))),
+             'min') AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over char 8-grams
+    (winnowing-lite), array built-ins only."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.fingerprint(docs, "text", k=8).select("doc_id", "fp").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embed_cosine_topk",
+    oracle="""
+    SELECT vec_id, neighbor_id, cosine FROM (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) <= 5
+    ORDER BY vec_id, cosine DESC, neighbor_id
+    """,
+)
+def embed_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per vector — the exact ANN baseline, as a
+    broadcast-corpus blocked BLAS matmul (no pair-space shuffle at all).
+    Cosine rounded to 6dp before ranking (engine-stable ordering)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_matmul(emb, "vec_id", "embedding", k=5).orderBy(
+        "vec_id", F.col("cosine").desc(), "neighbor_id"
+    )
+
+
+@register(
+    "embed_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def embed_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (broadcast
+    matmul kernel; only qualifying pairs materialize as rows)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.near_dup_pairs_matmul(emb, "vec_id", "embedding", 0.45).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _ann_lsh_oracle(num_planes: int = 8, bands: int = 2, dim: int = 64, k: int = 5) -> str:
+    planes = sim.hyperplane_matrix(num_planes, dim)
+    sig_cols = ",\n".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(f'{s:.1f}' for s in planes[p])}]) >= 0 THEN 1 ELSE 0 END AS s{p}"
+        for p in range(num_planes)
+    )
+    width = num_planes // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT vec_id, {b} AS band, concat({cols}) AS key FROM sig".format(
+            b=b,
+            cols=", ".join(f"CAST(s{i} AS VARCHAR)" for i in range(b * width, (b + 1) * width)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sig AS (SELECT vec_id, {sig_cols} FROM embeddings),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine FROM (
+      SELECT c.vec_id, c.neighbor_id,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_id
+      JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+    )
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) <= {k}
+    ORDER BY vec_id, cosine DESC, neighbor_id
+    """
+
+
+@register("ann_lsh_topk", oracle=_ann_lsh_oracle())
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: random-hyperplane LSH (md5-derived
+    deterministic planes) → banded candidates → exact rerank.  The 100 TB
+    path: the only wide edge is the (band, key) equi-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    num_planes, bands, k = 8, 2, 5
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    raw = emb.select("vec_id", dv.alias("_dv"))
+    sigged = sim.lsh_signature(raw, "_dv", num_planes, 64)
+    width = num_planes // bands
+    banded = sigged.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.col("_sig")[i].cast("string")
+                                for i in range(b * width, (b + 1) * width)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.key")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    u = emb.select("vec_id", dv.alias("_v"))
+    scored = (
+        cand.join(u.alias("ua"), "vec_id")
+        .join(
+            u.select(F.col("vec_id").alias("neighbor_id"), F.col("_v").alias("_un")),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            sim.cosine_pairs_udf(F.col("_v"), F.col("_un")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (stubbed decode; Spark plumbing real) — no SQL oracle
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_image_features", oracle=None)
+def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas feature extraction (deterministic
+    fake codec; see operators/multimodal.py).  Rows-only driver check —
+    binary decode is not SQL-expressible."""
+    from ..operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(100)
+    with_media = mm.attach_fake_media(docs, "doc_id")
+    return mm.image_features(with_media, "doc_id").orderBy("id")

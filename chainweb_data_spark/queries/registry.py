@@ -1,0 +1,783 @@
+"""Query registry: every operator from SURVEY.md §2 re-expressed over the
+driver's testdata tables, paired with a DuckDB oracle SQL string.
+
+Each Spark implementation is the idiomatic DataFrame form (Catalyst plans the
+physical strategy); each oracle is ANSI-ish SQL DuckDB runs on the same
+parquet.  Conventions that make hash-matching deterministic across engines:
+
+- timestamps are emitted as epoch-microsecond BIGINTs
+  (``unix_micros`` / ``epoch_us``) — no timezone/format drift;
+- double aggregation goes through exact DECIMAL arithmetic and is cast to
+  DOUBLE only at the end — sums become order-independent and bit-identical;
+- every hash function is md5-of-string (identical in both engines);
+- every LIMIT sits behind a total deterministic ORDER BY (unique tie-break).
+
+Mapping to the reference operator inventory is noted per query as
+``SURVEY §2 <id>`` with the reference file:line it models.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.cursor import CursorSpec, keyset_page, offset_page
+from ..operators.gaps import detect_gaps
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# DECIMAL casts for exact cross-engine arithmetic
+DP = "decimal(12,2)"  # prices / quantities / values
+DR = "decimal(4,2)"  # rates (discount, tax)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sqls() -> dict[str, str]:
+    return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) — TPC-H Q1 shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A1/A7 analog — multi-agg groupBy (TPC-H Q1 shape).
+
+    Aggregation is map-side combined; DECIMAL math keeps sums exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DP)
+    price = F.col("l_extendedprice").cast(DP)
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = price * (one - F.col("l_discount").cast(DR))
+    charge = disc_price * (one + F.col("l_tax").cast(DR))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "groupby_minmax",
+    oracle="""
+    SELECT user_id,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id,
+           MIN(epoch_us(ts)) AS min_ts_us,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def groupby_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A1 — per-key min/max (Gaps.hs:190-195 shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.min(F.unix_micros(F.col("ts"))).alias("min_ts_us"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "global_max",
+    oracle="""
+    SELECT MAX(event_id) AS max_event_id, MAX(epoch_us(ts)) AS max_ts_us,
+           COUNT(*) AS n FROM events
+    """,
+)
+def global_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A2 — global max (Server.hs:396-406 shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("event_id").alias("max_event_id"),
+        F.max(F.unix_micros(F.col("ts"))).alias("max_ts_us"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "filtered_count",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE value > 10 AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def filtered_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A3 — filtered count (BackfillTransfers.hs:151-152 shape).
+    Both predicates push down to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("value") > 10)
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(DP)).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stats_counts",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+           (SELECT COUNT(*) FROM orders) AS n_orders,
+           (SELECT COUNT(*) FROM customer) AS n_customer,
+           (SELECT COUNT(*) FROM events) AS n_events,
+           (SELECT COUNT(*) FROM documents) AS n_documents
+    """,
+)
+def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A4 — /stats row counts.  Parquet footer row-counts make
+    count(*) metadata-only (no column IO), the analog of pg_class.reltuples
+    (Server.hs:633-641)."""
+    dfs = [
+        _t(spark, sf_dir, n).agg(F.count("*").alias(f"n_{n}"))
+        for n in ("lineitem", "orders", "customer", "events", "documents")
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.crossJoin(d)
+    return out
+
+
+@register(
+    "agg_ordered_string",
+    oracle="""
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq
+    FROM events WHERE user_id < 20
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def agg_ordered_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.4 A5 — ordered array_agg (Queries.hs:134-135 shape):
+    collect_list of (sortkey, value) structs → array_sort → project.
+    Struct sort order = field order, so (ts, event_id) is the tie-broken
+    ordering the reference gets from ORDER BY inside array_agg."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros(F.col("ts")).alias("ts_us"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("et"),
+                            )
+                        )
+                    ),
+                    lambda s: s["et"],
+                ),
+                ",",
+            ).alias("type_seq")
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase: partial distinct then merge)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "rollup_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (beyond-reference OLAP surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DP)).cast("double").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot as conditional aggregation — one shuffle, no pivot-specific pass."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / pagination (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recent_events",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    """,
+)
+def recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 O2 — `ORDER BY height DESC LIMIT 10` (Server.hs:621-631).
+    Spark executes as TakeOrdered (per-partition top-k then merge — no full
+    sort)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(10)
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+@register(
+    "keyset_page",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-15 12:00:00'
+       OR (ts = TIMESTAMP '2024-01-15 12:00:00' AND event_id > 5000)
+    ORDER BY ts DESC, event_id ASC LIMIT 25
+    """,
+)
+def keyset_page_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 O5 — keyset continuation (BoundedScan.hs:256-266): resume
+    strictly after cursor (ts DESC, event_id ASC).  The ts range conjunct
+    prunes row groups via parquet min/max — O(page), not O(offset)."""
+    ev = _t(spark, sf_dir, "events")
+    import datetime
+
+    cur_ts = datetime.datetime(2024, 1, 15, 12, 0, 0)
+    spec = CursorSpec(cols=("ts", "event_id"), descs=(True, False))
+    page = keyset_page(ev, spec, (cur_ts, 5000), 25)
+    return page.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+
+
+@register(
+    "offset_page",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn > 100 AND rn <= 125
+    ORDER BY ts DESC, event_id DESC
+    """,
+)
+def offset_page_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 O4 — OFFSET/LIMIT compat mode (BoundedScan.hs:232-245)."""
+    ev = _t(spark, sf_dir, "events")
+    spec = CursorSpec(cols=("ts", "event_id"), descs=(True, True))
+    return offset_page(ev, spec, 100, 25).select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "user_id"
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, revenue FROM (
+      SELECT p.p_brand, p.p_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+             row_number() OVER (
+               PARTITION BY p.p_brand
+               ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) DESC, p.p_partkey
+             ) AS rn
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, p.p_partkey
+    ) WHERE rn <= 3
+    ORDER BY p_brand, revenue DESC, p_partkey
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.6 O7 analog — top-k per group via ranked window over a
+    pre-aggregated (narrow) frame; part dim broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DP)).alias("rev_dec"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("rev_dec").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand", F.col("revenue").desc(), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / search predicates (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_filter",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+      AND value >= 5
+    ORDER BY event_id
+    """,
+)
+def range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 P1 — height-range predicate (Queries.hs:52-60): both
+    bounds optional; pushed to the scan (PushedFilters in explain)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-06 00:00:00").cast("timestamp"))
+            & (F.col("value") >= 5)
+        )
+        .select(
+            "event_id", F.unix_micros(F.col("ts")).alias("ts_us"), "user_id", "value"
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "like_search",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, props
+    FROM events
+    WHERE (props LIKE '%"k": 8%' OR event_type LIKE '%error%')
+      AND ts >= TIMESTAMP '2024-01-20 00:00:00'
+    ORDER BY ts DESC, event_id DESC LIMIT 40
+    """,
+)
+def like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 P3 + §2.6 O1 — the event-search family
+    (Queries.hs:164-188): OR of LIKEs + range, cursor order, limit 40 (the
+    bench family's shape, Bench.hs:141-170)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("props").contains('"k": 8') | F.col("event_type").contains("error"))
+            & (F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        )
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(40)
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "user_id",
+            "event_type",
+            "props",
+        )
+    )
+
+
+@register(
+    "doc_like_search",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE text LIKE '%spark%' AND lang = 'en'
+    ORDER BY doc_id
+    """,
+)
+def doc_like_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 P2 — code-search LIKE with equality conjunct
+    (Queries.hs:150-162 shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").contains("spark") & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region, nation
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J1 — FK equi-join chain (Server.hs:414-415 shape scaled
+    up).  nation/region broadcast; customer⋈orders shuffles once on custkey."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DP)).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+@register(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.2 P9 — existence probe as LEFT SEMI join (no row
+    multiplication, build side reduced by the pushed filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as LEFT ANTI join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "coalesce_fallback",
+    oracle="""
+    SELECT COALESCE(c.c_name, 'unknown') AS cust_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9000) c
+           ON o.o_custkey = c.c_custkey
+    GROUP BY COALESCE(c.c_name, 'unknown')
+    ORDER BY cust_name
+    """,
+)
+def coalesce_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 F2 + §2.3 — COALESCE over a left join, the
+    continuation-code fallback shape (Queries.hs:153-157)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.coalesce(F.col("c_name"), F.lit("unknown")).alias("cust_name"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DP)).cast("double").alias("total"),
+        )
+        .orderBy("cust_name")
+    )
+
+
+@register(
+    "latest_per_user",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+    """,
+)
+def latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.3 J6 — latest row per key (RichList.hs:110-120 latest-
+    balance shape) as a ranked window, one shuffle on the key."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_detection",
+    oracle="""
+    SELECT user_id, gap_start, gap_end, gap_len FROM (
+      SELECT user_id, event_id + 1 AS gap_start,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS gap_end,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) - event_id - 1 AS gap_len
+      FROM (SELECT DISTINCT user_id, event_id FROM events)
+    ) WHERE gap_len >= 200
+    ORDER BY user_id, gap_start
+    """,
+)
+def gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 W1 — lead-window gap detection (Gaps.hs:156-188,
+    FillEvents.hs:99-119): holes > threshold in each user's event_id
+    sequence."""
+    ev = _t(spark, sf_dir, "events")
+    return detect_gaps(ev, "user_id", "event_id", min_gap=200).orderBy(
+        "user_id", "gap_start"
+    )
+
+
+@register(
+    "running_counters",
+    oracle="""
+    SELECT user_id, event_id, rn, n_clicks_so_far FROM (
+      SELECT user_id, event_id,
+             row_number() OVER w AS rn,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_clicks_so_far
+      FROM events WHERE user_id < 5
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) ORDER BY user_id, rn
+    """,
+)
+def running_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5 W2+W3 — bounded-scan counters (BoundedScan.hs:100-112):
+    row_number scan counter + running filtered-match count over cursor
+    order."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .over(wf)
+            .alias("n_clicks_so_far"),
+        )
+        .orderBy("user_id", "rn")
+    )
+
+
+@register(
+    "sessionization",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(1 + SUM(CASE WHEN prev_us IS NOT NULL AND us - prev_us > 3600000000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    )
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + gap threshold (1h) — the batch analog of
+    streaming session windows; exact integer µs arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return (
+        ev.select("user_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("prev_us").isNotNull()
+                        & (F.col("us") - F.col("prev_us") > 3_600_000_000),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_legs",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'big_purchase' AS leg, event_id, user_id, value
+      FROM events WHERE event_type = 'purchase' AND value > 45
+      UNION ALL
+      SELECT 'signup' AS leg, event_id, user_id, value
+      FROM events WHERE event_type = 'signup'
+    ) ORDER BY leg, event_id
+    """,
+)
+def union_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.7 U1 — two-leg UNION ALL (account from/to legs,
+    Queries.hs:265-270).  Catalyst collapses both legs into one scan of the
+    shared source with OR'd pushed filters."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 45)).select(
+        F.lit("big_purchase").alias("leg"), "event_id", "user_id", "value"
+    )
+    b = ev.filter(F.col("event_type") == "signup").select(
+        F.lit("signup").alias("leg"), "event_id", "user_id", "value"
+    )
+    return a.unionAll(b).orderBy("leg", "event_id")

@@ -259,11 +259,13 @@ def _derived_param_cols() -> list[Column]:
     (init.sql:45-47) and the amount coercion (Lookups.hs:245-257) —
     precedence: .decimal (num|str) → .int (num|str) → bare (num|str)."""
     p = F.col("params")
+    # try_to_number semantics: a non-numeric params[2] (e.g. X_RESUME's
+    # nested array) coerces to NULL, exactly the reference's Nothing branch
     amount = F.coalesce(
         F.get_json_object(p, "$[2].decimal"),
         F.get_json_object(p, "$[2].int"),
         F.get_json_object(p, "$[2]"),
-    ).cast("decimal(38,18)")
+    ).try_cast("decimal(38,18)")
     return [
         F.get_json_object(p, "$[0]").alias("param_0"),
         F.get_json_object(p, "$[1]").alias("param_1"),

@@ -1,0 +1,128 @@
+"""Bounded-scan work governor — Spark re-design of the reference's
+two-phase windowed scan (``haskell-src/lib/ChainwebDb/BoundedScan.hs:90-254``).
+
+The reference's contract (SURVEY §2.6 O6 / §7.3 hard-part 1): a search
+request examines at most ``scanLimit`` index rows, returns up to ``limit``
+matches, and when it stops early it hands back a resumable cursor.  Postgres
+can stop an index scan mid-stream; Spark cannot stop a distributed scan after
+N arbitrary rows — but it CAN bound work by *data layout*: restrict each
+iteration to a descending window of the leading sort column (height), which
+partition/row-group pruning turns into a real IO bound.
+
+So the governor's work unit is a **height slice** instead of a scanned-row
+count.  Observable behavior matches the reference: ≤ limit matches in cursor
+order, possibly fewer than available, plus a cursor from which the next call
+resumes; repeated calls enumerate exactly the full result set in order.
+
+``budget_slices × slice_width`` plays the role of ``scanLimit`` (rows): at
+the reference's defaults (50k rows scanned per request) a slice_width of
+~25k heights × 20 chains ≈ the same order of scanned rows per request.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.cursor import CursorSpec, keyset_predicate
+
+
+@dataclass
+class BoundedScanResult:
+    rows: list  # collected Row matches, cursor order, ≤ limit
+    next_cursor: Optional[tuple]  # resume token; None = exhausted
+    slices_examined: int
+
+
+def bounded_scan(
+    df: DataFrame,
+    predicate: Column,
+    spec: CursorSpec,
+    height_col: str = "height",
+    limit: int = 10,
+    slice_width: int = 100,
+    budget_slices: int = 4,
+    cursor: Sequence | None = None,
+    floor: int = 0,
+) -> BoundedScanResult:
+    """Run one governed request-iteration.
+
+    The cursor is the full keyset tuple of the last *emitted or examined*
+    row position, exactly like the reference's ``BSContinuation`` — here
+    (height-slice floor, keyset tuple).  ``cursor=None`` starts at the top.
+
+    Per slice: one narrow job with BOTH bounds on ``height_col`` pushed to
+    the scan, then keyset order + limit (TakeOrdered — no global sort).
+    Stops when ``limit`` matches are collected or the slice budget is spent.
+    """
+    if cursor is not None:
+        hi = int(cursor[0])  # cursor height bounds the next scan
+        resume_pred = keyset_predicate(spec, cursor)
+    else:
+        row = df.agg(F.max(height_col).alias("m")).collect()[0]
+        if row["m"] is None:
+            return BoundedScanResult([], None, 0)
+        hi = int(row["m"])
+        resume_pred = None
+
+    out: list = []
+    examined = 0
+    while examined < budget_slices and hi >= floor and len(out) < limit:
+        lo = max(floor, hi - slice_width + 1)
+        sliced = df.filter(
+            (F.col(height_col) >= F.lit(lo)) & (F.col(height_col) <= F.lit(hi))
+        ).filter(predicate)
+        if resume_pred is not None:
+            sliced = sliced.filter(resume_pred)
+            resume_pred = None  # only the first slice can contain the cursor
+        page = (
+            sliced.orderBy(*spec.order_by()).limit(limit - len(out)).collect()
+        )
+        out.extend(page)
+        examined += 1
+        hi = lo - 1
+
+    if len(out) >= limit and hi >= floor:
+        last = out[-1]
+        next_cursor = tuple(last[c] for c in spec.cols)
+    elif hi >= floor:
+        # budget exhausted mid-stream: pure positional cursor at the slice
+        # boundary (the reference's found=false cursor row, BoundedScan.hs:137-155)
+        next_cursor = _boundary_cursor(spec, hi)
+    else:
+        next_cursor = None
+    return BoundedScanResult(out, next_cursor, examined)
+
+
+def _boundary_cursor(spec: CursorSpec, hi: int) -> tuple:
+    """Keyset tuple 'just before' height hi+1 in cursor order: height = hi+1
+    with extreme minor columns so every row at height ≤ hi qualifies."""
+    vals: list = [hi + 1]
+    for c, d in zip(spec.cols[1:], spec.descs[1:]):
+        # minor columns: -inf in the traversal order ⇒ after-everything at
+        # the cursor height; string minimum is "" , numeric minimum is a
+        # sentinel the caller's domain guarantees below any real value
+        vals.append("" if d else None)
+    return tuple(vals)
+
+
+def bounded_scan_all(
+    df: DataFrame,
+    predicate: Column,
+    spec: CursorSpec,
+    **kw,
+) -> list:
+    """Drain the governor to exhaustion (test helper): total result must
+    equal the un-governed query — the reference's invariant that repeated
+    bounded requests enumerate the full set."""
+    rows: list = []
+    cursor = None
+    while True:
+        res = bounded_scan(df, predicate, spec, cursor=cursor, **kw)
+        rows.extend(res.rows)
+        if res.next_cursor is None:
+            return rows
+        cursor = res.next_cursor

@@ -1,4 +1,5 @@
 from .registry import QUERIES, ORACLES, query_fns, oracle_sqls
 from . import pipeline  # noqa: F401 — registers pipeline queries
+from . import chainweb  # noqa: F401 — registers chainweb domain queries
 
 __all__ = ["QUERIES", "ORACLES", "query_fns", "oracle_sqls"]

@@ -1,0 +1,108 @@
+"""Streaming listen path: replay + orphan idempotence (SURVEY §7.1 step 7).
+
+The reference's guarantees (Listen.hs + Worker.hs ON CONFLICT DO NOTHING):
+re-delivered blocks change nothing; orphan twins at the same height coexist;
+the streamed result equals a one-shot batch ingest of the same feed.
+"""
+
+import json
+import os
+
+import pytest
+
+from chainweb_data_spark.fixtures.generate import generate_raw_rows
+from chainweb_data_spark.ingest.transforms import payload_to_tables
+from chainweb_data_spark.schemas.payload import RAW_SCHEMA
+from chainweb_data_spark.streaming.listen import TABLE_PKS, listen_stream
+
+# the generator's event-activation floor is 60 (fixtures ACTIVATION_FLOOR);
+# run past it so events/transfers actually flow through the stream
+ACTIVATION = 60
+
+
+@pytest.fixture(scope="module")
+def raw_rows():
+    return generate_raw_rows(n_chains=2, max_height=100, seed=7)
+
+
+def _write_feed(rows, feed_dir, chunks):
+    os.makedirs(feed_dir, exist_ok=True)
+    n = len(rows)
+    bounds = [int(n * i / chunks) for i in range(chunks + 1)]
+    for i in range(chunks):
+        with open(os.path.join(feed_dir, f"feed_{i:03d}.json"), "w") as f:
+            for r in rows[bounds[i] : bounds[i + 1]]:
+                f.write(json.dumps(r) + "\n")
+
+
+def test_stream_equals_batch_and_replay_is_noop(spark, tmp_path_factory, raw_rows):
+    base = str(tmp_path_factory.mktemp("stream"))
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "tables")
+    # 3 chunks + chunk 0 re-delivered under a new filename (listener
+    # reconnect replays recent blocks, Server.hs:171-182)
+    _write_feed(raw_rows, feed, 3)
+    with open(os.path.join(feed, "feed_000.json")) as f:
+        dup = f.read()
+    with open(os.path.join(feed, "feed_900_replay.json"), "w") as f:
+        f.write(dup)
+
+    q = listen_stream(spark, feed, out, event_min_height=ACTIVATION)
+    q.awaitTermination(300)
+
+    raw = spark.createDataFrame(
+        [(r["header"], r["powHash"], r["payload"]) for r in raw_rows], RAW_SCHEMA
+    )
+    expected = payload_to_tables(raw, event_min_height=ACTIVATION)
+    for name, exp_raw in expected.items():
+        got = spark.read.parquet(os.path.join(out, f"{name}.parquet"))
+        pk = list(TABLE_PKS[name])
+        # ON CONFLICT DO NOTHING collapses PK twins (e.g. a signer row
+        # re-introduced by an orphan branch) — dedup the batch oracle too
+        exp = exp_raw.dropDuplicates(pk)
+        assert got.count() == got.dropDuplicates(pk).count(), f"{name}: dup PKs"
+        assert got.count() == exp.count(), f"{name}: stream {got.count()} != batch {exp.count()}"
+        # exact content match on the PK set
+        assert (
+            exp.select(pk).exceptAll(got.select(pk)).isEmpty()
+            and got.select(pk).exceptAll(exp.select(pk)).isEmpty()
+        ), f"{name}: PK sets differ"
+
+
+def test_second_run_is_noop(spark, tmp_path_factory, raw_rows):
+    base = str(tmp_path_factory.mktemp("stream2"))
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "tables")
+    _write_feed(raw_rows, feed, 2)
+    q = listen_stream(spark, feed, out, event_min_height=ACTIVATION)
+    q.awaitTermination(300)
+    counts1 = {
+        n: spark.read.parquet(os.path.join(out, f"{n}.parquet")).count()
+        for n in TABLE_PKS
+    }
+    # fresh checkpoint → every file re-delivered end-to-end
+    q2 = listen_stream(
+        spark, feed, out, checkpoint_dir=os.path.join(base, "ckpt2"),
+        event_min_height=ACTIVATION,
+    )
+    q2.awaitTermination(300)
+    counts2 = {
+        n: spark.read.parquet(os.path.join(out, f"{n}.parquet")).count()
+        for n in TABLE_PKS
+    }
+    assert counts1 == counts2, f"replay changed tables: {counts1} vs {counts2}"
+
+
+def test_orphan_twins_coexist(spark, raw_rows):
+    raw = spark.createDataFrame(
+        [(r["header"], r["powHash"], r["payload"]) for r in raw_rows], RAW_SCHEMA
+    )
+    blocks = payload_to_tables(raw, event_min_height=ACTIVATION)["blocks"]
+    from pyspark.sql import functions as F
+
+    twins = (
+        blocks.groupBy("chainid", "height").count().filter(F.col("count") > 1)
+    )
+    assert not twins.isEmpty(), "fixture must contain orphan twins"
+    # twins have distinct hashes (PK) — both retained
+    assert blocks.select("hash").distinct().count() == blocks.count()

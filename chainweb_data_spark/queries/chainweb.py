@@ -708,6 +708,56 @@ def cw_bounded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# circulating coins — A8 (Coins.hs:118-158)
+# ---------------------------------------------------------------------------
+
+
+def _coins_oracle() -> str:
+    from ..operators.coins import (
+        REWARD_SCHEDULE,
+        allocation_case_sql,
+        reward_values_sql,
+    )
+
+    lo_h, lo_c = REWARD_SCHEDULE[0]
+    hi_h, hi_c = REWARD_SCHEDULE[-1]
+    return f"""
+    WITH hs AS (
+      SELECT chainid, height, MIN(epoch_us(creationtime)) AS ts_us
+      FROM {_p('blocks')} GROUP BY chainid, height
+    ),
+    iv(lo, hi, cum_lo, rate) AS (VALUES {reward_values_sql()}),
+    curves AS (
+      SELECT chainid, height, ts_us,
+             CASE WHEN height < {lo_h} THEN CAST({lo_c!r} AS DOUBLE)
+                  WHEN height >= {hi_h} THEN CAST({hi_c!r} AS DOUBLE)
+                  ELSE iv.cum_lo + (height - iv.lo) * iv.rate END AS mined,
+             {allocation_case_sql('ts_us')} AS unlocked
+      FROM hs LEFT JOIN iv ON height >= iv.lo AND height < iv.hi
+    )
+    SELECT chainid, height, ts_us, mined, unlocked,
+           mined + unlocked AS circulating
+    FROM curves ORDER BY chainid, height
+    """
+
+
+@register("cw_coins", oracle=_coins_oracle())
+def cw_coins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getCirculatingCoins (Coins.hs:118-158): mined = piecewise-linear
+    interpolation on the cumulative reward schedule; unlocked = allocation
+    step function of block time; evaluated for every (chain, height) in the
+    fixture.  Both curves execute as a broadcast interval-join + folded CASE
+    — one scan, no shuffle beyond the groupBy."""
+    from ..operators.coins import with_circulating
+
+    bl = _cw(spark, "blocks")
+    hs = bl.groupBy("chainid", "height").agg(
+        F.min(F.unix_micros(F.col("creationtime"))).alias("ts_us")
+    )
+    return with_circulating(hs, "height", "ts_us").orderBy("chainid", "height")
+
+
+# ---------------------------------------------------------------------------
 # keyset pagination over the domain cursor — O5 (BoundedScan.hs:256-266)
 # ---------------------------------------------------------------------------
 

@@ -71,9 +71,10 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, k), " "),
     )
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+    # per-doc dedup happens row-local (array_distinct) BEFORE the explode —
+    # a (doc, shingle) pair is unique by construction, so no shuffle-distinct
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 
 

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the scale properties SURVEY §4 demands are
+checked on the actual Catalyst output, not by eyeball — filters reach the
+parquet scan, small dims broadcast, top-k runs as TakeOrdered, and nothing
+in the registry degenerates into a cartesian product.
+"""
+
+import pytest
+
+from chainweb_data_spark.queries import query_fns
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = query_fns()[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_range(spark):
+    p = plan_of(spark, "range_filter")
+    assert "PushedFilters" in p
+    # both the ts bounds and the value bound reach the scan
+    assert "GreaterThanOrEqual(value,5" in p.replace(" ", "")
+
+
+def test_filter_pushdown_like(spark):
+    p = plan_of(spark, "doc_like_search")
+    assert "StringContains(text,spark)" in p.replace(" ", "")
+    assert "EqualTo(lang,en)" in p.replace(" ", "")
+
+
+def test_column_pruning(spark):
+    p = plan_of(spark, "groupby_minmax")
+    # events has (event_id, ts, user_id, event_type, value, props, ...);
+    # this query needs only three columns — props must NOT be read
+    rs = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert rs and all("props" not in l for l in rs), rs
+
+
+def test_broadcast_dims(spark):
+    p = plan_of(spark, "region_revenue")
+    assert p.count("BroadcastHashJoin") >= 2  # nation, region (+customer ok)
+    assert "CartesianProduct" not in p
+
+
+def test_topk_is_take_ordered(spark):
+    p = plan_of(spark, "recent_events")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_join_physical(spark):
+    p = plan_of(spark, "semi_join_exists")
+    assert "LeftSemi" in p
+    assert "GreaterThan(o_totalprice,400000" in p.replace(" ", "")
+
+
+def test_keyset_page_pushdown(spark):
+    # O5's point: the leading cursor column's range conjunct reaches the
+    # scan.  The domain cursor leads on height (a NATIVE parquet column);
+    # the testdata `ts` variant can't push because the loader derives ts
+    # from the nanos-long workaround — a known environment artifact.
+    p = plan_of(spark, "cw_events_page_after")
+    flat = p.replace(" ", "")
+    assert "PushedFilters" in p
+    assert "LessThan(height," in flat or "LessThanOrEqual(height," in flat, p
+
+
+def test_union_two_scans_only(spark):
+    p = plan_of(spark, "union_legs")
+    # both legs scan the same parquet with their own pushed filters; the
+    # formatted detail section must show exactly the two declared scans
+    assert p.count(") Scan parquet") == 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in query_fns()
+        # matmul/bounded queries run driver work at build time; plans of the
+        # remaining registry must all be cartesian-free
+        if n not in ("embed_cosine_topk", "embed_near_dup", "cw_bounded_search")
+    ),
+)
+def test_no_cartesian_product(spark, name):
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p, f"{name} degenerated to a cross join"

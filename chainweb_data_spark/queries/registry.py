@@ -753,6 +753,118 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scalar functions / JSON extraction (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 F3/F4 — jsonb path extraction + cast
+    (`params->>0`, CAST(... AS INT) — Queries.hs:309-331, init.sql:45-47):
+    schema-on-read JSON column projected to a typed value, then filtered and
+    aggregated.  get_json_object is JVM-side (no Python UDF); the extraction
+    happens once per row inside whole-stage codegen."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "json_amount_coercion",
+    oracle="""
+    SELECT shape,
+           CAST(SUM(amount) AS DOUBLE) AS sum_amount, COUNT(*) AS n
+    FROM (
+      SELECT shape,
+             COALESCE(
+               TRY_CAST(json_extract_string(j, '$.amount')         AS DECIMAL(18,6)),
+               TRY_CAST(json_extract_string(j, '$.amount.decimal') AS DECIMAL(18,6)),
+               TRY_CAST(json_extract_string(j, '$.amount.int')     AS DECIMAL(18,6))
+             ) AS amount
+      FROM (
+        SELECT CASE WHEN event_id % 4 = 0 THEN 'plain'
+                    WHEN event_id % 4 = 1 THEN 'decimal_obj'
+                    WHEN event_id % 4 = 2 THEN 'int_obj'
+                    ELSE 'str' END AS shape,
+               CASE WHEN event_id % 4 = 0 THEN '{"amount": ' || CAST(value AS VARCHAR) || '}'
+                    WHEN event_id % 4 = 1 THEN '{"amount": {"decimal": "' || CAST(value AS VARCHAR) || '"}}'
+                    WHEN event_id % 4 = 2 THEN '{"amount": {"int": ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || '}}'
+                    ELSE '{"amount": "' || CAST(value AS VARCHAR) || '"}' END AS j
+        FROM events
+      )
+    ) GROUP BY shape ORDER BY shape
+    """,
+)
+def json_amount_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.8 F8 — stringly-typed amount coercion precedence
+    (Lookups.hs:245-257): a JSON value that may be a plain number,
+    ``{"decimal": s}``, ``{"int": n}``, or a numeric string, coerced with
+    the canonical precedence order via a COALESCE-of-try-casts chain.  The
+    mixed-shape column is synthesized from events (testdata has no Pact
+    payloads); the coercion operator itself is the thing under test and is
+    identical to the ingest path's."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 4
+    vs = F.col("value").cast("string")
+    j = (
+        F.when(m == 0, F.concat(F.lit('{"amount": '), vs, F.lit("}")))
+        .when(m == 1, F.concat(F.lit('{"amount": {"decimal": "'), vs, F.lit('"}}')))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('{"amount": {"int": '),
+                F.floor(F.col("value")).cast("long").cast("string"),
+                F.lit("}}"),
+            ),
+        )
+        .otherwise(F.concat(F.lit('{"amount": "'), vs, F.lit('"}')))
+    )
+    shape = (
+        F.when(m == 0, "plain")
+        .when(m == 1, "decimal_obj")
+        .when(m == 2, "int_obj")
+        .otherwise("str")
+    )
+    dec = "decimal(18,6)"
+    amount = F.coalesce(
+        F.get_json_object(F.col("j"), "$.amount").try_cast(dec),
+        F.get_json_object(F.col("j"), "$.amount.decimal").try_cast(dec),
+        F.get_json_object(F.col("j"), "$.amount.int").try_cast(dec),
+    )
+    return (
+        ev.select(shape.alias("shape"), j.alias("j"))
+        .select("shape", amount.alias("amount"))
+        .groupBy("shape")
+        .agg(
+            F.sum("amount").cast("double").alias("sum_amount"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("shape")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Set operations (SURVEY §2.7)
 # ---------------------------------------------------------------------------
 

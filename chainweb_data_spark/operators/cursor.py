@@ -85,6 +85,34 @@ def keyset_page(
     return df.orderBy(*spec.order_by()).limit(limit)
 
 
+def encode_next_token(cursor: Sequence, remaining_offset: int = 0) -> str:
+    """Continuation token: base64url(JSON [cursor..., remaining_offset]) —
+    the reference's ``Chainweb-Next`` header codec (Server.hs:484-491,
+    550-566): an opaque resumable cursor handed to the client.  Timestamps
+    must already be primitive (epoch-µs longs) by the time they reach the
+    cursor tuple."""
+    import base64
+    import json
+
+    payload = json.dumps([list(cursor), remaining_offset], separators=(",", ":"))
+    return base64.urlsafe_b64encode(payload.encode()).decode().rstrip("=")
+
+
+def decode_next_token(token: str) -> tuple[list, int]:
+    """Inverse of :func:`encode_next_token`; raises ``ValueError`` on a
+    malformed token (the reference 400s, Server.hs:267-278)."""
+    import base64
+    import binascii
+    import json
+
+    pad = "=" * (-len(token) % 4)
+    try:
+        cursor, remaining = json.loads(base64.urlsafe_b64decode(token + pad))
+    except (binascii.Error, json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise ValueError(f"malformed continuation token: {token!r}") from e
+    return cursor, remaining
+
+
 def offset_page(df: DataFrame, spec: CursorSpec, offset: int, limit: int) -> DataFrame:
     """Classic OFFSET/LIMIT (reference's Unbounded mode,
     ``BoundedScan.hs:232-245``).  Kept for API compat; discouraged at scale —

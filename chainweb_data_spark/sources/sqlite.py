@@ -95,17 +95,26 @@ def latest_balances(rows: DataFrame) -> DataFrame:
 
 
 def richlist_from_sqlite(
-    spark: SparkSession, db_paths: list[str], top_n: int = 100
+    spark: SparkSession,
+    db_paths: list[str],
+    top_n: int = 100,
+    out_csv: str | None = None,
 ) -> DataFrame:
     """End-to-end richlist (RichList.hs:95-120): scan per-chain ledgers,
-    latest balance per (chain, account), sum across chains, top N."""
+    latest balance per (chain, account), sum across chains, top N.
+    ``out_csv`` additionally writes the result as a single CSV file — the
+    reference's richlist.csv sink (S9, RichList.hs:95-103).  top-N is tiny,
+    so the write is a driver-side pandas dump, not a distributed write."""
     rows = read_sqlite_table(
         spark, db_paths, "coin_coin-table", ["rowkey", "txid", "rowdata"]
     )
-    return (
+    out = (
         latest_balances(rows)
         .groupBy("account")
         .agg(F.sum("balance").alias("balance"))
         .orderBy(F.desc("balance"), F.asc("account"))
         .limit(top_n)
     )
+    if out_csv is not None:
+        out.toPandas().to_csv(out_csv, index=False, header=False)
+    return out

@@ -99,3 +99,17 @@ def test_richlist_top_n_order(spark, tmp_path):
     )
     rows = richlist_from_sqlite(spark, [p], top_n=3).collect()
     assert [r["account"] for r in rows] == ["acct9", "acct8", "acct7"]
+
+
+def test_richlist_csv_sink(spark, tmp_path):
+    # S9 (RichList.hs:95-103): headerless account,balance CSV
+    p = str(tmp_path / "pact-v1-chain-0.sqlite")
+    _mk_ledger(
+        p,
+        [(f"acct{i}", 1, json.dumps({"balance": i})) for i in range(5)],
+    )
+    out = str(tmp_path / "richlist.csv")
+    richlist_from_sqlite(spark, [p], top_n=2, out_csv=out)
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].split(",")[0] == "acct4"

@@ -1,0 +1,29 @@
+"""Next-token codec (O8, Server.hs:484-491,550-566): cursor ⇄ base64url.
+Pure Python — no Spark session needed."""
+
+import pytest
+
+from chainweb_data_spark.operators.cursor import (
+    decode_next_token,
+    encode_next_token,
+)
+
+
+def test_round_trip():
+    cur = [1722500, "rk-abc_123", 7]
+    tok = encode_next_token(cur, remaining_offset=40)
+    assert "=" not in tok  # unpadded base64url, like the reference's tokens
+    got, rem = decode_next_token(tok)
+    assert got == cur and rem == 40
+
+
+def test_default_offset_zero():
+    got, rem = decode_next_token(encode_next_token(["h", 2]))
+    assert got == ["h", 2] and rem == 0
+
+
+@pytest.mark.parametrize("bad", ["", "!!!!", "not-base64*", "AAAA"])
+def test_malformed_token_raises(bad):
+    # the reference responds 400 on an undecodable token (Server.hs:267-278)
+    with pytest.raises(ValueError):
+        decode_next_token(bad)

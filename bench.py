@@ -8,8 +8,13 @@ Prints ONE JSON line:
 Query families mirror BASELINE.md's bench definition (reference
 bench/Bench.hs:141-170 — code-search / event-search / account two-leg union)
 plus the aggregation, join, window, pagination, dedup, text, and similarity
-headliners.  Each query is fully executed (count of collected rows) after one
-untimed warm-up of the session.
+headliners.
+
+Timing is WARM-CACHE per BASELINE.md ("Report wall-clock per query (warm
+cache)", the analog of the reference's EXPLAIN ANALYZE executions against a
+warm Postgres): each query executes once untimed — amortizing Python-worker
+spawn, whole-stage codegen, and parquet footer reads, none of which recur in
+a long-lived server — then the timed run measures steady-state execution.
 """
 
 from __future__ import annotations
@@ -50,16 +55,15 @@ def main() -> None:
     spark = get_spark("cds-bench")
     fns = query_fns()
 
-    # warm-up: JVM, parquet footer caches, and Python/Arrow workers (untimed)
-    fns["recent_events"](spark, SF_DIR).collect()
-    import pandas as _pd
-
-    spark.createDataFrame(_pd.DataFrame({"x": [1, 2]})).mapInPandas(
-        lambda it: it, "x long"
+    # spawn the FULL Python worker pool once (one task per core), so no
+    # timed query pays worker startup
+    spark.range(0, int(CPUS), 1, int(CPUS)).mapInPandas(
+        lambda it: it, "id long"
     ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        fns[name](spark, SF_DIR).collect()  # warm: codegen + page cache
         t0 = time.perf_counter()
         rows = fns[name](spark, SF_DIR).collect()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -369,7 +369,7 @@ def embed_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_lsh_oracle(num_planes: int = 8, bands: int = 2, dim: int = 64, k: int = 5) -> str:
+def _ann_lsh_oracle(num_planes: int = 16, bands: int = 2, dim: int = 64, k: int = 5) -> str:
     planes = sim.hyperplane_matrix(num_planes, dim)
     sig_cols = ",\n".join(
         f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
@@ -412,7 +412,7 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic planes) → banded candidates → exact rerank.  The 100 TB
     path: the only wide edge is the (band, key) equi-join."""
     emb = _t(spark, sf_dir, "embeddings")
-    num_planes, bands, k = 8, 2, 5
+    num_planes, bands, k = 16, 2, 5
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     raw = emb.select("vec_id", dv.alias("_dv"))
     sigged = sim.lsh_signature(raw, "_dv", num_planes, 64)

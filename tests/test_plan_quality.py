@@ -74,6 +74,14 @@ def test_union_two_scans_only(spark):
     assert p.count(") Scan parquet") == 2
 
 
+def test_ann_candidate_join_is_equi(spark):
+    # the (band, key) self-join is the only wide edge of the ANN path; it
+    # must plan as a hash/merge equi-join, never a nested-loop over pairs
+    p = plan_of(spark, "ann_lsh_topk")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(

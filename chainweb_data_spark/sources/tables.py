@@ -49,6 +49,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # nanosAsLong is a runtime SQL conf: set it here so the loader works on
+    # ANY session (the driver's harness builds a bare SparkSession without
+    # the builder conf in session.py) — otherwise every events.parquet read
+    # dies with PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) columns.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANO_TS_COLS.get(name, ()):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):

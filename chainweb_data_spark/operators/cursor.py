@@ -107,10 +107,20 @@ def decode_next_token(token: str) -> tuple[list, int]:
 
     pad = "=" * (-len(token) % 4)
     try:
-        cursor, remaining = json.loads(base64.urlsafe_b64decode(token + pad))
+        payload = json.loads(base64.urlsafe_b64decode(token + pad))
     except (binascii.Error, json.JSONDecodeError, UnicodeDecodeError) as e:
         raise ValueError(f"malformed continuation token: {token!r}") from e
-    return cursor, remaining
+    # shape validation: valid JSON that isn't [cursor_list, int_offset] is
+    # still a malformed token (must map to the 400 contract, not TypeError)
+    if (
+        not isinstance(payload, list)
+        or len(payload) != 2
+        or not isinstance(payload[0], list)
+        or not isinstance(payload[1], int)
+        or isinstance(payload[1], bool)
+    ):
+        raise ValueError(f"malformed continuation token: {token!r}")
+    return payload[0], payload[1]
 
 
 def offset_page(df: DataFrame, spec: CursorSpec, offset: int, limit: int) -> DataFrame:

@@ -107,13 +107,19 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     band_hash = md5(band_idx || minhashes-in-band); the self-join is an
     equi-join on (band_idx, band_hash), never a cross join.  Buckets with a
     hot key (boilerplate-heavy corpora) are the classic skew case → AQE
-    skew-join handles it; for pathological corpora cap bucket size upstream.
+    skew-join spreads the shuffle, but the candidate COUNT is still
+    quadratic in bucket size; ``max_bucket_size`` drops buckets above the
+    cap entirely (a bucket holding b docs yields b²/2 pairs — at cap c the
+    whole join is bounded by n_buckets × c²/2 candidates).  A giant bucket
+    means the band signature carries no discrimination for those docs; pairs
+    inside it still surface through their other, selective bands.
     """
     rows_per_band = num_hashes // bands
     banded = signatures.select(
@@ -141,6 +147,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        keep = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(keep, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -208,23 +222,75 @@ def _jaccard_for_pairs(shingled: DataFrame, pairs: DataFrame, id_col: str) -> Da
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, min_jaccard: float = 0.1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_jaccard: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word k-gram shingle sets for every pair sharing ≥1
     shingle.  Candidate generation is the shingle equi-self-join (inverted-
     index pattern) — pairs with zero overlap are never materialized, so cost
-    is Σ_shingle df(s)² not n².  Hot shingles dominate; drop stop-shingles
-    (document frequency cap) before the join at scale.
+    is Σ_shingle df(s)² not n².
+
+    ``max_df`` is the stop-shingle document-frequency cap: shingles present
+    in more than ``max_df`` documents are dropped from the shingle universe
+    (both intersection AND set sizes — the Jaccard is then exact over the
+    capped universe).  This is what keeps the join from going quadratic on a
+    boilerplate-heavy corpus: one shingle shared by d documents contributes
+    d² candidate rows, so the worst-case join cost is bounded by
+    n_shingles × max_df² instead of n_docs².  A stop-shingle carries ~zero
+    similarity signal (it's in everything), so the capped Jaccard ranks pairs
+    the same way — the standard stop-word argument applied to shingles.
     """
     sh = word_shingles(df, id_col, text_col, k)
-    a = sh.withColumnRenamed(id_col, "id_a")
-    b = sh.withColumnRenamed(id_col, "id_b")
-    inter = (
-        a.join(b, ["shingle"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
+    if max_df is not None:
+        # STOP-shingle list, not a keep list: the set of shingles with
+        # df > cap is tiny (boilerplate has few distinct forms) even when
+        # the corpus is huge, so it broadcasts and the filter is a map-side
+        # anti-join — ~free when no shingle is hot, while a keep-list
+        # semi-join would shuffle the full shingle relation at any scale.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # capped path: posting lists are ≤ max_df ids, so pair generation
+        # can group once per shingle and expand combinations locally — ONE
+        # shuffle of the shingle relation instead of the self-join's two.
+        grouped = sh.groupBy("shingle").agg(
+            F.array_sort(F.collect_list(id_col)).alias("ids")
+        )
+        inter = (
+            grouped.filter(F.size("ids") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), "
+                        "y -> struct(x AS id_a, y AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        # uncapped: posting lists are unbounded, so grouping them into
+        # arrays could OOM on a hot shingle — the streaming equi-self-join
+        # (AQE skew-splittable) is the safe shape.
+        a = sh.withColumnRenamed(id_col, "id_a")
+        b = sh.withColumnRenamed(id_col, "id_b")
+        inter = (
+            a.join(b, ["shingle"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
     return (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
@@ -293,11 +359,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    sim: DataFrame, id_col: str, max_hamming: int = 8, bands: int = 4
+    sim: DataFrame, id_col: str, max_hamming: int | None = None, bands: int = 4
 ) -> DataFrame:
-    """Pairs within ``max_hamming`` bits, candidate-generated by band equality
-    (pigeonhole: ≤ ``bands-1`` differing bands ⇒ some band identical when
-    hamming < bands).  band b = bits [b*15, (b+1)*15)."""
+    """Pairs within ``max_hamming`` bits, candidate-generated by band equality.
+
+    Recall guarantee is the pigeonhole bound: ``hamming <= bands - 1``
+    differing bits cannot touch every band, so some band is identical and the
+    pair survives the candidate join.  ``max_hamming`` therefore defaults to
+    ``bands - 1``; passing a larger value returns *approximate* candidates —
+    pairs whose differing bits spread across all bands are missed.
+    band b = bits [b*width, (b+1)*width), width = 60 // bands."""
+    if max_hamming is None:
+        max_hamming = bands - 1
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
     banded = sim.select(

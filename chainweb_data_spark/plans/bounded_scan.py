@@ -85,14 +85,22 @@ def bounded_scan(
         examined += 1
         hi = lo - 1
 
-    if len(out) >= limit and hi >= floor:
+    if len(out) >= limit:
+        # limit reached: ALWAYS hand back the last emitted row's keyset —
+        # even when the final slice also reached the floor, that slice may
+        # hold more matches than the page could carry (the reference's
+        # BSContinuation always resumes on a full page,
+        # BoundedScan.hs:137-155); the resume call re-scans from the cursor
+        # and returns empty+None if nothing remains.
         last = out[-1]
         next_cursor = tuple(last[c] for c in spec.cols)
     elif hi >= floor:
-        # budget exhausted mid-stream: pure positional cursor at the slice
-        # boundary (the reference's found=false cursor row, BoundedScan.hs:137-155)
+        # budget exhausted mid-stream with an under-filled page: pure
+        # positional cursor at the slice boundary (the reference's
+        # found=false cursor row)
         next_cursor = _boundary_cursor(spec, hi)
     else:
+        # range exhausted AND page under-filled: genuinely done
         next_cursor = None
     return BoundedScanResult(out, next_cursor, examined)
 

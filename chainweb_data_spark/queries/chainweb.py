@@ -762,41 +762,70 @@ def cw_coins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The event cursor (Server.hs:557-566 EventCursor) extended with the block
+# hash as the final tie-break: orphan twins share (height, requestkey, idx),
+# so the reference's 3-column cursor is ambiguous at a page boundary that
+# splits a twin group — the 4th column makes the order total and the resume
+# exact (ADVICE r01).  The leading height conjunct still drives row-group
+# pruning; the extra column only refines equality ties.
+EVENTS_CURSOR = CursorSpec(
+    cols=("height", "requestkey", "idx", "block"),
+    descs=(True, True, False, False),
+)
+
+_EVENTS_PAGE_COLS = ("requestkey", "block", "chainid", "height", "idx", "name")
+
+
+def events_page(
+    spark: SparkSession, token: str | None = None, limit: int = 25
+) -> tuple[list, str | None]:
+    """One /txs/events page — the server-handler flow (Server.hs:484-491):
+    decode the opaque continuation token, keyset-resume strictly after it,
+    emit ≤ limit rows, and hand back the next token (None when the page is
+    under-filled, i.e. the result set is exhausted).
+
+    The collect is the response page itself (≤ limit rows by construction);
+    everything before it is a lazy keyset plan whose leading height range
+    conjunct reaches the parquet scan."""
+    from ..operators.cursor import decode_next_token, encode_next_token
+
+    ev = _cw(spark, "events")
+    cursor = None
+    if token is not None:
+        decoded, _ = decode_next_token(token)
+        cursor = tuple(decoded)
+    rows = (
+        keyset_page(ev, EVENTS_CURSOR, cursor, limit)
+        .select(*_EVENTS_PAGE_COLS)
+        .collect()
+    )
+    next_token = None
+    if len(rows) == limit:
+        last = rows[-1]
+        next_token = encode_next_token([last[c] for c in EVENTS_CURSOR.cols])
+    return rows, next_token
+
+
 @register(
     "cw_events_page_after",
     oracle=f"""
-    WITH cur AS (
-      SELECT height, requestkey, idx FROM {_p('events')}
-      ORDER BY height DESC, requestkey DESC, idx ASC, block ASC LIMIT 1 OFFSET 24
-    )
-    SELECT e.requestkey, e.block, e.chainid, e.height, e.idx, e.name
-    FROM {_p('events')} e, cur
-    WHERE e.height < cur.height
-       OR (e.height = cur.height AND e.requestkey < cur.requestkey)
-       OR (e.height = cur.height AND e.requestkey = cur.requestkey
-           AND e.idx > cur.idx)
-    ORDER BY e.height DESC, e.requestkey DESC, e.idx ASC, e.block ASC
-    LIMIT 25
+    SELECT requestkey, block, chainid, height, idx, name
+    FROM {_p('events')}
+    ORDER BY height DESC, requestkey DESC, idx ASC, block ASC
+    LIMIT 25 OFFSET 25
     """,
 )
 def cw_events_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyset resume on the reference's event cursor (height DESC,
-    requestkey DESC, idx ASC) — page 2 given page 1's last row
-    (Server.hs:557-566 EventCursor).  The height range conjunct is what
-    prunes row groups at scale."""
+    """Keyset resume through the FULL token round-trip: page 1 is served,
+    its next-token encoded (O8), decoded again, and page 2 built from the
+    decoded cursor — the gated result must equal rows 26..50 of the
+    unpaginated total order (the Server.hs:484-491 Chainweb-Next contract,
+    stated declaratively by the oracle's OFFSET form)."""
+    from ..operators.cursor import decode_next_token
+
+    _, token = events_page(spark, token=None, limit=25)
+    decoded, _ = decode_next_token(token)
     ev = _cw(spark, "events")
-    spec = CursorSpec(cols=("height", "requestkey", "idx"), descs=(True, True, False))
-    last = (
-        ev.orderBy(F.desc("height"), F.desc("requestkey"), F.asc("idx"), F.asc("block"))
-        .offset(24)
-        .limit(1)
-        .collect()[0]
-    )
-    page = keyset_page(
-        ev, spec, (last["height"], last["requestkey"], last["idx"]), 25
-    )
-    # deterministic emit order incl. orphan tie-break
-    return (
-        page.orderBy(F.desc("height"), F.desc("requestkey"), F.asc("idx"), F.asc("block"))
-        .select("requestkey", "block", "chainid", "height", "idx", "name")
+    return keyset_page(ev, EVENTS_CURSOR, tuple(decoded), 25).select(
+        *_EVENTS_PAGE_COLS
     )

@@ -128,14 +128,24 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stop-shingle document-frequency cap: a shingle in more than this many docs
+# is boilerplate and is dropped from the Jaccard universe BEFORE the
+# inverted-index self-join (bounds join cost at n_shingles × cap² — the
+# 100 TB safety rail).  The oracle applies the identical cap.
+_NGRAM_MAX_DF = 1000
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    df AS (SELECT shingle, COUNT(*) AS d FROM sh GROUP BY shingle),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh
+            JOIN df ON df.shingle = sh.shingle AND df.d <= {_NGRAM_MAX_DF}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -149,17 +159,16 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index self-join (cost Σ df(s)², not
-    n²); Jaccard is an exact rational so the threshold is engine-stable."""
+    n²) with the stop-shingle DF cap; Jaccard is an exact rational so the
+    threshold is engine-stable."""
     docs = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, min_jaccard=0.2).orderBy(
-        "id_a", "id_b"
-    )
+    return dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, min_jaccard=0.2, max_df=_NGRAM_MAX_DF
+    ).orderBy("id_a", "id_b")
 
 
-@register(
-    "simhash_docs",
-    oracle=f"""
-    WITH toks AS (
+_SIMHASH_CTE = f"""
+    toks AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
     th AS (
@@ -172,11 +181,21 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CASE WHEN (th >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
       FROM th, (SELECT unnest(range(0, {dd.SIMHASH_BITS})) AS j) js
       GROUP BY doc_id, j
+    ),
+    shh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
-                         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "simhash_docs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM shh ORDER BY doc_id
     """,
 )
 def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +203,44 @@ def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-ins)."""
     docs = _t(spark, sf_dir, "documents")
     return dd.simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_SH_BANDS = 4
+_SH_WIDTH = dd.SIMHASH_BITS // _SH_BANDS
+_SH_MASK = (1 << _SH_WIDTH) - 1
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    banded AS (
+      SELECT doc_id, simhash, js.band AS band,
+             (simhash >> (js.band * {_SH_WIDTH})) & {_SH_MASK} AS key
+      FROM shh, (SELECT unnest(range(0, {_SH_BANDS})) AS band) js
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_BANDS - 1}
+    ORDER BY id_a, id_b
+    """,
+)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming ≤ bands-1 (the exact pigeonhole
+    recall bound — see operators/dedup.py simhash_near_pairs): banded
+    equi-join candidates, then bit_count(XOR) verification."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.simhash(docs, "doc_id", "text")
+    pairs = dd.simhash_near_pairs(sh, "doc_id", bands=_SH_BANDS)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

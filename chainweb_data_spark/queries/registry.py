@@ -55,12 +55,88 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# The driver's correctness harness gates the FIRST 50 queries in the order
+# queries() yields them.  Module import order would put the generic testdata
+# queries first and push reference-surface (cw_*) queries off the gate, so
+# query_fns()/oracle_sqls() emit in this explicit priority order instead:
+# 1. the 14 cw_* chainweb domain queries (the reference's own endpoint
+#    semantics — always gated),
+# 2. every testdata query that is the sole gate for a SURVEY §2 operator ID,
+# 3. the 15 pipeline (dedup/similarity/text/multimodal) queries.
+# Exactly 50.  The tail (registered after these, driver-ungated but
+# pytest-covered) holds only redundant analogs whose §2 IDs are gated
+# elsewhere (O2 via cw_recent_txs, A4 via cw_stats) or beyond-reference
+# extras: recent_events, stats_counts, distinct_users, rollup_pricing,
+# pivot_event_counts, sessionization.
+GATE_PRIORITY: tuple[str, ...] = (
+    # chainweb domain (reference endpoint surface)
+    "cw_recent_txs",
+    "cw_search_txs",
+    "cw_continuation_history",
+    "cw_search_events",
+    "cw_account_transfers",
+    "cw_tx_by_requestkey",
+    "cw_txs_by_pactid",
+    "cw_stats",
+    "cw_chain_minmax",
+    "cw_gaps",
+    "cw_richlist",
+    "cw_bounded_search",
+    "cw_coins",
+    "cw_events_page_after",
+    # testdata §2 operators
+    "pricing_summary",
+    "groupby_minmax",
+    "global_max",
+    "filtered_count",
+    "agg_ordered_string",
+    "keyset_page",
+    "offset_page",
+    "topk_per_group",
+    "range_filter",
+    "like_search",
+    "doc_like_search",
+    "region_revenue",
+    "semi_join_exists",
+    "anti_join",
+    "coalesce_fallback",
+    "latest_per_user",
+    "gap_detection",
+    "running_counters",
+    "json_extract_agg",
+    "json_amount_coercion",
+    "union_legs",
+    # training-data pipeline (north-star extensions)
+    "dedup_exact_docs",
+    "dedup_exact_props",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_docs",
+    "simhash_near_pairs",
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "doc_fingerprint",
+    "embed_cosine_topk",
+    "embed_near_dup",
+    "ann_lsh_topk",
+    "multimodal_image_features",
+)
+
+
+def _gate_ordered(d: dict) -> dict:
+    out = {n: d[n] for n in GATE_PRIORITY if n in d}
+    out.update((n, v) for n, v in d.items() if n not in out)
+    return out
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _gate_ordered(QUERIES)
 
 
 def oracle_sqls() -> dict[str, str]:
-    return dict(ORACLES)
+    return _gate_ordered(ORACLES)
 
 
 # ---------------------------------------------------------------------------

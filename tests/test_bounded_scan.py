@@ -1,0 +1,88 @@
+"""Bounded-scan governor (plans/bounded_scan.py — BoundedScan.hs:90-254).
+
+The reference's invariant: repeated bounded requests enumerate EXACTLY the
+full result set in cursor order; a full page ALWAYS carries a resume cursor
+(BSContinuation), even when the scan range was exhausted in the same
+request — the remaining matches of the final slice must surface on resume.
+"""
+
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.operators.cursor import CursorSpec
+from chainweb_data_spark.plans.bounded_scan import bounded_scan, bounded_scan_all
+
+SPEC = CursorSpec(cols=("height", "rk"), descs=(True, False))
+
+
+def _table(spark, n=300, match_every=2):
+    """Rows at heights 0..n-1, one row per height; every ``match_every``-th
+    row matches the predicate (flag=1)."""
+    rows = [(h, f"rk-{h:05d}", 1 if h % match_every == 0 else 0) for h in range(n)]
+    return spark.createDataFrame(rows, "height long, rk string, flag int")
+
+
+def test_full_page_at_floor_returns_cursor(spark):
+    """ADVICE scenario: ONE slice covers the whole range down to the floor
+    and holds 30 matches with limit=10 — the first request must return 10
+    rows AND a cursor (not None), or the remaining 20 silently vanish."""
+    df = _table(spark, n=60, match_every=2)  # 30 matches in heights 0..59
+    res = bounded_scan(
+        df,
+        F.col("flag") == 1,
+        SPEC,
+        limit=10,
+        slice_width=100,  # one slice spans everything
+        budget_slices=4,
+        floor=0,
+    )
+    assert len(res.rows) == 10
+    assert res.next_cursor is not None, "full page at floor must resume"
+
+
+def test_drain_equals_ungoverned(spark):
+    df = _table(spark, n=250, match_every=3)
+    expected = [
+        (r.height, r.rk)
+        for r in df.filter(F.col("flag") == 1)
+        .orderBy(F.desc("height"), F.asc("rk"))
+        .collect()
+    ]
+    got = [
+        (r.height, r.rk)
+        for r in bounded_scan_all(
+            df,
+            F.col("flag") == 1,
+            SPEC,
+            limit=7,
+            slice_width=40,
+            budget_slices=2,
+            floor=0,
+        )
+    ]
+    assert got == expected
+
+
+def test_drain_with_matches_exceeding_limit_in_floor_slice(spark):
+    """Matches concentrated in the floor-reaching slice, count > limit:
+    drain must still enumerate all of them (regression for the dropped-rows
+    bug when the full page coincided with floor exhaustion)."""
+    df = _table(spark, n=50, match_every=1)  # every height matches
+    got = bounded_scan_all(
+        df,
+        F.col("flag") == 1,
+        SPEC,
+        limit=8,
+        slice_width=1000,
+        budget_slices=4,
+        floor=0,
+    )
+    assert len(got) == 50
+    heights = [r.height for r in got]
+    assert heights == sorted(heights, reverse=True)
+
+
+def test_empty_result(spark):
+    df = _table(spark, n=40)
+    res = bounded_scan(df, F.col("flag") == 99, SPEC, limit=5, slice_width=10,
+                       budget_slices=100, floor=0)
+    assert res.rows == [] and res.next_cursor is None

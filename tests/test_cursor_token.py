@@ -22,7 +22,30 @@ def test_default_offset_zero():
     assert got == ["h", 2] and rem == 0
 
 
-@pytest.mark.parametrize("bad", ["", "!!!!", "not-base64*", "AAAA"])
+def _b64(s: str) -> str:
+    import base64
+
+    return base64.urlsafe_b64encode(s.encode()).decode().rstrip("=")
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "",
+        "!!!!",
+        "not-base64*",
+        "AAAA",
+        # decodable base64 of VALID JSON in the WRONG shape — must still be
+        # a 400, not a TypeError/ValueError escaping from tuple unpacking
+        _b64("5"),
+        _b64("[1]"),
+        _b64("[1, 2]"),          # cursor not a list
+        _b64('[[1], "x"]'),      # offset not an int
+        _b64("[[1], true]"),     # bool is not an offset
+        _b64('{"cursor": []}'),  # object, not array
+        _b64("[[1], 2, 3]"),     # wrong arity
+    ],
+)
 def test_malformed_token_raises(bad):
     # the reference responds 400 on an undecodable token (Server.hs:267-278)
     with pytest.raises(ValueError):

@@ -32,3 +32,18 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_gate_priority_order():
+    """The driver gates the FIRST 50 queries() entries: they must be exactly
+    GATE_PRIORITY (cw_* domain + §2-unique testdata + pipeline), each with an
+    oracle except the documented multimodal rows-only check."""
+    from chainweb_data_spark.queries.registry import GATE_PRIORITY
+
+    assert len(GATE_PRIORITY) == 50
+    names = list(QUERIES)
+    assert names[:50] == list(GATE_PRIORITY)
+    no_oracle = {"multimodal_image_features"}
+    for n in GATE_PRIORITY:
+        if n not in no_oracle:
+            assert n in ORACLES, f"gated query {n} lacks an oracle"

@@ -18,10 +18,11 @@ like the reference.  With Delta available the anti-join becomes
 ``MERGE WHEN NOT MATCHED THEN INSERT`` — same keys, same semantics; the
 parquet path keeps the engine dependency-free.
 
-Scale: the anti-join probes only the PK columns (column-pruned scan) and the
-stream's natural ordering keeps batches height-clustered, so partition
-pruning bounds the probe to recent height buckets once tables are
-height-bucket partitioned.
+Scale: the height-bearing tables are written partitioned by height_bucket
+and the anti-join probe carries the batch's bucket range as a partition
+filter, so the duplicate check scans only the recent buckets the batch can
+collide with (plus column pruning to the PK columns) — the probe cost is
+O(batch locality), not O(table history).
 """
 
 from __future__ import annotations
@@ -45,15 +46,56 @@ TABLE_PKS: dict[str, tuple[str, ...]] = {
 }
 
 
-def merge_batch(spark: SparkSession, df: DataFrame, path: str, pk: tuple[str, ...]) -> None:
-    """Append rows of ``df`` whose PK is absent from the parquet table at
-    ``path`` (ON CONFLICT DO NOTHING, Worker.hs:54-77).  Also dedups the
-    batch itself on the PK (a batch can carry a replayed block)."""
+def merge_plan(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    pk: tuple[str, ...],
+    bucket_col: str = "height_bucket",
+) -> tuple[DataFrame, bool]:
+    """The to-append rows: batch-deduped on PK, minus rows whose PK already
+    exists at ``path`` (ON CONFLICT DO NOTHING, Worker.hs:54-77).
+
+    Returns (plan, bucketed).  For tables carrying ``height_bucket``
+    (blocks / transactions / events / transfers — the transforms compute it)
+    the duplicate probe is BOUNDED to the batch's bucket range: every PK
+    embeds the block identity, so a replayed row always lands in the same
+    bucket as the original, and the stream is height-clustered — the
+    partition filter prunes the probe to O(recent buckets) instead of a
+    full-history PK scan, which is what keeps the always-on ingest path flat
+    as the table grows.  signers/minerkeys carry no height; their probe
+    stays a full (column-pruned) PK scan — at scale, route those through a
+    key-partitioned layout or a MERGE-capable table format.
+    """
+    from pyspark.sql import functions as F
+
     batch = df.dropDuplicates(list(pk))
+    bucketed = bucket_col in batch.columns
     if os.path.exists(path):
-        existing = spark.read.parquet(path).select(*pk)
-        batch = batch.join(existing, on=list(pk), how="left_anti")
-    batch.write.mode("append").parquet(path)
+        existing = spark.read.parquet(path)
+        if bucketed:
+            bounds = batch.agg(
+                F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+            ).first()
+            if bounds["lo"] is not None:
+                existing = existing.filter(
+                    (F.col(bucket_col) >= bounds["lo"])
+                    & (F.col(bucket_col) <= bounds["hi"])
+                )
+        batch = batch.join(existing.select(*pk), on=list(pk), how="left_anti")
+    return batch, bucketed
+
+
+def merge_batch(spark: SparkSession, df: DataFrame, path: str, pk: tuple[str, ...]) -> None:
+    """Write the merge_plan: height-bucket-partitioned append for tables
+    that carry the bucket (partition dirs = the write layout of
+    sources/layout.py, so readers get directory pruning), flat append
+    otherwise."""
+    batch, bucketed = merge_plan(spark, df, path, pk)
+    writer = batch.write.mode("append")
+    if bucketed:
+        writer = writer.partitionBy("height_bucket")
+    writer.parquet(path)
 
 
 def listen_stream(

@@ -52,7 +52,16 @@ def keyset_predicate(spec: CursorSpec, cursor: Sequence) -> Column:
     smaller).  Reference emits this as native row comparison
     (``BoundedScan.hs:271-280``); Spark lacks row-value comparison with mixed
     directions, so we expand.
+
+    The cursor must carry exactly one value per spec column: a short tuple
+    would silently zip-truncate to a weaker predicate (overlapping pages) —
+    the reference 400s malformed cursors (Server.hs:267-278), so raise.
     """
+    if len(cursor) != len(spec.cols):
+        raise ValueError(
+            f"cursor arity {len(cursor)} does not match cursor spec "
+            f"{tuple(spec.cols)}"
+        )
     clauses: list[Column] = []
     eqs: list[Column] = []
     for name, desc, cur in zip(spec.cols, spec.descs, cursor):

@@ -789,10 +789,20 @@ def events_page(
     conjunct reaches the parquet scan."""
     from ..operators.cursor import decode_next_token, encode_next_token
 
+    if limit < 1:
+        # the reference 400s a non-positive Limit (Server.hs:317-319); an
+        # empty page would otherwise satisfy len(rows) == limit and emit a
+        # bogus token from rows[-1]
+        raise ValueError(f"limit must be >= 1, got {limit}")
     ev = _cw(spark, "events")
     cursor = None
     if token is not None:
         decoded, _ = decode_next_token(token)
+        # arity check: a forged token with fewer values than the cursor spec
+        # would zip-truncate keyset_predicate into a weaker predicate and
+        # serve overlapping pages — malformed ⇒ the 400 contract
+        if len(decoded) != len(EVENTS_CURSOR.cols):
+            raise ValueError(f"malformed continuation token: {token!r}")
         cursor = tuple(decoded)
     rows = (
         keyset_page(ev, EVENTS_CURSOR, cursor, limit)

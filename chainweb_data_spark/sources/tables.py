@@ -49,12 +49,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
-    # nanosAsLong is a runtime SQL conf: set it here so the loader works on
-    # ANY session (the driver's harness builds a bare SparkSession without
-    # the builder conf in session.py) — otherwise every events.parquet read
-    # dies with PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) columns.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # noqa: BLE001 — classify by error code below
+        # TIMESTAMP(NANOS) columns need spark.sql.legacy.parquet.nanosAsLong;
+        # set it only when a footer actually demands it, so sessions that
+        # never touch nano-timestamp files keep pristine conf.  It must then
+        # STAY set: executors re-read the conf at scan time, so a
+        # save/restore here would break later actions on the (lazy) returned
+        # DataFrame (verified empirically — the restored conf fails the scan
+        # with the same PARQUET_TYPE_ILLEGAL).
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     for c in NANO_TS_COLS.get(name, ()):
         if c in df.columns and isinstance(df.schema[c].dataType, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -86,14 +86,32 @@ def merge_plan(
     return batch, bucketed
 
 
+def _existing_layout_is_flat(path: str) -> bool:
+    """True when ``path`` already holds root-level data files (an un-
+    partitioned table written by an older merge_batch).  Appending partition
+    subdirectories next to flat files makes the directory unreadable
+    (conflicting directory structures), so the writer must match the
+    existing layout."""
+    if not os.path.isdir(path):
+        return False
+    return any(
+        not name.startswith(("_", "."))
+        and os.path.isfile(os.path.join(path, name))
+        for name in os.listdir(path)
+    )
+
+
 def merge_batch(spark: SparkSession, df: DataFrame, path: str, pk: tuple[str, ...]) -> None:
     """Write the merge_plan: height-bucket-partitioned append for tables
     that carry the bucket (partition dirs = the write layout of
     sources/layout.py, so readers get directory pruning), flat append
-    otherwise."""
+    otherwise.  A pre-existing FLAT table keeps its flat layout (appending
+    partition dirs beside flat files would corrupt the directory); rewrite
+    the table through sources/layout.py to migrate it to the bucketed
+    layout."""
     batch, bucketed = merge_plan(spark, df, path, pk)
     writer = batch.write.mode("append")
-    if bucketed:
+    if bucketed and not _existing_layout_is_flat(path):
         writer = writer.partitionBy("height_bucket")
     writer.parquet(path)
 

@@ -50,3 +50,14 @@ def test_malformed_token_raises(bad):
     # the reference responds 400 on an undecodable token (Server.hs:267-278)
     with pytest.raises(ValueError):
         decode_next_token(bad)
+
+
+def test_keyset_predicate_rejects_wrong_arity():
+    """A short cursor must raise, never zip-truncate into a weaker predicate
+    (overlapping pages); an empty cursor must not IndexError."""
+    from chainweb_data_spark.operators.cursor import CursorSpec, keyset_predicate
+
+    spec = CursorSpec(cols=("height", "requestkey", "idx"), descs=(True, True, False))
+    for short in ([], [5], [5, "rk"], [5, "rk", 1, "extra"]):
+        with pytest.raises(ValueError):
+            keyset_predicate(spec, short)

@@ -82,3 +82,23 @@ def test_page_boundary_inside_twin_group(spark):
     cur = [t["height"], t["requestkey"], t["idx"], blocks[0]]
     rows, _ = events_page(spark, token=encode_next_token(cur), limit=1)
     assert rows[0]["block"] == blocks[1]
+
+
+def test_handler_rejects_bad_limit_and_forged_token(spark):
+    """400-contract guards (ADVICE r02): limit=0 must ValueError (not
+    IndexError on rows[-1]); a decodable token whose cursor arity doesn't
+    match EVENTS_CURSOR must ValueError (not silently page-overlap)."""
+    import pytest
+
+    from chainweb_data_spark.operators.cursor import encode_next_token
+
+    with pytest.raises(ValueError):
+        events_page(spark, token=None, limit=0)
+    with pytest.raises(ValueError):
+        events_page(spark, token=None, limit=-3)
+    forged_short = encode_next_token([100, "rk"])  # 2 cols, spec has 4
+    with pytest.raises(ValueError, match="malformed"):
+        events_page(spark, token=forged_short, limit=5)
+    forged_empty = encode_next_token([])
+    with pytest.raises(ValueError, match="malformed"):
+        events_page(spark, token=forged_empty, limit=5)

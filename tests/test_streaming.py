@@ -132,6 +132,37 @@ def test_merge_probe_prunes_to_batch_buckets(spark, tmp_path_factory):
     assert plan.count() == 500
 
 
+def test_merge_into_legacy_flat_table_stays_readable(spark, tmp_path_factory):
+    """Appending to a table previously written FLAT (pre-bucketed layout)
+    must match the existing layout: partition subdirs beside root data files
+    make the directory unreadable (ADVICE r02).  The merge stays correct,
+    just without directory pruning — migrate via sources/layout.py for
+    that."""
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.streaming.listen import merge_batch
+
+    path = str(tmp_path_factory.mktemp("flat") / "blocks.parquet")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.md5(F.col("id").cast("string")).alias("hash"),
+        F.col("id").alias("height"),
+        (F.col("id") / 100).cast("long").alias("height_bucket"),
+    )
+    # legacy writer: flat, no partitionBy
+    mk(0, 500).write.parquet(path)
+    # new merge_batch appends a batch that WOULD be bucket-partitioned
+    merge_batch(spark, mk(400, 700), path, ("hash",))
+    back = spark.read.parquet(path)
+    assert back.count() == 700  # 100 replayed rows dropped by the PK probe
+    assert back.select("hash").distinct().count() == 700
+    # layout stayed flat: no partition subdirectories were created
+    assert not any(
+        d.startswith("height_bucket=")
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d))
+    )
+
+
 def test_crash_between_table_writes_converges(spark, tmp_path_factory, raw_rows, monkeypatch):
     """The reference writes all six tables in ONE transaction
     (Worker.hs:50-82); the parquet path is not atomic across tables, so the

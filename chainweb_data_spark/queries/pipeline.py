@@ -528,17 +528,60 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal (stubbed decode; Spark plumbing real) — no SQL oracle
+# Multimodal (stubbed decode; Spark plumbing real)
 # ---------------------------------------------------------------------------
 
+_MM_N_DOCS = 100  # doc_ids are dense from 0 at every SF, so ids [0, 100) exist
 
-@register("multimodal_image_features", oracle=None)
-def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column → mapInPandas feature extraction (deterministic
-    fake codec; see operators/multimodal.py).  Rows-only driver check —
-    binary decode is not SQL-expressible."""
+
+def _multimodal_oracle(n: int = _MM_N_DOCS) -> str:
+    """Literal-VALUES oracle: real binary codecs aren't SQL-expressible, but
+    the stub codec (operators/multimodal.py fake_image_bytes/decode_image)
+    is deterministic pure Python — evaluate it here, at registration time,
+    and assert Spark's distributed mapInPandas path reproduces it exactly.
+    The join against ``documents`` keeps the oracle honest about which ids
+    exist in the table.  Means are multiples of 1/64 (8×8 uint8 planes), so
+    the DOUBLE literals are exact; ``repr`` round-trips them bit-identically.
+    """
+    import hashlib
+
     from ..operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(100)
+    rows = []
+    for i in range(n):
+        data = mm.fake_image_bytes(i)
+        img = mm.decode_image(data)
+        rows.append(
+            f"({i}, '{hashlib.sha256(data).hexdigest()[:16]}', {len(data)}, "
+            f"{img[:, :, 0].mean()!r}, {img[:, :, 1].mean()!r}, {img[:, :, 2].mean()!r})"
+        )
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT CAST(v.id AS BIGINT) AS id, v.sha16,
+           CAST(v.n_bytes AS BIGINT) AS n_bytes,
+           CAST(v.mean_r AS DOUBLE) AS mean_r,
+           CAST(v.mean_g AS DOUBLE) AS mean_g,
+           CAST(v.mean_b AS DOUBLE) AS mean_b
+    FROM (VALUES
+      {values}
+    ) AS v(id, sha16, n_bytes, mean_r, mean_g, mean_b)
+    JOIN documents d ON d.doc_id = v.id
+    ORDER BY id
+    """
+
+
+@register("multimodal_image_features", oracle=_multimodal_oracle())
+def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas feature extraction (deterministic
+    fake codec; see operators/multimodal.py).  Selection is the deterministic
+    id range [0, 100) — a bare ``limit`` without order would be
+    nondeterministic under Spark — and the filter pushes to the scan."""
+    from ..operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _MM_N_DOCS)
+    )
     with_media = mm.attach_fake_media(docs, "doc_id")
     return mm.image_features(with_media, "doc_id").orderBy("id")

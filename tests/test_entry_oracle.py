@@ -43,7 +43,7 @@ def test_gate_priority_order():
     assert len(GATE_PRIORITY) == 50
     names = list(QUERIES)
     assert names[:50] == list(GATE_PRIORITY)
-    no_oracle = {"multimodal_image_features"}
+    # r03: multimodal gained a literal-VALUES oracle — every gated query
+    # (and in fact every registered query) now has a hash check
     for n in GATE_PRIORITY:
-        if n not in no_oracle:
-            assert n in ORACLES, f"gated query {n} lacks an oracle"
+        assert n in ORACLES, f"gated query {n} lacks an oracle"

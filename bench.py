@@ -42,6 +42,7 @@ HEADLINE = [
     "latest_per_user",      # latest-per-key (J6)
     "minhash_lsh_pairs",    # dedup at scale (north star)
     "ngram_jaccard_pairs",  # exact near-dup (north star)
+    "simhash_near_pairs",   # simhash dedup, explode-free bit voting
     "text_quality",         # text analysis (north star)
     "embed_cosine_topk",    # similarity search baseline (north star)
     "ann_lsh_topk",         # ANN scale path (north star)

@@ -318,12 +318,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash long) — 60-bit SimHash over word tokens.
 
     token_hash = first 15 hex chars of md5(token) as a long (`conv` base 16);
-    bit j of the simhash is 1 iff Σ_tokens (±1 per bit j) > 0.  Entirely
-    array/bitwise built-ins: explode tokens → explode 60 bit positions →
-    conditional sum → reassemble with shiftleft.  The double explode is 60×
-    token count — acceptable because the groupBy is map-side combined; for
-    the 100 TB path swap in the vectorized ``mapInPandas`` variant
-    (same signature) in ``multimodal.py`` style.
+    bit j of the simhash is 1 iff Σ_tokens (±1 per bit j) > 0.
+
+    Explode-free bit voting (the 100 TB shape, r02 verdict item): the ±1 vote
+    sum per bit is ``2·ones_j − n_tokens`` where ``ones_j = Σ (th>>j)&1``, so
+    ONE groupBy computes ``count(*)`` plus 60 conditional sums — all codegen'd
+    bitwise built-ins, map-side combined, shuffle = 61 longs per (doc,
+    map-partition).  The previous form exploded each token row into 60 bit
+    rows before aggregating: same result, 60× the aggregation input and a
+    second shuffle.
     """
     toks = df.select(
         F.col(id_col),
@@ -335,27 +338,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("long")
         .alias("th"),
     )
-    bits = hashed.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
-        F.col("th"),
-    ).select(
-        id_col,
-        "j",
-        # shiftright's numBits arg must be a literal in the Python API;
-        # the SQL function form accepts a column.
-        F.when(F.expr("shiftright(th, j) & 1") == 1, 1).otherwise(-1).alias("v"),
-    )
-    bit_votes = bits.groupBy(id_col, "j").agg(F.sum("v").alias("s"))
-    return (
-        bit_votes.groupBy(id_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
-                .otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
-    )
+    ones = [
+        F.sum(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1))).alias(f"_o{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = hashed.groupBy(id_col).agg(F.count("*").alias("_n"), *ones)
+    bit_terms = [
+        F.when(F.col(f"_o{j}") * 2 > F.col("_n"), F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for j in range(SIMHASH_BITS)
+    ]
+    assembled = bit_terms[0]
+    for t in bit_terms[1:]:
+        assembled = assembled + t
+    return votes.select(F.col(id_col), assembled.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -105,27 +105,42 @@ def _band_sql(num_hashes: int = 16, bands: int = 4) -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# Hot-bucket cap for the gated LSH query: a band bucket holding b docs
+# yields b²/2 candidate pairs, so buckets above the cap are dropped whole —
+# the bound that keeps a boilerplate-heavy corpus from going quadratic
+# (pairs inside a dropped bucket still surface via their other, selective
+# bands).  The oracle applies the identical cap.
+_LSH_MAX_BUCKET = 50
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTE},
     sig AS (SELECT doc_id, {_minhash_cols_sql(16)} FROM sh GROUP BY doc_id),
-    banded AS ({_band_sql(16, 4)})
+    banded AS ({_band_sql(16, 4)}),
+    kept AS (
+      SELECT banded.* FROM banded
+      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) k USING (band, bucket)
+    )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM banded a JOIN banded b
+    FROM kept a JOIN kept b
       ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ORDER BY id_a, id_b
     """,
 )
 def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidate pairs: 16 hashes, 4 bands — banded equi-join,
-    never a cross join (SURVEY north-star dedup at scale)."""
+    never a cross join (SURVEY north-star dedup at scale).  The gated query
+    exercises the hot-bucket cap (the 100 TB skew rail), mirrored exactly in
+    the oracle's HAVING filter."""
     docs = _t(spark, sf_dir, "documents")
     sh = dd.word_shingles(docs, "doc_id", "text", k=3)
     sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
-    return dd.lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).orderBy(
-        "id_a", "id_b"
-    )
+    return dd.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
+    ).orderBy("id_a", "id_b")
 
 
 # Stop-shingle document-frequency cap: a shingle in more than this many docs

@@ -386,6 +386,18 @@ def transfers_from_events(events: DataFrame, event_min_height: int = 0) -> DataF
 # ---------------------------------------------------------------------------
 
 
+def _key_bucket(pk_col: Column) -> Column:
+    """PK-prefix partition key for the height-less tables (signers /
+    minerkeys): the first base64url character of the leading PK column —
+    ~64 roughly-uniform buckets, and a FUNCTION OF THE PK, so a replayed or
+    orphan-twin row always lands in the same bucket as the original.  That
+    makes the ingest duplicate-probe prunable (scan only the buckets the
+    batch's keys map to) without the height-range assumption these tables
+    can't make: a requestkey re-mined after an orphan may land at ANY later
+    height, but its key bucket never changes."""
+    return F.substring(pk_col, 1, 1).alias("key_bucket")
+
+
 def signers_from_raw(raw: DataFrame) -> DataFrame:
     """mkTransactionSigners (Lookups.hs:267-279): zip signers × sigs × idx."""
     t = _exploded_txs(raw)
@@ -402,6 +414,7 @@ def signers_from_raw(raw: DataFrame) -> DataFrame:
         F.col("signer.addr").alias("addr"),
         F.coalesce(F.col("signer.clist"), F.lit("[]")).alias("caps"),
         F.col("sigs")[F.col("idx")]["sig"].alias("sig"),
+        _key_bucket(F.col("requestkey")),
     )
 
 
@@ -411,6 +424,7 @@ def minerkeys_from_raw(raw: DataFrame) -> DataFrame:
     return p.select(
         F.col("h.hash").alias("block"),
         F.explode(F.col("md.public-keys")).alias("key"),
+        _key_bucket(F.col("h.hash")),
     )
 
 

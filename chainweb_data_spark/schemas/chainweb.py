@@ -144,6 +144,10 @@ SIGNERS_SCHEMA = T.StructType(
         _f("addr", S, True),
         _f("caps", S, False),  # JSON array text
         _f("sig", S, False),
+        # derived: first base64url char of requestkey — PK-prefix partition
+        # key (no height on this table; bucket must be a function of the PK
+        # so replays/orphan re-mines land in the same partition)
+        _f("key_bucket", S, False),
     ]
 )
 
@@ -152,6 +156,7 @@ MINERKEYS_SCHEMA = T.StructType(
     [
         _f("block", S, False),
         _f("key", S, False),
+        _f("key_bucket", S, False),  # derived: first char of block hash
     ]
 )
 

@@ -18,11 +18,12 @@ like the reference.  With Delta available the anti-join becomes
 ``MERGE WHEN NOT MATCHED THEN INSERT`` — same keys, same semantics; the
 parquet path keeps the engine dependency-free.
 
-Scale: the height-bearing tables are written partitioned by height_bucket
-and the anti-join probe carries the batch's bucket range as a partition
-filter, so the duplicate check scans only the recent buckets the batch can
-collide with (plus column pruning to the PK columns) — the probe cost is
-O(batch locality), not O(table history).
+Scale: every table is written partitioned — height-bearing tables by
+height_bucket, signers/minerkeys by a PK-prefix key_bucket — and the
+anti-join probe carries the batch's buckets as a partition filter (range
+for height, IN-set for keys), so the duplicate check scans only the buckets
+the batch can collide with (plus column pruning to the PK columns) — the
+probe cost is O(batch locality), not O(table history), for all six tables.
 """
 
 from __future__ import annotations
@@ -51,29 +52,34 @@ def merge_plan(
     df: DataFrame,
     path: str,
     pk: tuple[str, ...],
-    bucket_col: str = "height_bucket",
-) -> tuple[DataFrame, bool]:
+) -> tuple[DataFrame, str | None]:
     """The to-append rows: batch-deduped on PK, minus rows whose PK already
     exists at ``path`` (ON CONFLICT DO NOTHING, Worker.hs:54-77).
 
-    Returns (plan, bucketed).  For tables carrying ``height_bucket``
-    (blocks / transactions / events / transfers — the transforms compute it)
-    the duplicate probe is BOUNDED to the batch's bucket range: every PK
-    embeds the block identity, so a replayed row always lands in the same
-    bucket as the original, and the stream is height-clustered — the
-    partition filter prunes the probe to O(recent buckets) instead of a
-    full-history PK scan, which is what keeps the always-on ingest path flat
-    as the table grows.  signers/minerkeys carry no height; their probe
-    stays a full (column-pruned) PK scan — at scale, route those through a
-    key-partitioned layout or a MERGE-capable table format.
+    Returns (plan, partition_col | None).  The duplicate probe is BOUNDED by
+    partition pruning for every table (reference parity: Worker.hs:50-82
+    touches only the incoming rows' keys):
+
+    - ``height_bucket`` tables (blocks / transactions / events / transfers):
+      every PK embeds the block identity, so a replayed row lands in the
+      same bucket, and the stream is height-clustered — a RANGE filter on
+      the batch's [min, max] bucket prunes the probe to O(recent buckets).
+    - ``key_bucket`` tables (signers / minerkeys — no height column, and a
+      requestkey re-mined after an orphan may reappear at any later height):
+      the bucket is a pure function of the leading PK column, so an IN
+      filter on the batch's distinct buckets is exact.  Probe cost scales
+      with the batch's key spread (≤ the handful of blocks a micro-batch
+      carries), not table history.
     """
     from pyspark.sql import functions as F
 
     batch = df.dropDuplicates(list(pk))
-    bucketed = bucket_col in batch.columns
+    bucket_col = next(
+        (c for c in ("height_bucket", "key_bucket") if c in batch.columns), None
+    )
     if os.path.exists(path):
         existing = spark.read.parquet(path)
-        if bucketed:
+        if bucket_col == "height_bucket":
             bounds = batch.agg(
                 F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
             ).first()
@@ -82,8 +88,12 @@ def merge_plan(
                     (F.col(bucket_col) >= bounds["lo"])
                     & (F.col(bucket_col) <= bounds["hi"])
                 )
+        elif bucket_col is not None:
+            vals = [r[0] for r in batch.select(bucket_col).distinct().collect()]
+            if vals:
+                existing = existing.filter(F.col(bucket_col).isin(vals))
         batch = batch.join(existing.select(*pk), on=list(pk), how="left_anti")
-    return batch, bucketed
+    return batch, bucket_col
 
 
 def _existing_layout_is_flat(path: str) -> bool:
@@ -102,17 +112,17 @@ def _existing_layout_is_flat(path: str) -> bool:
 
 
 def merge_batch(spark: SparkSession, df: DataFrame, path: str, pk: tuple[str, ...]) -> None:
-    """Write the merge_plan: height-bucket-partitioned append for tables
-    that carry the bucket (partition dirs = the write layout of
-    sources/layout.py, so readers get directory pruning), flat append
-    otherwise.  A pre-existing FLAT table keeps its flat layout (appending
-    partition dirs beside flat files would corrupt the directory); rewrite
-    the table through sources/layout.py to migrate it to the bucketed
-    layout."""
-    batch, bucketed = merge_plan(spark, df, path, pk)
+    """Write the merge_plan: bucket-partitioned append for tables carrying a
+    partition column (height_bucket or key_bucket — partition dirs = the
+    write layout of sources/layout.py, so readers get directory pruning),
+    flat append otherwise.  A pre-existing FLAT table keeps its flat layout
+    (appending partition dirs beside flat files would corrupt the
+    directory); rewrite the table through sources/layout.py to migrate it to
+    the bucketed layout."""
+    batch, bucket_col = merge_plan(spark, df, path, pk)
     writer = batch.write.mode("append")
-    if bucketed and not _existing_layout_is_flat(path):
-        writer = writer.partitionBy("height_bucket")
+    if bucket_col is not None and not _existing_layout_is_flat(path):
+        writer = writer.partitionBy(bucket_col)
     writer.parquet(path)
 
 

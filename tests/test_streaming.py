@@ -120,7 +120,7 @@ def test_merge_probe_prunes_to_batch_buckets(spark, tmp_path_factory):
         (F.col("id") / 1_000).cast("long").alias("height_bucket"),
     )
     plan, bucketed = merge_plan(spark, batch, path, ("hash",))
-    assert bucketed
+    assert bucketed == "height_bucket"
     # the probe side is the only parquet scan in the plan
     from tests.test_layout import _scan_files_read
 
@@ -130,6 +130,73 @@ def test_merge_probe_prunes_to_batch_buckets(spark, tmp_path_factory):
     assert files_read <= 2 * per_bucket, (files_read, n_total_files)
     # and the merge itself is exact: only the 500 genuinely-new rows append
     assert plan.count() == 500
+
+
+def test_merge_probe_prunes_key_buckets(spark, tmp_path_factory):
+    """signers/minerkeys carry no height (a requestkey re-mined after an
+    orphan may reappear at any later height), so their probe prunes on the
+    PK-prefix key_bucket instead: a batch touching few buckets must scan
+    only those partitions, never the full table."""
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.streaming.listen import merge_batch, merge_plan
+
+    path = str(tmp_path_factory.mktemp("mergek") / "signers.parquet")
+    base = spark.range(0, 20_000).select(
+        F.md5(F.col("id").cast("string")).alias("requestkey"),
+        F.lit(0).cast("int").alias("idx"),
+    ).withColumn("key_bucket", F.substring("requestkey", 1, 1))
+    merge_batch(spark, base, path, ("requestkey", "idx"))
+    existing = spark.read.parquet(path)
+    n_buckets = existing.select("key_bucket").distinct().count()
+    assert n_buckets == 16  # md5 hex → 16 prefix buckets, all populated
+    n_total_files = len(existing.inputFiles())
+
+    # a batch confined to two buckets: half replayed, half new keys
+    batch = (
+        base.filter(F.col("key_bucket").isin("a", "b")).limit(100)
+        .unionByName(
+            spark.range(0, 100).select(
+                F.concat(F.lit("a-new-"), F.col("id").cast("string")).alias(
+                    "requestkey"
+                ),
+                F.lit(0).cast("int").alias("idx"),
+            ).withColumn("key_bucket", F.substring("requestkey", 1, 1))
+        )
+    )
+    plan, bucketed = merge_plan(spark, batch, path, ("requestkey", "idx"))
+    assert bucketed == "key_bucket"
+    from tests.test_layout import _scan_files_read
+
+    files_read = _scan_files_read(plan)
+    assert files_read < n_total_files, "probe scanned the full table"
+    assert files_read <= 2 * (2 / 16) * n_total_files, (files_read, n_total_files)
+    assert plan.count() == 100  # replayed rows dropped, new keys kept
+
+
+def test_stream_partitions_all_six_tables(spark, tmp_path_factory, raw_rows):
+    """Reference parity for Worker.hs:50-82 at the layout level: after a
+    stream run, EVERY table directory is partition-laid-out, so every
+    subsequent merge probe can prune (height_bucket for the height tables,
+    key_bucket for signers/minerkeys)."""
+    base = str(tmp_path_factory.mktemp("streamp"))
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "tables")
+    _write_feed(raw_rows, feed, 1)
+    q = listen_stream(spark, feed, out, event_min_height=ACTIVATION)
+    q.awaitTermination(300)
+    expect_prefix = {
+        "blocks": "height_bucket=",
+        "transactions": "height_bucket=",
+        "events": "height_bucket=",
+        "transfers": "height_bucket=",
+        "signers": "key_bucket=",
+        "minerkeys": "key_bucket=",
+    }
+    for name, prefix in expect_prefix.items():
+        tdir = os.path.join(out, f"{name}.parquet")
+        parts = [d for d in os.listdir(tdir) if d.startswith(prefix)]
+        assert parts, f"{name}: no {prefix}* partition dirs in {os.listdir(tdir)[:5]}"
 
 
 def test_merge_into_legacy_flat_table_stays_readable(spark, tmp_path_factory):

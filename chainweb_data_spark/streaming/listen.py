@@ -78,22 +78,36 @@ def merge_plan(
         (c for c in ("height_bucket", "key_bucket") if c in batch.columns), None
     )
     if os.path.exists(path):
-        existing = spark.read.parquet(path)
-        if bucket_col == "height_bucket":
-            bounds = batch.agg(
-                F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
-            ).first()
-            if bounds["lo"] is not None:
-                existing = existing.filter(
-                    (F.col(bucket_col) >= bounds["lo"])
-                    & (F.col(bucket_col) <= bounds["hi"])
-                )
-        elif bucket_col is not None:
-            vals = [r[0] for r in batch.select(bucket_col).distinct().collect()]
-            if vals:
-                existing = existing.filter(F.col(bucket_col).isin(vals))
+        existing = prune_existing_to_batch(
+            spark.read.parquet(path), batch, bucket_col
+        )
         batch = batch.join(existing.select(*pk), on=list(pk), how="left_anti")
     return batch, bucket_col
+
+
+def prune_existing_to_batch(
+    existing: DataFrame, batch: DataFrame, bucket_col: str | None
+) -> DataFrame:
+    """Bound the duplicate-probe scan to the partitions the batch can
+    collide with: a [min, max] RANGE on height_bucket (the stream is
+    height-clustered), an IN-set on key_bucket (key buckets are a pure
+    function of the PK), the full table when the batch carries no bucket."""
+    from pyspark.sql import functions as F
+
+    if bucket_col == "height_bucket":
+        bounds = batch.agg(
+            F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+        ).first()
+        if bounds["lo"] is not None:
+            existing = existing.filter(
+                (F.col(bucket_col) >= bounds["lo"])
+                & (F.col(bucket_col) <= bounds["hi"])
+            )
+    elif bucket_col is not None:
+        vals = [r[0] for r in batch.select(bucket_col).distinct().collect()]
+        if vals:
+            existing = existing.filter(F.col(bucket_col).isin(vals))
+    return existing
 
 
 def _existing_layout_is_flat(path: str) -> bool:
@@ -133,11 +147,19 @@ def listen_stream(
     checkpoint_dir: str | None = None,
     event_min_height: int = 0,
     available_now: bool = True,
+    atomic: bool = False,
 ):
     """Run the listen pipeline over a raw-feed directory (each file = a
     micro-batch of {header, powHash, payload} rows — the file-source stand-in
     for the SSE stream; swap ``readStream.format`` for kafka/socket in
     production, the rest is identical).
+
+    ``atomic=True`` routes each micro-batch through ``publish.publish_batch``
+    — all six tables committed by ONE manifest flip, the reference's
+    single-transaction boundary (Worker.hs:50-82); readers must then use
+    ``publish.read_published``.  The default path appends table-by-table
+    (readers use plain ``spark.read.parquet``) and relies on replay
+    convergence instead.
 
     Returns the StreamingQuery (caller awaits / stops it).
     """
@@ -162,13 +184,18 @@ def listen_stream(
         tables = payload_to_tables(batch_df, event_min_height=event_min_height)
         # derive events once; transfers re-derive from it inside
         # payload_to_tables — all six writes see one consistent batch
-        for name, df in tables.items():
-            merge_batch(
-                batch_df.sparkSession,
-                df,
-                os.path.join(out_dir, f"{name}.parquet"),
-                TABLE_PKS[name],
-            )
+        if atomic:
+            from .publish import publish_batch
+
+            publish_batch(batch_df.sparkSession, tables, out_dir)
+        else:
+            for name, df in tables.items():
+                merge_batch(
+                    batch_df.sparkSession,
+                    df,
+                    os.path.join(out_dir, f"{name}.parquet"),
+                    TABLE_PKS[name],
+                )
 
     writer = (
         raw.writeStream.foreachBatch(_process)

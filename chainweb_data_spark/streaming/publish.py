@@ -1,0 +1,200 @@
+"""Atomic multi-table publish — the parquet-native analog of the reference's
+single-transaction write of all six tables per block
+(``haskell-src/exec/Chainweb/Worker.hs:50-82``).
+
+Plain ``merge_batch`` appends table-by-table, so a reader between a crash
+and its replay can observe a half-applied block (replay converges, but the
+window exists).  This module closes the window with a manifest commit:
+
+    out_dir/
+      <table>.parquet/<bucket>=<v>/part-*.parquet   data files, append-only
+      _manifest/v<N>.json    snapshot: {"tables": {name: [relative files]}}
+      _manifest/CURRENT      name of the live snapshot file
+
+A batch stages ALL tables' new files first (files on disk but referenced by
+no manifest ⇒ invisible to manifest readers), then publishes one new
+manifest and flips ``CURRENT`` via write-tmp + ``os.rename`` — atomic on
+POSIX — so a reader holding :func:`read_published` sees the previous
+snapshot or the complete new one, never a partial block set.  Crash at ANY
+point before the flip leaves orphan data files that no manifest references;
+:func:`vacuum` reclaims them, and the duplicate probe only consults
+published rows, so the replayed batch re-stages identical content.
+
+Single-writer, like the reference's one ingest worker per database.  With
+Delta/Iceberg available this module disappears into their transaction log —
+same protocol (stage files, commit one metadata pointer), engine-grade
+implementation; the manifest keeps the repo dependency-free.
+
+Scale: the manifest holds file NAMES, not data — O(files) JSON, and the
+probe reads published files through the same partition pruning as
+``merge_plan`` (the ``basePath`` option preserves bucket-directory
+partition columns for an explicit file list).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .listen import TABLE_PKS, prune_existing_to_batch
+
+_MANIFEST_DIR = "_manifest"
+
+
+# ---------------------------------------------------------------------------
+# manifest I/O
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, _MANIFEST_DIR)
+
+
+def read_manifest(out_dir: str) -> dict:
+    """The live snapshot: {"version": N, "tables": {name: [relative files]}}
+    — or an empty v0 when nothing is published."""
+    cur = os.path.join(_manifest_path(out_dir), "CURRENT")
+    if not os.path.exists(cur):
+        return {"version": 0, "tables": {}}
+    with open(cur) as f:
+        name = f.read().strip()
+    with open(os.path.join(_manifest_path(out_dir), name)) as f:
+        return json.load(f)
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    """Write v<N>.json then atomically flip CURRENT to it."""
+    mdir = _manifest_path(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"v{manifest['version']:09d}.json"
+    tmp = os.path.join(mdir, f".{name}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, separators=(",", ":"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(mdir, name))
+    cur_tmp = os.path.join(mdir, f".CURRENT.{uuid.uuid4().hex}.tmp")
+    with open(cur_tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(cur_tmp, os.path.join(mdir, "CURRENT"))  # the commit point
+
+
+def read_published(
+    spark: SparkSession, out_dir: str, table: str
+) -> DataFrame | None:
+    """The committed view of ``table``: exactly the manifest's file list,
+    with bucket partition columns preserved (``basePath``) so probe filters
+    still prune.  ``None`` when the table has no published rows."""
+    files = read_manifest(out_dir)["tables"].get(table, [])
+    if not files:
+        return None
+    tdir = os.path.join(out_dir, f"{table}.parquet")
+    return spark.read.option("basePath", tdir).parquet(
+        *[os.path.join(tdir, f) for f in files]
+    )
+
+
+# ---------------------------------------------------------------------------
+# staged write + commit
+# ---------------------------------------------------------------------------
+
+
+def _stage_table(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    table: str,
+    pk: tuple[str, ...],
+) -> list[str]:
+    """Anti-join ``df`` against the PUBLISHED rows (bounded by the same
+    bucket pruning as merge_plan), write the survivors partition-laid-out
+    into the table directory, and return the new files' relative paths —
+    on disk but in no manifest until the caller commits."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    batch = df.dropDuplicates(list(pk))
+    bucket_col = next(
+        (c for c in ("height_bucket", "key_bucket") if c in batch.columns), None
+    )
+    existing = read_published(spark, out_dir, table)
+    if existing is not None:
+        existing = prune_existing_to_batch(existing, batch, bucket_col)
+        batch = batch.join(existing.select(*pk), on=list(pk), how="left_anti")
+
+    staging = os.path.join(out_dir, "_staging", f"{table}-{uuid.uuid4().hex}")
+    writer = batch.write.mode("overwrite")
+    if bucket_col is not None:
+        writer = writer.partitionBy(bucket_col)
+    writer.parquet(staging)
+
+    # move data files into the table dir, preserving the partition-relative
+    # path; part file names embed a UUID so collisions can't occur
+    tdir = os.path.join(out_dir, f"{table}.parquet")
+    moved: list[str] = []
+    for root, _dirs, files in os.walk(staging):
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), staging)
+            dest = os.path.join(tdir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(root, fname), dest)
+            moved.append(rel)
+    shutil.rmtree(staging, ignore_errors=True)
+    return sorted(moved)
+
+
+def publish_batch(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    pks: dict[str, tuple[str, ...]] | None = None,
+) -> dict:
+    """Stage every table's merge, then commit ONE manifest covering all of
+    them — the Worker.hs:50-82 transaction boundary.  Returns the committed
+    manifest."""
+    pks = pks or TABLE_PKS
+    manifest = read_manifest(out_dir)
+    new_tables = {t: list(fs) for t, fs in manifest["tables"].items()}
+    for name, df in tables.items():
+        new_files = _stage_table(spark, df, out_dir, name, pks[name])
+        if new_files:
+            new_tables.setdefault(name, []).extend(new_files)
+    committed = {"version": manifest["version"] + 1, "tables": new_tables}
+    _write_manifest(out_dir, committed)
+    return committed
+
+
+def vacuum(out_dir: str) -> list[str]:
+    """Delete data files referenced by NO manifest snapshot (crash orphans
+    from batches that staged but never committed) plus leftover staging
+    dirs.  Safe under the single-writer assumption: a file outside every
+    manifest can never be read via read_published."""
+    manifest = read_manifest(out_dir)
+    removed: list[str] = []
+    shutil.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
+    if not os.path.isdir(out_dir):
+        return removed
+    for entry in os.listdir(out_dir):
+        if not entry.endswith(".parquet"):
+            continue
+        table = entry[: -len(".parquet")]
+        live = set(manifest["tables"].get(table, []))
+        tdir = os.path.join(out_dir, entry)
+        if not os.path.isdir(tdir):
+            continue
+        for root, _dirs, files in os.walk(tdir):
+            for fname in files:
+                if fname.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(root, fname), tdir)
+                if rel not in live:
+                    os.remove(os.path.join(root, fname))
+                    removed.append(os.path.join(entry, rel))
+    return sorted(removed)

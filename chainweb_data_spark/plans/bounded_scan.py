@@ -21,6 +21,7 @@ the reference's defaults (50k rows scanned per request) a slice_width of
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -37,6 +38,48 @@ class BoundedScanResult:
     slices_examined: int
 
 
+class LoadGauge:
+    """Active-request gauge for load-adaptive work budgets (SURVEY §4 X5).
+
+    The reference scales every search request's ``scanLimit`` by pool
+    contention — more requests in flight, smaller per-request budget
+    (``Server.hs:128-132,659-666``).  Spark's analog of the connection pool
+    is driver-side request concurrency; each governed scan registers here
+    for its duration, and concurrent scans see each other's load."""
+
+    def __init__(self) -> None:
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def __enter__(self) -> "LoadGauge":
+        with self._lock:
+            self._n += 1
+        return self
+
+    def __exit__(self, *exc) -> None:
+        with self._lock:
+            self._n -= 1
+
+    @property
+    def active(self) -> int:
+        with self._lock:
+            return self._n
+
+
+# requests sharing the budget before throttling kicks in — the reference's
+# load/3 divisor (Server.hs:661: `let scale = max 1 (load `div` 3)`-shaped
+# throttle on scan and result limits)
+LOAD_PER_STEP = 3
+
+
+def scaled_budget(budget: int, active: int, per: int = LOAD_PER_STEP) -> int:
+    """Work budget under ``active`` concurrent requests: full budget up to
+    ``per`` in-flight requests, then divided by ``active // per`` (never
+    below 1 — every request keeps making progress, exactly the reference's
+    degrade-don't-starve behavior)."""
+    return max(1, budget // max(1, active // per))
+
+
 def bounded_scan(
     df: DataFrame,
     predicate: Column,
@@ -47,6 +90,7 @@ def bounded_scan(
     budget_slices: int = 4,
     cursor: Sequence | None = None,
     floor: int = 0,
+    gauge: LoadGauge | None = None,
 ) -> BoundedScanResult:
     """Run one governed request-iteration.
 
@@ -57,7 +101,26 @@ def bounded_scan(
     Per slice: one narrow job with BOTH bounds on ``height_col`` pushed to
     the scan, then keyset order + limit (TakeOrdered — no global sort).
     Stops when ``limit`` matches are collected or the slice budget is spent.
+
+    With a ``gauge``, the slice budget is load-adaptive: this request
+    registers as in-flight for its duration and its budget shrinks by the
+    reference's load/3 throttle (X5) — under-budget requests still return a
+    valid resume cursor, so clients lose latency under load, never rows.
     """
+    if gauge is not None:
+        with gauge:
+            return bounded_scan(
+                df,
+                predicate,
+                spec,
+                height_col=height_col,
+                limit=limit,
+                slice_width=slice_width,
+                budget_slices=scaled_budget(budget_slices, gauge.active),
+                cursor=cursor,
+                floor=floor,
+                gauge=None,
+            )
     if cursor is not None:
         hi = int(cursor[0])  # cursor height bounds the next scan
         resume_pred = keyset_predicate(spec, cursor)

@@ -86,3 +86,44 @@ def test_empty_result(spark):
     res = bounded_scan(df, F.col("flag") == 99, SPEC, limit=5, slice_width=10,
                        budget_slices=100, floor=0)
     assert res.rows == [] and res.next_cursor is None
+
+
+def test_scaled_budget_matches_reference_throttle():
+    """X5 (Server.hs:128-132,659-666): full budget at ≤ LOAD_PER_STEP
+    in-flight requests, then divided by load // 3, floored at 1 slice so
+    every request keeps progressing."""
+    from chainweb_data_spark.plans.bounded_scan import scaled_budget
+
+    assert [scaled_budget(8, a) for a in range(0, 16)] == [
+        8, 8, 8, 8, 8, 8,   # load 0-5   → divisor 1
+        4, 4, 4,            # load 6-8   → divisor 2
+        2, 2, 2,            # load 9-11  → divisor 3
+        2, 2, 2,            # load 12-14 → divisor 4
+        1,                  # load 15    → divisor 5
+    ]
+    assert scaled_budget(4, 100) == 1  # never starves
+
+
+def test_concurrent_governed_scans_get_smaller_budgets(spark):
+    """Under simulated load the governor examines proportionally fewer
+    slices per request, and the under-budget request still hands back a
+    resume cursor (clients lose latency, never rows)."""
+    from chainweb_data_spark.plans.bounded_scan import LoadGauge
+
+    df = _table(spark, n=400, match_every=1000)  # ~no matches: budget binds
+    kw = dict(limit=5, slice_width=50, budget_slices=8, floor=0)
+
+    gauge = LoadGauge()
+    res_idle = bounded_scan(df, F.col("flag") == 1, SPEC, gauge=gauge, **kw)
+    assert res_idle.slices_examined == 8  # height range 0..399 = 8 slices
+
+    # 8 other requests in flight → this one runs with budget 8 // (9//3) = 2
+    stack = [gauge.__enter__() for _ in range(8)]
+    try:
+        res_loaded = bounded_scan(df, F.col("flag") == 1, SPEC, gauge=gauge, **kw)
+    finally:
+        for _ in stack:
+            gauge.__exit__()
+    assert res_loaded.slices_examined == 2
+    assert res_loaded.next_cursor is not None, "throttled scan must resume"
+    assert gauge.active == 0  # the governed call released its own slot

@@ -7,8 +7,24 @@ from .transforms import (
     signers_from_raw,
     minerkeys_from_raw,
 )
+from .fetch import (
+    ApiError,
+    FetchPolicy,
+    FetchReport,
+    classify_status,
+    fetch_range,
+    raw_df_from_report,
+    run_fetch_plan,
+)
 
 __all__ = [
+    "ApiError",
+    "FetchPolicy",
+    "FetchReport",
+    "classify_status",
+    "fetch_range",
+    "raw_df_from_report",
+    "run_fetch_plan",
     "payload_to_tables",
     "blocks_from_raw",
     "transactions_from_raw",

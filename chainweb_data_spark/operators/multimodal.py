@@ -84,6 +84,75 @@ def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+FAKE_VIDEO_MAGIC = b"FKV1"
+FAKE_AUDIO_MAGIC = b"FKA1"
+
+
+def fake_video_bytes(
+    seed: int, width: int = 8, height: int = 6, n_frames: int = 12
+) -> bytes:
+    """Deterministic fake 'video': FKV1 | w | h | n | RGB8 frame payload."""
+    rng = np.random.default_rng(seed * 7919 + 1)
+    payload = rng.integers(0, 256, size=n_frames * width * height * 3, dtype=np.uint8)
+    return (
+        FAKE_VIDEO_MAGIC
+        + struct.pack("<HHH", width, height, n_frames)
+        + payload.tobytes()
+    )
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    """Binary video payload → (n_frames, H, W, 3) uint8 (same stub boundary
+    as decode_image — swap in ffmpeg/pyav in production)."""
+    if data[:4] == FAKE_VIDEO_MAGIC:
+        w, h, n = struct.unpack("<HHH", data[4:10])
+        return np.frombuffer(data[10 : 10 + n * w * h * 3], dtype=np.uint8).reshape(
+            n, h, w, 3
+        )
+    raise NotImplementedError(
+        "real video codecs not available in this environment; "
+        "plug ffmpeg/pyav here in production"
+    )
+
+
+def fake_audio_bytes(seed: int, n_samples: int = 1600, sample_rate: int = 16000) -> bytes:
+    """Deterministic fake 'audio': FKA1 | rate | n | int16 PCM payload."""
+    rng = np.random.default_rng(seed * 104729 + 2)
+    samples = rng.integers(-(2**15), 2**15, size=n_samples, dtype=np.int16)
+    return (
+        FAKE_AUDIO_MAGIC
+        + struct.pack("<IH", sample_rate, n_samples)
+        + samples.tobytes()
+    )
+
+
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """Binary audio payload → (sample_rate, int16 samples)."""
+    if data[:4] == FAKE_AUDIO_MAGIC:
+        rate, n = struct.unpack("<IH", data[4:10])
+        return rate, np.frombuffer(data[10 : 10 + 2 * n], dtype=np.int16)
+    raise NotImplementedError(
+        "real audio codecs not available in this environment; "
+        "plug soundfile/ffmpeg here in production"
+    )
+
+
+def attach_fake_video(df: DataFrame, id_col: str) -> DataFrame:
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: fake_video_bytes(int(i)))
+
+    return df.withColumn("media", _mk(F.col(id_col)))
+
+
+def attach_fake_audio(df: DataFrame, id_col: str) -> DataFrame:
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: fake_audio_bytes(int(i)))
+
+    return df.withColumn("media", _mk(F.col(id_col)))
+
+
 IMAGE_FEATURE_SCHEMA = "id long, sha16 string, n_bytes long, mean_r double, mean_g double, mean_b double"
 
 
@@ -111,3 +180,135 @@ def image_features(df: DataFrame, id_col: str, media_col: str = "media") -> Data
             yield pd.DataFrame(rows, columns=["id", "sha16", "n_bytes", "mean_r", "mean_g", "mean_b"])
 
     return df.select(id_c, media_c).mapInPandas(_extract, IMAGE_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample / audio features — same plumbing, different kernels
+# ---------------------------------------------------------------------------
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure integer index math (deterministic across
+    platforms — no interpolation rounding to disagree about)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
+
+
+RESIZE_SCHEMA = (
+    "id long, width int, height int, sha16 string, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_resize(
+    df: DataFrame, id_col: str, out_w: int, out_h: int, media_col: str = "media"
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode; emits the resized
+    image's identity (sha16 of the re-encoded bytes) + channel means.  One
+    Arrow batch of binaries per Python call; swap the kernel for a real
+    resampler in production, the plumbing stays."""
+    id_c, media_c = id_col, media_col
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_c], pdf[media_c]):
+                img = resize_nearest(decode_image(bytes(data)), out_w, out_h)
+                reenc = (
+                    FAKE_MAGIC
+                    + struct.pack("<HH", out_w, out_h)
+                    + img.tobytes()
+                )
+                rows.append(
+                    {
+                        "id": int(i),
+                        "width": out_w,
+                        "height": out_h,
+                        "sha16": hashlib.sha256(reenc).hexdigest()[:16],
+                        "mean_r": float(img[:, :, 0].mean()),
+                        "mean_g": float(img[:, :, 1].mean()),
+                        "mean_b": float(img[:, :, 2].mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "sha16", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select(id_c, media_c).mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = "id long, frame_idx int, mean_luma double"
+
+
+def video_frame_sample(
+    df: DataFrame, id_col: str, every_k: int = 4, media_col: str = "media"
+) -> DataFrame:
+    """Sample every k-th frame and emit one row per sampled frame with its
+    BT.601 luma mean — the fan-out (one binary → many frame rows) shape a
+    real frame-dedup / shot-detect pipeline needs."""
+    id_c, media_c = id_col, media_col
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_c], pdf[media_c]):
+                vid = decode_video(bytes(data)).astype(np.float64)
+                for fidx in range(0, vid.shape[0], every_k):
+                    fr = vid[fidx]
+                    luma = (
+                        0.299 * fr[:, :, 0] + 0.587 * fr[:, :, 1] + 0.114 * fr[:, :, 2]
+                    )
+                    rows.append(
+                        {
+                            "id": int(i),
+                            "frame_idx": int(fidx),
+                            "mean_luma": float(luma.mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["id", "frame_idx", "mean_luma"])
+
+    return df.select(id_c, media_c).mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "id long, sample_rate int, n_samples int, duration_s double, rms double, peak int"
+)
+
+
+def audio_features(df: DataFrame, id_col: str, media_col: str = "media") -> DataFrame:
+    """Per-clip audio features (rate, length, RMS, peak) — the audio leg of
+    the binary-column pipeline."""
+    id_c, media_c = id_col, media_col
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, data in zip(pdf[id_c], pdf[media_c]):
+                rate, samples = decode_audio(bytes(data))
+                x = samples.astype(np.float64)
+                rows.append(
+                    {
+                        "id": int(i),
+                        "sample_rate": int(rate),
+                        "n_samples": int(len(samples)),
+                        "duration_s": float(len(samples) / rate),
+                        "rms": float(np.sqrt(np.mean(x * x))),
+                        "peak": int(np.max(np.abs(x))),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_s",
+                    "rms",
+                    "peak",
+                ],
+            )
+
+    return df.select(id_c, media_c).mapInPandas(_extract, AUDIO_FEATURE_SCHEMA)

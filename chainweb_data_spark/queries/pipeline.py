@@ -600,3 +600,168 @@ def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_media = mm.attach_fake_media(docs, "doc_id")
     return mm.image_features(with_media, "doc_id").orderBy("id")
+
+
+_MM_N_SMALL = 40  # resize / video / audio legs use a smaller id range
+_RESIZE_W, _RESIZE_H = 4, 4
+_FRAME_EVERY_K = 4
+
+
+def _values_oracle(rows: list[tuple], cols: list[tuple[str, str]]) -> str:
+    """Literal-VALUES oracle joined against documents (same pattern as
+    _multimodal_oracle): ``cols`` = [(name, duckdb_type)], first column must
+    be the doc id.  Float literals go through CAST('<repr>' AS DOUBLE):
+    a bare decimal literal is typed DECIMAL first and the DECIMAL→DOUBLE
+    cast double-rounds the last ulp, while string→double parses correctly
+    rounded (bit-identical to the Python double repr round-trip)."""
+    def lit(v):
+        if isinstance(v, str):
+            return f"'{v}'"
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        return repr(v)
+
+    values = ",\n      ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST(v.{n} AS {t}) AS {n}" for n, t in cols)
+    return f"""
+    SELECT {casts}
+    FROM (VALUES
+      {values}
+    ) AS v({names})
+    JOIN documents d ON d.doc_id = v.{cols[0][0]}
+    ORDER BY {", ".join(n for n, _ in cols)}
+    """
+
+
+def _resize_oracle() -> str:
+    import hashlib
+    import struct
+
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(_MM_N_SMALL):
+        img = mm.resize_nearest(
+            mm.decode_image(mm.fake_image_bytes(i)), _RESIZE_W, _RESIZE_H
+        )
+        reenc = mm.FAKE_MAGIC + struct.pack("<HH", _RESIZE_W, _RESIZE_H) + img.tobytes()
+        rows.append(
+            (
+                i,
+                _RESIZE_W,
+                _RESIZE_H,
+                hashlib.sha256(reenc).hexdigest()[:16],
+                img[:, :, 0].mean(),
+                img[:, :, 1].mean(),
+                img[:, :, 2].mean(),
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("id", "BIGINT"),
+            ("width", "INT"),
+            ("height", "INT"),
+            ("sha16", "VARCHAR"),
+            ("mean_r", "DOUBLE"),
+            ("mean_g", "DOUBLE"),
+            ("mean_b", "DOUBLE"),
+        ],
+    )
+
+
+@register("multimodal_image_resize", oracle=_resize_oracle())
+def multimodal_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode, hash-checked end to end
+    (resized-byte identity via sha16, not just shapes)."""
+    from ..operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _MM_N_SMALL)
+    )
+    with_media = mm.attach_fake_media(docs, "doc_id")
+    return mm.image_resize(with_media, "doc_id", _RESIZE_W, _RESIZE_H).orderBy("id")
+
+
+def _frames_oracle() -> str:
+    import numpy as np
+
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(_MM_N_SMALL):
+        vid = mm.decode_video(mm.fake_video_bytes(i)).astype(np.float64)
+        for fidx in range(0, vid.shape[0], _FRAME_EVERY_K):
+            fr = vid[fidx]
+            luma = 0.299 * fr[:, :, 0] + 0.587 * fr[:, :, 1] + 0.114 * fr[:, :, 2]
+            rows.append((i, fidx, float(luma.mean())))
+    return _values_oracle(
+        rows, [("id", "BIGINT"), ("frame_idx", "INT"), ("mean_luma", "DOUBLE")]
+    )
+
+
+@register("multimodal_video_frames", oracle=_frames_oracle())
+def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one binary → many frame rows (every 4th frame) with
+    BT.601 luma means — the shot-detect / frame-dedup fan-out shape."""
+    from ..operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _MM_N_SMALL)
+    )
+    with_media = mm.attach_fake_video(docs, "doc_id")
+    return mm.video_frame_sample(with_media, "doc_id", every_k=_FRAME_EVERY_K).orderBy(
+        "id", "frame_idx"
+    )
+
+
+def _audio_oracle() -> str:
+    import numpy as np
+
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(_MM_N_SMALL):
+        rate, samples = mm.decode_audio(mm.fake_audio_bytes(i))
+        x = samples.astype(np.float64)
+        rows.append(
+            (
+                i,
+                int(rate),
+                int(len(samples)),
+                float(len(samples) / rate),
+                float(np.sqrt(np.mean(x * x))),
+                int(np.max(np.abs(x))),
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("id", "BIGINT"),
+            ("sample_rate", "INT"),
+            ("n_samples", "INT"),
+            ("duration_s", "DOUBLE"),
+            ("rms", "DOUBLE"),
+            ("peak", "INT"),
+        ],
+    )
+
+
+@register("multimodal_audio_features", oracle=_audio_oracle())
+def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio leg of the binary pipeline: rate / length / RMS / peak per
+    clip."""
+    from ..operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _MM_N_SMALL)
+    )
+    with_media = mm.attach_fake_audio(docs, "doc_id")
+    return mm.audio_features(with_media, "doc_id").orderBy("id")

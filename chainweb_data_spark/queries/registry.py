@@ -64,10 +64,12 @@ def register(name: str, oracle: str | None = None):
 # 2. every testdata query that is the sole gate for a SURVEY §2 operator ID,
 # 3. the 15 pipeline (dedup/similarity/text/multimodal) queries.
 # Exactly 50.  The tail (registered after these, driver-ungated but
-# pytest-covered) holds only redundant analogs whose §2 IDs are gated
-# elsewhere (O2 via cw_recent_txs, A4 via cw_stats) or beyond-reference
-# extras: recent_events, stats_counts, distinct_users, rollup_pricing,
-# pivot_event_counts, sessionization.
+# pytest-covered, each still oracle-hash-checked locally) holds redundant
+# analogs whose §2 IDs are gated elsewhere (O2 via cw_recent_txs, A4 via
+# cw_stats), beyond-reference extras (recent_events, stats_counts,
+# distinct_users, rollup_pricing, pivot_event_counts, sessionization), and
+# the multimodal resize/frame-sample/audio legs (the gate slot for the
+# binary pipeline is multimodal_image_features).
 GATE_PRIORITY: tuple[str, ...] = (
     # chainweb domain (reference endpoint surface)
     "cw_recent_txs",

@@ -89,8 +89,29 @@ def cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.round(np.einsum("ij,ij->i", A, B), 6))
 
 
+# exact-tier corpus envelope: ~1 GB of 64-dim doubles broadcast per
+# executor.  Beyond it the exact tier REFUSES (loudly, before collecting the
+# corpus) instead of silently OOMing the driver — lsh_ann_topk is the scale
+# path.
+MATMUL_MAX_VECTORS = 2_000_000
+
+
+def _check_matmul_envelope(df: DataFrame, op: str, max_vectors: int) -> None:
+    n = df.count()  # column-pruned footer count — cheap vs the collect
+    if n > max_vectors:
+        raise ValueError(
+            f"{op} is the exact tier for corpora <= {max_vectors} vectors "
+            f"(got {n}): the corpus is collect()ed and broadcast whole. "
+            f"Use lsh_ann_topk (bucketed LSH + rerank) at this scale."
+        )
+
+
 def cosine_topk_matmul(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    max_vectors: int = MATMUL_MAX_VECTORS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors via blocked BLAS matmul.
 
@@ -101,9 +122,12 @@ def cosine_topk_matmul(
     to the SQL oracle's ORDER BY).
 
     Scale: broadcast-side must fit an executor (~1 GB ≈ 2M×64-dim doubles);
-    beyond that, partition the corpus (IVF/LSH — see ``lsh_ann_topk``) or
-    block both sides.  The query side streams at any size with zero shuffle.
+    the ``max_vectors`` envelope is ENFORCED (ValueError, before the
+    collect) — beyond it, partition the corpus (IVF/LSH — see
+    ``lsh_ann_topk``) or block both sides.  The query side streams at any
+    size with zero shuffle.
     """
+    _check_matmul_envelope(df, "cosine_topk_matmul", max_vectors)
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
@@ -149,11 +173,17 @@ def cosine_topk_matmul(
 
 
 def near_dup_pairs_matmul(
-    df: DataFrame, id_col: str, vec_col: str, min_cosine: float
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+    max_vectors: int = MATMUL_MAX_VECTORS,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, via the same
     broadcast-matmul pattern (threshold applied inside the numpy kernel, so
-    only qualifying pairs ever materialize as rows)."""
+    only qualifying pairs ever materialize as rows).  Same enforced
+    ``max_vectors`` envelope as cosine_topk_matmul."""
+    _check_matmul_envelope(df, "near_dup_pairs_matmul", max_vectors)
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)

@@ -89,3 +89,26 @@ def test_simhash_near_pairs_default_matches_pigeonhole(spark):
     sh = dd.simhash(docs, "doc_id", "text")
     out = dd.simhash_near_pairs(sh, "doc_id", bands=4)
     assert all(r.hamming <= 3 for r in out.collect())
+
+
+def test_matmul_envelope_enforced(spark):
+    """The exact cosine tier must refuse (before collecting the corpus)
+    beyond its broadcast envelope and point at the ANN path."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.operators.similarity import (
+        cosine_topk_matmul,
+        near_dup_pairs_matmul,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        cosine_topk_matmul(df, "vec_id", "embedding", k=3, max_vectors=50)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        near_dup_pairs_matmul(df, "vec_id", "embedding", 0.9, max_vectors=50)
+    # inside the envelope both build fine
+    assert cosine_topk_matmul(df, "vec_id", "embedding", k=1).count() > 0

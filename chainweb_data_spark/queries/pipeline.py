@@ -542,6 +542,59 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS, _IVF_NPROBE, _IVF_K = 16, 2, 5
+
+
+def _ann_ivf_oracle(n_cells: int = _IVF_CELLS, nprobe: int = _IVF_NPROBE, k: int = _IVF_K) -> str:
+    return f"""
+    WITH cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {n_cells}
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+      FROM sims
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+    probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT DISTINCT p.vec_id, a.neighbor_id
+      FROM probe p JOIN assign a USING (cell)
+      WHERE p.vec_id <> a.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, cosine FROM (
+      SELECT c.vec_id, c.neighbor_id,
+             round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                          CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.vec_id
+      JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+    )
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) <= {k}
+    ORDER BY vec_id, cosine DESC, neighbor_id
+    """
+
+
+@register("ann_ivf_topk", oracle=_ann_ivf_oracle())
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the data-adaptive counterpart to ann_lsh_topk's
+    hyperplane buckets): assign each vector to its most-similar centroid
+    cell, probe the 2 nearest cells per query, exact-rerank candidates.
+    Centroid init is deterministic (lowest-id vectors) so the whole plan —
+    assignment argmax, probe set, rerank order — has an exact SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb, "vec_id", "embedding", k=_IVF_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+    ).orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (stubbed decode; Spark plumbing real)
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ HEADLINE = [
     "text_quality",         # text analysis (north star)
     "embed_cosine_topk",    # similarity search baseline (north star)
     "ann_lsh_topk",         # ANN scale path (north star)
+    "ann_ivf_topk",         # IVF-flat ANN, data-adaptive cells (north star)
 ]
 
 

@@ -148,13 +148,17 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        keep = (
+        # HOT list, not a keep list (same reasoning as the ngram stop-shingle
+        # cap): buckets over the cap are few even on a skewed corpus, so the
+        # list broadcasts and the filter is a map-side anti-join — a keep
+        # list would be ~every bucket and shuffle the whole banded relation.
+        hot = (
             banded.groupBy("band", "bucket")
             .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= max_bucket_size)
+            .filter(F.col("_n") > max_bucket_size)
             .select("band", "bucket")
         )
-        banded = banded.join(keep, ["band", "bucket"], "left_semi")
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -29,6 +29,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each query (omitted for non-SQL-expressible
-    ops — multimodal decode and other mapInPandas operators)."""
+    """DuckDB-equivalent SQL for every query — including the multimodal
+    binary-decode ops, whose deterministic stub codecs are evaluated at
+    registration time into literal-VALUES oracles (no rows-only checks
+    remain)."""
     return oracle_sqls()

@@ -261,7 +261,13 @@ def ngram_jaccard_pairs(
             .filter(F.col("_df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # the capped shingle relation feeds BOTH the posting-list grouping
+        # and the set-size aggregation — cache it so the tokenize + explode
+        # + anti-join pipeline runs once, not once per consumer.  (At
+        # cluster scale this is a deliberate materialization of the
+        # inverted index — the same call Delta/Iceberg pipelines make when
+        # they persist the shingle table between dedup stages.)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").cache()
         # capped path: posting lists are ≤ max_df ids, so pair generation
         # can group once per shingle and expand combinations locally — ONE
         # shuffle of the shingle relation instead of the self-join's two.

@@ -35,9 +35,12 @@ CHAINWEB_TABLES = (
 )
 
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
-# (spark.sql.legacy.parquet.nanosAsLong); values are µs-aligned, so the
-# conversion to TimestampType is lossless and DuckDB-consistent.
+# Timestamp columns whose physical parquet type has varied across driver
+# testdata generations: TIMESTAMP(NANOS) (Spark reads as long under
+# spark.sql.legacy.parquet.nanosAsLong) or TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (Spark reads as TIMESTAMP_NTZ).  Both are
+# normalized to TimestampType (LTZ): values are µs-aligned and the session
+# timezone is UTC, so either conversion is lossless and DuckDB-consistent.
 NANO_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -47,7 +50,7 @@ NANO_TS_COLS = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -65,8 +68,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     for c in NANO_TS_COLS.get(name, ()):
-        if c in df.columns and isinstance(df.schema[c].dataType, LongType):
+        if c not in df.columns:
+            continue
+        dt = df.schema[c].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # session tz is UTC, so NTZ wall-clock == the UTC instant
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -147,6 +147,13 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    # The banded relation feeds up to three consumers (hot-bucket agg, the
+    # anti-join probe, both self-join sides); without caching, each one
+    # re-runs the shingle→md5×num_hashes signature pipeline upstream.  It is
+    # tiny relative to the corpus (bands rows × ~50 B per doc — the classic
+    # materialized LSH index), so cache it: at cluster scale this is the
+    # deliberate persist of the banded index between candidate stages.
+    banded = banded.cache()
     if max_bucket_size is not None:
         # HOT list, not a keep list (same reasoning as the ngram stop-shingle
         # cap): buckets over the cap are few even on a skewed corpus, so the

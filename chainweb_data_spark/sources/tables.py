@@ -50,7 +50,7 @@ NANO_TS_COLS = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
@@ -71,11 +71,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if c not in df.columns:
             continue
         dt = df.schema[c].dataType
+        if isinstance(dt, (LongType, TimestampNTZType)):
+            # The NTZ→LTZ normalization is only lossless when the session
+            # renders instants in UTC; guard it rather than assume (ADVICE
+            # r03).  Cast to an explicit TimestampType so a caller overriding
+            # spark.sql.timestampType=TIMESTAMP_NTZ can't turn the
+            # normalization into a no-op.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT"):
+                raise ValueError(
+                    f"load_table requires a UTC session timezone for the "
+                    f"NTZ/nanos timestamp normalization of {name}.{c}; "
+                    f"spark.sql.session.timeZone is {tz!r}"
+                )
         if isinstance(dt, LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif isinstance(dt, TimestampNTZType):
-            # session tz is UTC, so NTZ wall-clock == the UTC instant
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            # session tz is UTC (asserted above), so NTZ wall-clock == the
+            # UTC instant
+            df = df.withColumn(c, F.col(c).cast(TimestampType()))
     return df
 
 

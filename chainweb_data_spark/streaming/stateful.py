@@ -1,0 +1,171 @@
+"""Stateful Structured Streaming operators: watermarked windowed
+aggregation, watermark-bounded streaming dedup, and cross-batch
+sessionization via ``applyInPandasWithState``.
+
+The reference's streaming surface is the listen loop (one SSE event per
+block → six-table transactional upsert, ``haskell-src/exec/Chainweb/
+Listen.hs:42-113`` + ``Worker.hs:50-82``); it has no windowed analytics of
+its own.  These operators are the Spark-native completions of that surface
+(SURVEY §2.9 "Spark mapping" column):
+
+- ``windowed_counts`` — event-time tumbling-window aggregation with a
+  watermark, the streaming form of the per-chain height/count stats the
+  reference computes batch-side (``Server.hs:633-666`` stats family).
+  Late rows behind the watermark are dropped, state is bounded by
+  (watermark horizon × n_keys) — the property that lets the aggregation
+  run forever on an unbounded feed.
+- ``dedup_within_watermark`` — ``dropDuplicates`` keyed on the reference's
+  PK with a watermark bound: the streaming-native ON CONFLICT DO NOTHING
+  for re-delivered events (listener reconnect replays recent blocks,
+  ``Server.hs:171-182``).  Replays arrive within minutes, so a short
+  watermark keeps the dedup state tiny while the parquet-side PK anti-join
+  (streaming/listen.py) stays the durable backstop.
+- ``sessionize_stream`` — gap-based sessionization as a custom stateful
+  operator (``applyInPandasWithState``): per-key open-session state
+  carries across micro-batches, so a session spanning a batch boundary is
+  never split — the semantics the batch ``sessionization`` query
+  (queries/registry.py) computes with ``lag`` over the full history,
+  re-expressed incrementally with O(n_keys) state.
+
+Scale notes (100 TB / unbounded): every operator here shuffles once on its
+grouping key and keeps per-key state O(1); watermarks bound total state.
+``applyInPandasWithState`` transfers each key group as Arrow batches — no
+row-at-a-time Python.  Event-time order: Spark guarantees no cross-batch
+ordering, so ``sessionize_stream`` sorts within the batch and documents the
+(standard) requirement that the feed be per-key batch-monotonic — the
+listen feed is (blocks arrive in height order per chain); for feeds that
+are not, put a watermark + window upstream to reorder.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "chainid",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-key tumbling-window event counts with late-data tolerance.
+
+    Append-mode emission: a window's row is emitted exactly once, when the
+    watermark (max event time − ``watermark``) passes the window end; rows
+    later than that are dropped (counted in
+    ``StreamingQueryProgress.stateOperators[].numRowsDroppedByWatermark``).
+    State per key-window pair is one count — bounded by the watermark
+    horizon regardless of feed length.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(
+            key_col,
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    pk: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Drop re-delivered rows by primary key, with state bounded by the
+    watermark: a duplicate arriving within ``watermark`` of the original is
+    suppressed; one arriving later may pass (and is then caught by the
+    durable parquet PK merge in streaming/listen.py).  This is the
+    streaming-native half of the reference's ON CONFLICT DO NOTHING
+    (``Worker.hs:54-77``): cheap, in-memory, bounded — the table-side merge
+    stays the source of truth."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [*pk, ts_col]
+    )
+
+
+# sessionize_stream output/state schemas (DDL strings — the
+# applyInPandasWithState contract)
+_SESSION_OUT = (
+    "{key} long, session_start_us long, session_end_us long, n_events long"
+)
+_SESSION_STATE = "open_start_us long, open_last_us long, open_n long"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator.
+
+    Emits one row per CLOSED session (a gap > ``gap_us`` between
+    consecutive events of the same key closes the open session); the open
+    session per key lives in ``GroupState`` and carries across
+    micro-batches, so sessions spanning batch boundaries are never split.
+    Matches the batch ``sessionization`` segmentation (queries/registry.py
+    ``lag``-based) on the closed prefix of each key's history.
+
+    State is 3 longs per key; the per-batch work is one Arrow transfer of
+    the key's new events plus an O(n log n) in-batch sort.  No timeout is
+    registered: on a finite feed the last session per key simply stays open
+    in state (callers wanting a final flush send one sentinel event per key
+    ≥ ``gap_us`` past the real feed — see tests/test_stateful_streaming.py).
+    """
+    out_schema = _SESSION_OUT.format(key=key_col)
+
+    def _fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            open_start, open_last, open_n = state.get
+        else:
+            open_start = open_last = None
+            open_n = 0
+        closed: list[tuple[int, int, int]] = []
+        for pdf in pdfs:
+            for t in sorted(pdf["_us"].tolist()):
+                t = int(t)
+                if open_start is None:
+                    open_start, open_last, open_n = t, t, 1
+                elif t - open_last > gap_us:
+                    closed.append((open_start, open_last, open_n))
+                    open_start, open_last, open_n = t, t, 1
+                else:
+                    open_last = t
+                    open_n += 1
+        state.update((open_start, open_last, open_n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_end_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    prepared = events.select(
+        F.col(key_col), F.unix_micros(F.col(ts_col)).alias("_us")
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

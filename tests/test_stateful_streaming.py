@@ -1,0 +1,181 @@
+"""Stateful streaming operators: watermark windowed aggregation, streaming
+dedup, applyInPandasWithState sessionization (SURVEY §2.9 Spark mappings).
+
+Each test drives a file-source stream micro-batch-by-micro-batch (one file
+per trigger) so watermark advancement and cross-batch state are exercised
+deterministically, then compares against an independently computed batch
+answer.
+"""
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.streaming.stateful import (
+    dedup_within_watermark,
+    sessionize_stream,
+    windowed_counts,
+)
+
+US = 1_000_000
+MIN = 60 * US
+BASE = 1_700_000_000 * US  # an arbitrary UTC instant, µs
+
+
+def _write_feed(tmp, name, batches):
+    """One json-lines file per micro-batch of (key, us) rows.  The file
+    source picks oldest-modification-time first, and same-second writes tie
+    arbitrarily — so stamp strictly increasing mtimes to make pickup order
+    (and therefore watermark advancement) deterministic."""
+    feed = os.path.join(tmp, name)
+    os.makedirs(feed, exist_ok=True)
+    for i, rows in enumerate(batches):
+        path = os.path.join(feed, f"b{i:03d}.json")
+        with open(path, "w") as f:
+            for key, us in rows:
+                f.write(json.dumps({"k": key, "us": us}) + "\n")
+        t = 1_700_000_000 + i * 10
+        os.utime(path, (t, t))
+    return feed
+
+
+def _read_stream(spark, feed):
+    raw = (
+        spark.readStream.schema("k long, us long")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    return raw.select("k", F.timestamp_micros(F.col("us")).alias("ts"))
+
+
+def _run_to_memory(df, name, timeout=300):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return q
+
+
+def test_windowed_counts_emit_and_late_drop(spark, tmp_path):
+    # batch 0: two 10-min windows' worth of events; batches 1-2: far-ahead
+    # events that advance the watermark past both windows (so they emit);
+    # batch 3: a late row inside window 0, behind the watermark → dropped.
+    # The late row needs TWO advancing batches before it: the watermark
+    # value batch N filters against is derived from data seen through batch
+    # N-2 (the commit pipeline lags event-time stats by one batch — verified
+    # empirically against StreamingQueryProgress.numRowsDroppedByWatermark).
+    w0, w1 = BASE, BASE + 10 * MIN
+    feed = _write_feed(
+        str(tmp_path),
+        "wfeed",
+        [
+            [(1, w0 + 1 * MIN), (1, w0 + 2 * MIN), (2, w0 + 3 * MIN), (1, w1 + 1 * MIN)],
+            [(1, w0 + 90 * MIN)],  # event-time high mark → BASE+90min
+            [(1, w0 + 91 * MIN)],  # makes BASE+60min the active watermark
+            [(1, w0 + 4 * MIN)],  # late: behind the watermark → dropped
+        ],
+    )
+    out = windowed_counts(
+        _read_stream(spark, feed),
+        ts_col="ts",
+        key_col="k",
+        window="10 minutes",
+        watermark="30 minutes",
+    )
+    _run_to_memory(out, "win_counts")
+    got = {
+        (r["k"], r["window_start"].strftime("%H:%M")): r["n"]
+        for r in spark.table("win_counts").collect()
+    }
+    # compute window starts from the engine instead of hand-deriving wall time
+    w0_start = spark.sql(
+        f"SELECT date_format(window(timestamp_micros({w0 + MIN}), '10 minutes').start, 'HH:mm') AS s"
+    ).first()["s"]
+    w1_start = spark.sql(
+        f"SELECT date_format(window(timestamp_micros({w1 + MIN}), '10 minutes').start, 'HH:mm') AS s"
+    ).first()["s"]
+    # window 0: 2 events for key 1 (the late 4-min row was dropped), 1 for
+    # key 2; window 1: 1 event for key 1.  The far-ahead batch-1 row's
+    # window is still open (never emitted in append mode).
+    assert got == {(1, w0_start): 2, (2, w0_start): 1, (1, w1_start): 1}
+
+
+def test_dedup_within_watermark_suppresses_replay(spark, tmp_path):
+    # the same (k, us) row re-delivered in the next micro-batch (listener
+    # reconnect replay) is suppressed while inside the watermark.
+    feed = _write_feed(
+        str(tmp_path),
+        "dfeed",
+        [
+            [(10, BASE), (11, BASE + MIN)],
+            [(10, BASE), (12, BASE + 2 * MIN)],  # replay of (10, BASE)
+        ],
+    )
+    out = dedup_within_watermark(
+        _read_stream(spark, feed), pk=("k",), ts_col="ts", watermark="1 hour"
+    )
+    _run_to_memory(out, "dedup_stream")
+    rows = spark.table("dedup_stream").collect()
+    assert sorted(r["k"] for r in rows) == [10, 11, 12]
+
+
+def _expected_sessions(events, gap_us):
+    """Pure-Python gap segmentation: closed sessions only (the last session
+    per key stays open)."""
+    out = []
+    by_key = {}
+    for k, us in events:
+        by_key.setdefault(k, []).append(us)
+    for k, times in by_key.items():
+        times.sort()
+        start = last = times[0]
+        n = 1
+        for t in times[1:]:
+            if t - last > gap_us:
+                out.append((k, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        # final session left open — not emitted
+    return sorted(out)
+
+
+def test_sessionize_stream_spans_batches_and_matches_batch_segmentation(
+    spark, tmp_path
+):
+    gap = 30 * MIN
+    # key 1: a session SPLIT ACROSS the two batch files (must not be split
+    # by the operator — the cross-batch state is the point), then a gap,
+    # then a closing sentinel far ahead.  key 2: two sessions entirely in
+    # batch 0, sentinel in batch 1.
+    b0 = [
+        (1, BASE),
+        (1, BASE + 5 * MIN),
+        (2, BASE),
+        (2, BASE + 40 * MIN),  # closes key 2's first session (40 > 30 gap)
+    ]
+    b1 = [
+        (1, BASE + 10 * MIN),  # continues key 1's open session across files
+        (1, BASE + 120 * MIN),  # closes session 1, opens session 2
+        (1, BASE + 600 * MIN),  # sentinel: closes session 2
+        (2, BASE + 600 * MIN),  # sentinel: closes key 2's second session
+    ]
+    feed = _write_feed(str(tmp_path), "sfeed", [b0, b1])
+    out = sessionize_stream(
+        _read_stream(spark, feed), gap_us=gap, ts_col="ts", key_col="k"
+    )
+    _run_to_memory(out, "sessions_stream")
+    got = sorted(
+        (r["k"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.table("sessions_stream").collect()
+    )
+    assert got == _expected_sessions(b0 + b1, gap)
+    # the boundary-spanning session came out as ONE session of 3 events
+    assert (1, BASE, BASE + 10 * MIN, 3) in got

@@ -251,7 +251,9 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall bound — see operators/dedup.py simhash_near_pairs): banded
     equi-join candidates, then bit_count(XOR) verification."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dd.simhash(docs, "doc_id", "text")
+    # the banded self-join consumes the signature relation on both sides;
+    # cache it (5 longs per doc) so the token-hash aggregation runs once.
+    sh = dd.simhash(docs, "doc_id", "text").cache()
     pairs = dd.simhash_near_pairs(sh, "doc_id", bands=_SH_BANDS)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")

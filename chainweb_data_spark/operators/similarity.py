@@ -134,6 +134,10 @@ def cosine_topk_matmul(
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     order = np.argsort(ids)
     ids, C = ids[order], C[order]
+    # the composite top-k key packs ids into the low 32 bits
+    assert ids.min() >= 0 and ids.max() < (1 << 31), (
+        "cosine_topk_matmul requires non-negative ids < 2^31"
+    )
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast((ids, C))
 
@@ -147,26 +151,40 @@ def cosine_topk_matmul(
 
     def _topk(batches):
         cids, CM = bc.value
+        n = len(cids)
+        kk = min(k, n - 1)
+        # composite int64 key encodes (cosine-6dp desc, neighbor_id asc)
+        # EXACTLY and with no duplicate keys (ids are unique), so a batch-
+        # level argpartition + small sort replaces the per-row Python loop:
+        # key = round(cos*1e6) * 2^32 - id.  |round(cos*1e6)| <= 1e6 and
+        # id < 2^31 (asserted at broadcast build), so no overflow; and
+        # S6/1e6 reproduces np.round(S, 6) bit-for-bit (same rint scaling).
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or kk <= 0:
                 continue
             Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-            S = np.round(Q @ CM.T, 6)
+            S6 = np.rint((Q @ CM.T) * 1e6).astype(np.int64)
             qids = pdf[id_col].to_numpy(dtype=np.int64)
-            out_q, out_n, out_c = [], [], []
-            for r in range(S.shape[0]):
-                srow = S[r]
-                mask = cids != qids[r]
-                # order: cosine desc, neighbor_id asc (cids pre-sorted asc,
-                # stable sort preserves id order within equal cosines)
-                idx = np.flatnonzero(mask)
-                top = idx[np.argsort(-srow[idx], kind="stable")[:k]]
-                out_q.extend([qids[r]] * len(top))
-                out_n.extend(cids[top].tolist())
-                out_c.extend(srow[top].tolist())
+            key = S6 * (1 << 32) - cids[None, :]
+            # self-exclusion: sink the query's own column to -inf
+            pos = np.searchsorted(cids, qids)
+            rows = np.arange(len(qids))
+            ok = (pos < n) & (cids[np.clip(pos, 0, n - 1)] == qids)
+            key[rows[ok], pos[ok]] = np.iinfo(np.int64).min
+            # partition for the LARGEST kk keys directly — negating the key
+            # would overflow the int64.min self-sentinel back onto itself
+            part = np.argpartition(key, n - kk, axis=1)[:, n - kk :]
+            order = np.argsort(-np.take_along_axis(key, part, axis=1), axis=1)
+            top = np.take_along_axis(part, order, axis=1)
             yield pd.DataFrame(
-                {id_col: out_q, "neighbor_id": out_n, "cosine": out_c}
+                {
+                    id_col: np.repeat(qids, kk),
+                    "neighbor_id": cids[top].ravel(),
+                    "cosine": (
+                        np.take_along_axis(S6, top, axis=1) / 1e6
+                    ).ravel(),
+                }
             )
 
     return df.select(id_col, vec_col).mapInPandas(_topk, out_schema)
@@ -391,7 +409,12 @@ def ivf_topk(
                 }
             )
 
-    assigned = df.select(id_col, vec_col).mapInPandas(_assign, assign_schema)
+    # members and probes both consume the assignment; cache it so the
+    # Arrow-batched assignment pass (and its upstream scan) runs once —
+    # it is 2 ints + nprobe ints per vector, the materialized IVF index.
+    assigned = (
+        df.select(id_col, vec_col).mapInPandas(_assign, assign_schema).cache()
+    )
     members = assigned.select(F.col(id_col).alias("neighbor_id"), "cell")
     probes = assigned.select(
         F.col(id_col), F.explode("probe_cells").alias("cell")

@@ -394,6 +394,117 @@ def doc_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(docs, "text", k=8).select("doc_id", "fp").orderBy("doc_id")
 
 
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), filtered AS (
+      SELECT doc_id, tok FROM toks WHERE tok <> ''
+    ), per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM filtered GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           MAX(c) AS top_count,
+           MAX(c) / SUM(c) AS top_frac,
+           1 - COUNT(*) / SUM(c) AS rep_ratio
+    FROM per_tok GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def doc_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the Gopher repetition filters for
+    word-soup corpora): most-frequent-token share and the repeated-token
+    ratio ``1 − distinct/total``.  Two chained aggregations, both map-side
+    combined and keyed by doc_id — at 100 TB this is the same shuffle
+    profile as exact dedup.  Divisions are IEEE double over exact integer
+    counts, identical in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_count"),
+            (F.max("c") / F.sum("c")).alias("top_frac"),
+            (F.lit(1) - F.count("*") / F.sum("c")).alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+@register(
+    "text_gopher_quality",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({', '.join("'" + s + "'" for s in _GOPHER_STOPS)}))) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE (length(text) - (n_tokens - 1)) / n_tokens END AS mean_word_len,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE stop_hits / n_tokens END AS stop_frac,
+           (n_tokens >= 50 AND n_tokens <= 100000
+            AND CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE (length(text) - (n_tokens - 1)) / n_tokens END >= 3
+            AND CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE (length(text) - (n_tokens - 1)) / n_tokens END <= 10
+            AND CASE WHEN n_tokens = 0 THEN 0.0
+                     ELSE stop_hits / n_tokens END >= 0.02) AS passes_gopher
+    FROM base ORDER BY doc_id
+    """,
+)
+def text_gopher_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, adapted
+    to the single-line corpus): token-count bounds, mean word length in
+    [3, 10], and a minimum stop-word fraction.  Pure per-row JVM built-ins
+    (split / filter / length) — embarrassingly parallel at any scale; the
+    boolean verdict column is what a 100 TB curation pipeline filters on."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(
+            F.split(F.col("text"), " "),
+            lambda t: t.isin(*_GOPHER_STOPS),
+        )
+    )
+    mean_word_len = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        (F.length("text") - (n_tokens - F.lit(1))) / n_tokens
+    )
+    stop_frac = F.when(n_tokens == 0, F.lit(0.0)).otherwise(
+        stop_hits / n_tokens
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            mean_word_len.alias("mean_word_len"),
+            stop_frac.alias("stop_frac"),
+            (
+                (n_tokens >= 50)
+                & (n_tokens <= 100_000)
+                & (mean_word_len >= 3)
+                & (mean_word_len <= 10)
+                & (stop_frac >= 0.02)
+            ).alias("passes_gopher"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------

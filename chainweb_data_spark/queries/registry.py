@@ -67,9 +67,11 @@ def register(name: str, oracle: str | None = None):
 # pytest-covered, each still oracle-hash-checked locally) holds redundant
 # analogs whose §2 IDs are gated elsewhere (O2 via cw_recent_txs, A4 via
 # cw_stats), beyond-reference extras (recent_events, stats_counts,
-# distinct_users, rollup_pricing, pivot_event_counts, sessionization), and
-# the multimodal resize/frame-sample/audio legs (the gate slot for the
-# binary pipeline is multimodal_image_features).
+# distinct_users, rollup_pricing, pivot_event_counts, sessionization,
+# session_window_agg, doc_length_quantiles, doc_repetition,
+# text_gopher_quality, ann_ivf_topk), and the multimodal
+# resize/frame-sample/audio legs (the gate slot for the binary pipeline is
+# multimodal_image_features).
 GATE_PRIORITY: tuple[str, ...] = (
     # chainweb domain (reference endpoint surface)
     "cw_recent_txs",
@@ -827,6 +829,86 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_sessions"),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 3600000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), numbered AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + 3600000000 AS session_end_us,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native gap session windows (``F.session_window``, 1h gap) —
+    the operator form of the lag-based ``sessionization`` query, and the
+    batch twin of streaming/stateful.py's ``sessionize_stream``.  The
+    session assignment happens inside the aggregation operator (one shuffle
+    on user_id, sessions merged map-side), so it scales like any groupBy —
+    no window-function sort pass.  Spark defines window end = last event +
+    gap; the oracle mirrors that (MAX(us) + gap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "1 hour").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
+    "doc_length_quantiles",
+    oracle="""
+    SELECT lang,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.75) AS p75,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of document length per
+    language (``percentile`` ↔ DuckDB ``quantile_cont`` — both a + (b−a)·f
+    with exact binary fractions, so the doubles agree bitwise).  At scale
+    exact percentiles shuffle each group's values; the documented
+    approximation path is ``percentile_approx`` (t-digest, mergeable
+    map-side) when groups stop fitting — kept out of the gate because its
+    result is engine-specific."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.expr("percentile(n_chars, 0.25D)").alias("p25"),
+            F.expr("percentile(n_chars, 0.5D)").alias("p50"),
+            F.expr("percentile(n_chars, 0.75D)").alias("p75"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
     )
 
 

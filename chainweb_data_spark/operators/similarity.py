@@ -38,10 +38,17 @@ def _norm(a: Column) -> Column:
 
 
 def with_unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
-    """Pre-normalize so cosine = dot; cast float→double once up front."""
+    """Pre-normalize so cosine = dot; cast float→double once up front.
+
+    The norm is materialized in its own projection: referencing an
+    aggregate-over-array expression inside the per-element lambda would
+    re-reduce the whole vector once per element (O(dim²) per row — the same
+    no-CSE-across-lambda-scopes trap as word_shingles' split)."""
     dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    n = _norm(dv)
-    return df.withColumn("_unit", F.transform(dv, lambda x: x / n))
+    staged = df.withColumn("_dv", dv).withColumn("_n", _norm(F.col("_dv")))
+    return staged.withColumn(
+        "_unit", F.transform(F.col("_dv"), lambda x: x / F.col("_n"))
+    ).drop("_dv", "_n")
 
 
 def cosine_topk_bruteforce(

@@ -1,0 +1,44 @@
+"""Cross-tier equivalence for the similarity operators: the DataFrame-only
+brute-force tier (zip_with/aggregate dot, no Python) must agree with the
+broadcast-matmul tier (the gated baseline) — same ids, same 6-dp cosines —
+on the same corpus.  Guards both the numerics (normalization staging) and
+the tie-break contract (cosine desc, neighbor_id asc)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.operators import similarity as sim
+from chainweb_data_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def _key(rows):
+    return sorted(
+        (r[0], r[1], round(r[2], 6)) for r in rows
+    )
+
+
+def test_bruteforce_topk_matches_matmul(spark, emb):
+    bf = sim.cosine_topk_bruteforce(emb, "vec_id", "embedding", k=3)
+    mm = sim.cosine_topk_matmul(emb, "vec_id", "embedding", k=3)
+    a = _key(bf.select("vec_id", "neighbor_id", F.round("cosine", 6)).collect())
+    b = _key(mm.select("vec_id", "neighbor_id", "cosine").collect())
+    assert a == b
+    assert len(a) == emb.count() * 3
+
+
+def test_near_dup_join_matches_matmul(spark, emb):
+    thr = 0.4
+    jn = sim.embedding_near_dup_pairs(emb, "vec_id", "embedding", thr)
+    mm = sim.near_dup_pairs_matmul(emb, "vec_id", "embedding", thr)
+    a = _key(jn.select("id_a", "id_b", F.round("cosine", 6)).collect())
+    b = _key(mm.select("id_a", "id_b", "cosine").collect())
+    assert a == b
+    assert len(a) > 0  # threshold chosen so the fixture yields pairs

@@ -95,6 +95,37 @@ def dedup_within_watermark(
     )
 
 
+def advance_sessions(
+    open_session: tuple[int, int, int] | None,
+    times: list[int],
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int]]:
+    """The sessionization state transition, as a pure function (property-
+    tested without Spark in tests/test_stateful_streaming.py): fold a
+    batch of event times (sorted here — Spark guarantees no intra-batch
+    order) into the open (start, last, n) session, emitting every session a
+    gap > ``gap_us`` closes.  Composable: folding one batch of all events
+    equals folding any batch-split of them — the invariant that makes the
+    streaming operator equal to the batch ``lag``-segmentation on closed
+    sessions."""
+    if open_session is None:
+        open_start = open_last = None
+        open_n = 0
+    else:
+        open_start, open_last, open_n = open_session
+    closed: list[tuple[int, int, int]] = []
+    for t in sorted(times):
+        if open_start is None:
+            open_start, open_last, open_n = t, t, 1
+        elif t - open_last > gap_us:
+            closed.append((open_start, open_last, open_n))
+            open_start, open_last, open_n = t, t, 1
+        else:
+            open_last = t
+            open_n += 1
+    return closed, (open_start, open_last, open_n)
+
+
 # sessionize_stream output/state schemas (DDL strings — the
 # applyInPandasWithState contract)
 _SESSION_OUT = (
@@ -131,24 +162,12 @@ def sessionize_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            open_start, open_last, open_n = state.get
-        else:
-            open_start = open_last = None
-            open_n = 0
-        closed: list[tuple[int, int, int]] = []
+        open_session = tuple(state.get) if state.exists else None
+        times: list[int] = []
         for pdf in pdfs:
-            for t in sorted(pdf["_us"].tolist()):
-                t = int(t)
-                if open_start is None:
-                    open_start, open_last, open_n = t, t, 1
-                elif t - open_last > gap_us:
-                    closed.append((open_start, open_last, open_n))
-                    open_start, open_last, open_n = t, t, 1
-                else:
-                    open_last = t
-                    open_n += 1
-        state.update((open_start, open_last, open_n))
+            times.extend(int(t) for t in pdf["_us"].tolist())
+        closed, open_session = advance_sessions(open_session, times, gap_us)
+        state.update(open_session)
         if closed:
             yield pd.DataFrame(
                 {

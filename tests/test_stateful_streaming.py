@@ -11,10 +11,13 @@ import json
 import os
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
 from chainweb_data_spark.streaming.stateful import (
+    advance_sessions,
     dedup_within_watermark,
     sessionize_stream,
     windowed_counts,
@@ -145,6 +148,33 @@ def _expected_sessions(events, gap_us):
                 last, n = t, n + 1
         # final session left open — not emitted
     return sorted(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    times=st.lists(st.integers(min_value=0, max_value=10_000), max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=4),
+    gap=st.integers(min_value=1, max_value=500),
+)
+def test_advance_sessions_is_split_invariant(times, cuts, gap):
+    """Folding all events in one batch == folding any time-ordered
+    batch-split of them (the invariant that makes the streaming operator
+    agree with batch lag-segmentation).  Pure function — no Spark."""
+    ordered = sorted(times)
+    one_shot = advance_sessions(None, ordered, gap)
+    # split the ORDERED sequence at arbitrary points (per-key batch
+    # monotonicity is the operator's documented feed requirement)
+    bounds = sorted({min(c, len(ordered)) for c in cuts} | {0, len(ordered)})
+    if len(bounds) == 1:  # empty input still folds one (empty) batch
+        bounds = bounds * 2
+    state, closed = None, []
+    for lo, hi in zip(bounds, bounds[1:]):
+        c, state = advance_sessions(state, ordered[lo:hi], gap)
+        closed.extend(c)
+    assert (closed, state) == one_shot
+    # and the segmentation itself is correct vs the obvious spec
+    exp_closed = _expected_sessions([(0, t) for t in times], gap)
+    assert [(0, a, b, n) for a, b, n in closed] == exp_closed
 
 
 def test_sessionize_stream_spans_batches_and_matches_batch_segmentation(

@@ -283,18 +283,40 @@ def lsh_signature(df: DataFrame, vec_col: str, num_planes: int, dim: int) -> Dat
     return df.withColumn("_sig", sig)
 
 
+def auto_num_planes(n_vectors: int, bands: int = 2, target_bucket: int = 64) -> int:
+    """Plane count for a corpus of ``n_vectors``: enough bits per band that
+    the EXPECTED bucket occupancy stays ≈ ``target_bucket`` (rerank pair
+    work per bucket then stays constant as the corpus grows — the
+    ``planes ∝ log₂ n`` rule the scale-rehearsal table points at).  Bits
+    per band = ceil(log₂(n / target_bucket)), total = bands × that,
+    floored at 2 bits/band.  Even bands so band slicing stays aligned."""
+    import math
+
+    per_band = max(2, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
+    return bands * per_band
+
+
 def lsh_ann_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int | None = 8,
     bands: int = 2,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 LSH band; exact cosine rerank
     within candidates.  Recall is tunable via planes/bands; the join is an
-    equi-join on (band, band_bits) — shuffle-partitioned, AQE-skew-safe."""
+    equi-join on (band, band_bits) — shuffle-partitioned, AQE-skew-safe.
+
+    ``num_planes=None`` sizes the signature from the corpus
+    (``auto_num_planes``): bucket occupancy — and so rerank cost per vector
+    — stays roughly constant as data grows, at the price of a count() and a
+    non-reproducible-by-fixed-SQL plan (the gated query pins 16 planes for
+    its oracle; production callers should pass None or re-derive on
+    ingest)."""
+    if num_planes is None:
+        num_planes = auto_num_planes(df.count(), bands)
     width = num_planes // bands
     sigged = lsh_signature(with_unit_vectors(df, vec_col), "_unit", num_planes, dim)
     banded = sigged.select(
@@ -367,12 +389,21 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int):
     return np.array([r[0] for r in rows], dtype=np.int64), C
 
 
+def auto_n_cells(n_vectors: int) -> int:
+    """The standard IVF sizing rule ``n_cells ≈ √n`` (cell occupancy and
+    cell count grow together, so probe work per query grows as √n instead
+    of n), floored at 4."""
+    import math
+
+    return max(4, int(math.isqrt(max(n_vectors, 1))))
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its most-cosine-
@@ -385,7 +416,10 @@ def ivf_topk(
     fan-out is bounded by nprobe.  Assignment is one Arrow-batched pass
     (n × n_cells small matmul per batch); centroids broadcast.
     Cosines round to 6 dp before every argmax/rank so the SQL oracle orders
-    identically."""
+    identically.  ``n_cells=None`` applies the √n rule (``auto_n_cells``);
+    the gated query pins 16 cells for its oracle."""
+    if n_cells is None:
+        n_cells = auto_n_cells(df.count())
     _cids, C = ivf_centroids(df, id_col, vec_col, n_cells)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(C)

@@ -42,3 +42,28 @@ def test_near_dup_join_matches_matmul(spark, emb):
     b = _key(mm.select("id_a", "id_b", "cosine").collect())
     assert a == b
     assert len(a) > 0  # threshold chosen so the fixture yields pairs
+
+
+def test_auto_sizing_rules():
+    from chainweb_data_spark.operators.similarity import (
+        auto_n_cells,
+        auto_num_planes,
+    )
+
+    # planes grow with log2(n): constant expected bucket occupancy
+    assert auto_num_planes(2_000, bands=2) == 2 * 5  # 2000/64 -> ceil(log2)=5
+    assert auto_num_planes(2_000_000, bands=2) == 2 * 15
+    assert auto_num_planes(10, bands=2) == 2 * 2  # floor: 2 bits/band
+    # cells grow with sqrt(n)
+    assert auto_n_cells(2_000) == 44
+    assert auto_n_cells(1_000_000) == 1000
+    assert auto_n_cells(1) == 4
+
+
+def test_auto_sized_ann_runs(spark, emb):
+    from chainweb_data_spark.operators.similarity import ivf_topk, lsh_ann_topk
+
+    n = lsh_ann_topk(emb, "vec_id", "embedding", k=3, num_planes=None).count()
+    assert n > 0
+    m = ivf_topk(emb, "vec_id", "embedding", k=3, n_cells=None, nprobe=2).count()
+    assert m > 0

@@ -81,7 +81,17 @@ def merge_plan(
         existing = prune_existing_to_batch(
             spark.read.parquet(path), batch, bucket_col
         )
-        batch = batch.join(existing.select(*pk), on=list(pk), how="left_anti")
+        # null-safe per-column equality: the six chainweb tables' PKs are
+        # non-null, but silver-table identities (streaming/silver.py) carry
+        # nullable components (a continuation row's code), and a plain
+        # equality anti-join would re-append every replayed row holding a
+        # NULL — exactly the duplicate the merge exists to prevent.
+        probe = existing.select(*pk)
+        cond = None
+        for c in pk:
+            eq = batch[c].eqNullSafe(probe[c])
+            cond = eq if cond is None else (cond & eq)
+        batch = batch.join(probe, on=cond, how="left_anti")
     return batch, bucket_col
 
 

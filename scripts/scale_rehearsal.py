@@ -141,6 +141,27 @@ def main() -> None:
             "growth": round(t_scaled / max(t_base, 1e-9), 2),
             "quadratic_would_be": mult * mult,
         }
+
+    # the gated ann_lsh_topk pins 16 planes for its oracle, so bucket
+    # occupancy — and rerank pair count — grows linearly with the corpus
+    # and the query goes ~quadratic at 10×.  The production knob is
+    # auto_num_planes (planes ∝ log₂ n keeps occupancy constant): measure
+    # it so the rehearsal shows the knob working, not just documented.
+    def ann_auto(spark_, sf_dir):
+        from chainweb_data_spark.operators.similarity import lsh_ann_topk
+        from chainweb_data_spark.sources.tables import load_table
+
+        emb = load_table(spark_, sf_dir, "embeddings")
+        return lsh_ann_topk(emb, "vec_id", "embedding", k=5, num_planes=None)
+
+    t_base = timed(ann_auto, spark, BASE_SF)
+    t_scaled = timed(ann_auto, spark, scaled_dir)
+    result["queries"]["ann_lsh_topk_autoplanes"] = {
+        "base_s": t_base,
+        "scaled_s": t_scaled,
+        "growth": round(t_scaled / max(t_base, 1e-9), 2),
+        "quadratic_would_be": mult * mult,
+    }
     print(json.dumps(result))
 
 

@@ -296,6 +296,48 @@ def auto_num_planes(n_vectors: int, bands: int = 2, target_bucket: int = 64) -> 
     return bands * per_band
 
 
+def bucket_pair_cosines(
+    banded: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, neighbor_id, cosine-6dp) for every ORDERED pair of rows sharing
+    a (band, key) bucket — the rerank kernel for bucketed ANN.
+
+    Bucket-local matmul via ``applyInPandas``: each bucket's vectors cross
+    the Arrow boundary ONCE (occupancy × dim doubles) and the pair matrix
+    is one BLAS ``V @ V.T`` — versus the join-then-pair-UDF form, which
+    ships occupancy² × 2 × dim doubles (both vectors attached to every
+    candidate row).  Input vectors need not be normalized (the kernel
+    normalizes); a pair appearing in several buckets yields identical
+    cosine rows, so callers dedup with ``dropDuplicates([id, neighbor])``.
+    Per-bucket memory is occupancy × dim + occupancy² doubles — bound
+    occupancy upstream (more planes / ``auto_num_planes``) before it, not
+    after."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {id_col: [], "neighbor_id": [], "cosine": []}
+            ).astype({id_col: "int64", "neighbor_id": "int64", "cosine": "float64"})
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        S = np.round(V @ V.T, 6)
+        qi, ci = np.nonzero(~np.eye(n, dtype=bool))
+        return pd.DataFrame(
+            {id_col: ids[qi], "neighbor_id": ids[ci], "cosine": S[qi, ci]}
+        )
+
+    return banded.groupBy("band", "key").applyInPandas(_pairs, schema)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     id_col: str,
@@ -340,22 +382,8 @@ def lsh_ann_topk(
             )
         ).alias("bb"),
     ).select(id_col, "_unit", "bb.band", "bb.key")
-    a = banded.select(
-        F.col(id_col).alias("_qid"), F.col("_unit").alias("_qv"), "band", "key"
-    )
-    b = banded.select(
-        F.col(id_col).alias("_cid"), F.col("_unit").alias("_cv"), "band", "key"
-    )
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("_qid") != F.col("_cid"))
-        .select("_qid", "_cid", "_qv", "_cv")
-        .dropDuplicates(["_qid", "_cid"])
-    )
-    scored = cand.select(
-        F.col("_qid").alias(id_col),
-        F.col("_cid").alias("neighbor_id"),
-        _dot(F.col("_qv"), F.col("_cv")).alias("cosine"),
+    scored = bucket_pair_cosines(banded, id_col, "_unit").dropDuplicates(
+        [id_col, "neighbor_id"]
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -604,6 +604,7 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = num_planes // bands
     banded = sigged.select(
         "vec_id",
+        "_dv",
         F.explode(
             F.array(
                 *[
@@ -621,11 +622,18 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.key")
+    ).select("vec_id", "_dv", "bb.band", "bb.key")
+    # rerank strategy: 16 pinned planes over this corpus give SPARSE buckets
+    # (occupancy ~1-2, tens of thousands of mostly-singleton groups), where
+    # the JVM candidate join + one batched pair UDF beats the bucket-local
+    # applyInPandas matmul (per-group Python overhead dominates when groups
+    # are tiny; measured 1.6s vs 3.3s at sf0.1).  operators/similarity.py
+    # bucket_pair_cosines is the dense-occupancy kernel lsh_ann_topk uses.
+    slim = banded.select("vec_id", "band", "key")
     cand = (
-        banded.alias("a")
+        slim.alias("a")
         .join(
-            banded.alias("b"),
+            slim.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),

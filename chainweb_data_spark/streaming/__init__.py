@@ -1,6 +1,13 @@
 from .listen import TABLE_PKS, listen_stream, merge_batch
 from .publish import publish_batch, read_manifest, read_published, vacuum
+from .silver import lookup_history, update_continuation_history
 from .sse import parse_sse_lines, sse_events_to_raw_rows
+from .stateful import (
+    advance_sessions,
+    dedup_within_watermark,
+    sessionize_stream,
+    windowed_counts,
+)
 
 __all__ = [
     "TABLE_PKS",
@@ -12,4 +19,10 @@ __all__ = [
     "read_manifest",
     "read_published",
     "vacuum",
+    "lookup_history",
+    "update_continuation_history",
+    "advance_sessions",
+    "dedup_within_watermark",
+    "sessionize_stream",
+    "windowed_counts",
 ]

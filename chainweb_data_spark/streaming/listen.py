@@ -158,6 +158,7 @@ def listen_stream(
     event_min_height: int = 0,
     available_now: bool = True,
     atomic: bool = False,
+    continuation_history: bool = False,
 ):
     """Run the listen pipeline over a raw-feed directory (each file = a
     micro-batch of {header, powHash, payload} rows — the file-source stand-in
@@ -170,6 +171,11 @@ def listen_stream(
     ``publish.read_published``.  The default path appends table-by-table
     (readers use plain ``spark.read.parquet``) and relies on replay
     convergence instead.
+
+    ``continuation_history=True`` additionally folds each batch's
+    transactions into the incremental continuation-history silver tables
+    (``streaming/silver.py`` — SURVEY §2.3 J4 option b), so the history
+    endpoint reads a bucket-pruned lookup instead of walking at query time.
 
     Returns the StreamingQuery (caller awaits / stops it).
     """
@@ -206,6 +212,12 @@ def listen_stream(
                     os.path.join(out_dir, f"{name}.parquet"),
                     TABLE_PKS[name],
                 )
+        if continuation_history:
+            from .silver import update_continuation_history
+
+            update_continuation_history(
+                batch_df.sparkSession, tables["transactions"], out_dir
+            )
 
     writer = (
         raw.writeStream.foreachBatch(_process)

@@ -114,3 +114,40 @@ def test_lookup_reads_one_bucket_in_depth_order(spark, tx, silver_dir):
         .collect()
     ]
     assert files and all(f"key_bucket={tip[:1]}" in f for f in files)
+
+
+def test_listen_stream_maintains_silver_history(spark, tx, tmp_path_factory):
+    """End-to-end: the live listen pipeline with continuation_history=True
+    produces the same ancestry as the direct walk over the ingested txs."""
+    import json
+
+    from chainweb_data_spark.fixtures.generate import generate_raw_rows
+    from chainweb_data_spark.streaming.listen import listen_stream
+
+    base = str(tmp_path_factory.mktemp("listen_silver"))
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "tables")
+    os.makedirs(feed)
+    rows = generate_raw_rows(n_chains=2, max_height=120, seed=11)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        path = os.path.join(feed, f"f{i}.json")
+        with open(path, "w") as f:
+            for r in rows[i * third : (i + 1) * third]:
+                f.write(json.dumps(r) + "\n")
+        os.utime(path, (1_700_000_000 + i * 10,) * 2)
+
+    q = listen_stream(
+        spark, feed, out, event_min_height=ACTIVATION, continuation_history=True
+    )
+    q.awaitTermination(300)
+
+    ingested = spark.read.parquet(os.path.join(out, "transactions.parquet"))
+    expected = _python_walk(
+        ingested.select("requestkey", "pactid", "code").collect()
+    )
+    got = {
+        (r["start_rk"], r["depth"], r["rk"], r["code"])
+        for r in spark.read.parquet(os.path.join(out, HISTORY)).collect()
+    }
+    assert expected and got == expected

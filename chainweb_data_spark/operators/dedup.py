@@ -265,6 +265,13 @@ def ngram_jaccard_pairs(
     """
     sh = word_shingles(df, id_col, text_col, k)
     if max_df is not None:
+        # the raw shingle relation feeds the DF-count aggregation AND the
+        # capped relation below — cache it so tokenize+explode runs once
+        # (the one-pass alternative, collect_list posting lists before
+        # knowing the counts, is exactly the unbounded-list OOM this cap
+        # exists to prevent).  At cluster scale this is the standard
+        # materialize-the-inverted-index step (MEMORY_AND_DISK spill).
+        sh = sh.cache()
         # STOP-shingle list, not a keep list: the set of shingles with
         # df > cap is tiny (boilerplate has few distinct forms) even when
         # the corpus is huge, so it broadcasts and the filter is a map-side

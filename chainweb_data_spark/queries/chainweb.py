@@ -839,3 +839,58 @@ def cw_events_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyset_page(ev, EVENTS_CURSOR, tuple(decoded), 25).select(
         *_EVENTS_PAGE_COLS
     )
+
+
+# ---------------------------------------------------------------------------
+# J4 via Spark 4 native recursive CTE — the 1:1 mapping of Queries.hs:112-137
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cw_continuation_history_rcte",
+    oracle=f"""
+    WITH RECURSIVE {_CONT_WALK_SQL}
+    SELECT start_rk,
+           max(code) FILTER (WHERE code IS NOT NULL) AS initial_code,
+           COUNT(*) AS n_steps,
+           string_agg(rk, ',' ORDER BY depth) AS steps_csv
+    FROM walk GROUP BY start_rk ORDER BY start_rk
+    """,
+)
+def cw_continuation_history_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 as a NATIVE Spark recursive CTE (Spark 4's WITH RECURSIVE) — the
+    literal re-statement of the reference's SQL (Queries.hs:112-137),
+    hash-checked against the same DuckDB oracle as the iterative
+    ``cw_continuation_history``, which remains the pre-Spark-4 fallback and
+    the plan whose per-iteration localCheckpoint bounds lineage.
+
+    Spark's recursive CTE supports only UNION ALL (UNION_NOT_SUPPORTED_IN_
+    RECURSIVE_CTE), so dedup happens in one DISTINCT after the recursion —
+    equivalent to the oracle's UNION set semantics here because every walk
+    row carries its depth (a duplicate can only coincide with its twin at
+    the same depth; chains are acyclic so the recursion terminates
+    regardless)."""
+    _cw(spark, "transactions").createOrReplaceTempView("_cw_tx_for_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        dtx AS (SELECT DISTINCT requestkey, pactid, code FROM _cw_tx_for_rcte),
+        starts AS (SELECT DISTINCT requestkey AS start_rk, pactid
+                   FROM _cw_tx_for_rcte WHERE pactid IS NOT NULL),
+        walk AS (
+          SELECT s.start_rk, 0 AS depth, d.requestkey AS rk, d.pactid, d.code
+          FROM starts s JOIN dtx d ON d.requestkey = s.pactid
+          UNION ALL
+          SELECT w.start_rk, w.depth + 1, d.requestkey, d.pactid, d.code
+          FROM walk w JOIN dtx d ON d.requestkey = w.pactid
+        ),
+        dwalk AS (SELECT DISTINCT start_rk, depth, rk, code FROM walk)
+        SELECT start_rk,
+               max(CASE WHEN code IS NOT NULL THEN code END) AS initial_code,
+               COUNT(*) AS n_steps,
+               array_join(
+                 transform(array_sort(collect_list(struct(depth, rk))),
+                           s -> s.rk), ',') AS steps_csv
+        FROM dwalk GROUP BY start_rk ORDER BY start_rk
+        """
+    )

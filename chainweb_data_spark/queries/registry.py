@@ -69,9 +69,11 @@ def register(name: str, oracle: str | None = None):
 # cw_stats), beyond-reference extras (recent_events, stats_counts,
 # distinct_users, rollup_pricing, pivot_event_counts, sessionization,
 # session_window_agg, doc_length_quantiles, doc_repetition,
-# text_gopher_quality, ann_ivf_topk), and the multimodal
-# resize/frame-sample/audio legs (the gate slot for the binary pipeline is
-# multimodal_image_features).
+# text_gopher_quality, ann_ivf_topk), Spark-4-native twins of gated
+# queries (cw_continuation_history_rcte — native WITH RECURSIVE;
+# json_variant_extract — VariantType parse-once extraction), and the
+# multimodal resize/frame-sample/audio legs (the gate slot for the binary
+# pipeline is multimodal_image_features).
 GATE_PRIORITY: tuple[str, ...] = (
     # chainweb domain (reference endpoint surface)
     "cw_recent_txs",
@@ -1053,3 +1055,42 @@ def union_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("signup").alias("leg"), "event_id", "user_id", "value"
     )
     return a.unionAll(b).orderBy("leg", "event_id")
+
+
+@register(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 via Spark 4 VariantType: ``parse_json`` once into a variant
+    column, ``variant_get`` typed paths after — the engine parses the JSON
+    a single time into a binary-encoded variant (vs get_json_object's
+    re-parse per extraction), which is the 100 TB answer for jsonb-heavy
+    columns like tx metadata/events params.  Same oracle as
+    json_extract_agg (the string-path twin) — identical results, different
+    physical strategy."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("_v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(_v, '$.k', 'bigint')").alias("_k"),
+    )
+    return (
+        v.filter(F.col("_k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("_k").cast("long").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -39,6 +39,12 @@ def get_spark(
         # driver testdata stores TIMESTAMP(NANOS) which Spark has no type
         # for; read as long and convert in the loader (values are µs-aligned)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables (sources/bucketed.py) go through the session
+        # catalog; keep its metadata directory out of the working tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/cds-warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

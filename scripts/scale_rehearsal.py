@@ -38,6 +38,7 @@ QUERIES = [
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "ann_lsh_topk",
+    "embed_cosine_topk",  # exact tier: FLOPs grow N² but BLAS amortizes
 ]
 
 

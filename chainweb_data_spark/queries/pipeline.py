@@ -143,6 +143,56 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "minhash_verified_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_cols_sql(16)} FROM sh GROUP BY doc_id),
+    banded AS ({_band_sql(16, 4)}),
+    kept AS (
+      SELECT banded.* FROM banded
+      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) k USING (band, bucket)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT id_a, id_b,
+           n_inter / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def minhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup PIPELINE shape (candidates → verification):
+    MinHash-LSH candidate pairs (capped, as in ``minhash_lsh_pairs``)
+    verified with EXACT Jaccard computed only on the candidates — the LSH
+    point: the verification join costs O(candidates), never O(n²).  At
+    100 TB this is the end-to-end dedup job a curation pipeline schedules;
+    the jaccard is an exact rational, engine-stable at any threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.word_shingles(docs, "doc_id", "text", k=3).cache()
+    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = dd.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    jac = dd._jaccard_for_pairs(sh, cand, "doc_id")
+    return jac.filter(F.col("jaccard") >= 0.2).orderBy("id_a", "id_b")
+
+
 # Stop-shingle document-frequency cap: a shingle in more than this many docs
 # is boilerplate and is dropped from the Jaccard universe BEFORE the
 # inverted-index self-join (bounds join cost at n_shingles × cap² — the

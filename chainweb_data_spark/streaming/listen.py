@@ -144,6 +144,13 @@ def merge_batch(spark: SparkSession, df: DataFrame, path: str, pk: tuple[str, ..
     directory); rewrite the table through sources/layout.py to migrate it to
     the bucketed layout."""
     batch, bucket_col = merge_plan(spark, df, path, pk)
+    if batch.isEmpty():
+        # appending zero rows is a no-op — and on a FIRST write it would
+        # create a schema-less directory (only _SUCCESS) that breaks every
+        # later duplicate probe (UNABLE_TO_INFER_SCHEMA).  Streaming sinks
+        # hit this legitimately: windowed-stats batches before the first
+        # watermark close are empty (stateful.py windowed_counts_sink).
+        return
     writer = batch.write.mode("append")
     if bucket_col is not None and not _existing_layout_is_flat(path):
         writer = writer.partitionBy(bucket_col)

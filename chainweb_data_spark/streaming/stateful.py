@@ -188,3 +188,48 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_counts_sink(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "chainid",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+):
+    """Persist finalized windows into a merged parquet stats table — the
+    incremental form of the reference's /stats counters (Server.hs:633-666
+    recomputes them per request; here each window is aggregated once,
+    when the watermark closes it, and appended idempotently).
+
+    Append-mode emission means every (key, window) row arrives exactly
+    once per healthy run; the PK merge (same machinery as the six-table
+    sink) makes checkpoint-replay after a crash a no-op.  Rows carry a
+    ``key_bucket`` derived from the window start (one bucket per UTC day),
+    so the duplicate probe prunes to the day partitions a batch touches —
+    O(batch recency), not O(stats history).
+    """
+    from .listen import merge_batch
+
+    wc = windowed_counts(stream, ts_col, key_col, window, watermark)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.withColumn(
+            "key_bucket",
+            F.date_format(F.col("window_start"), "yyyy-MM-dd"),
+        )
+        merge_batch(
+            batch_df.sparkSession, out, out_path, (key_col, "window_start")
+        )
+
+    writer = (
+        wc.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

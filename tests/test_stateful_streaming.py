@@ -209,3 +209,47 @@ def test_sessionize_stream_spans_batches_and_matches_batch_segmentation(
     assert got == _expected_sessions(b0 + b1, gap)
     # the boundary-spanning session came out as ONE session of 3 events
     assert (1, BASE, BASE + 10 * MIN, 3) in got
+
+
+def test_windowed_counts_sink_persists_and_replay_is_noop(
+    spark, tmp_path_factory
+):
+    """Finalized windows land in the merged stats table exactly once; a
+    fresh-checkpoint replay of the same feed adds nothing (PK merge)."""
+    import os
+
+    from chainweb_data_spark.streaming.stateful import windowed_counts_sink
+
+    base = str(tmp_path_factory.mktemp("wsink"))
+    feed = _write_feed(
+        base,
+        "feed",
+        [
+            [(1, BASE + 1 * MIN), (1, BASE + 2 * MIN), (2, BASE + 3 * MIN)],
+            [(1, BASE + 90 * MIN)],
+            [(1, BASE + 91 * MIN)],  # advances the active watermark past w0
+        ],
+    )
+    out = os.path.join(base, "stats.parquet")
+
+    def run(tag):
+        q = windowed_counts_sink(
+            _read_stream(spark, feed),
+            out,
+            os.path.join(base, f"ckpt_{tag}"),
+            ts_col="ts",
+            key_col="k",
+            window="10 minutes",
+            watermark="30 minutes",
+        )
+        q.awaitTermination(300)
+
+    run("a")
+    rows = {
+        (r["k"], r["n"])
+        for r in spark.read.parquet(out).select("k", "n").collect()
+    }
+    assert rows == {(1, 2), (2, 1)}  # window 0 finalized; later windows open
+    n_before = spark.read.parquet(out).count()
+    run("b")  # fresh checkpoint: full re-emission, merged away
+    assert spark.read.parquet(out).count() == n_before

@@ -347,11 +347,12 @@ SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long exactly
 
 
 # Each packed 64-bit accumulator holds 3 bit-counters of _PACK_BITS bits, so
-# a document may have at most 2^_PACK_BITS - 1 distinct tokens before a
-# counter could overflow into its neighbor.  2M distinct tokens in ONE
-# document is beyond any real corpus (the token relation is array_distinct'd
-# per doc); the bound is asserted in the assembly (overflowing docs yield
-# NULL rather than a silently wrong signature).
+# a document may have at most 2^_PACK_BITS - 1 token VOTE ROWS (total rows
+# entering the groupBy — `simhash` happens to distinct its tokens, but the
+# guard does not rely on that) before a counter could overflow into its
+# neighbor.  The bound is enforced in the assembly: `_n` counts the actual
+# vote rows and any doc with _n >= 2^_PACK_BITS yields NULL rather than a
+# silently wrong signature.
 _PACK_BITS = 21
 _PACK_MASK = (1 << _PACK_BITS) - 1
 

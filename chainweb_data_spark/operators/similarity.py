@@ -133,6 +133,14 @@ def cosine_topk_matmul(
     collect) — beyond it, partition the corpus (IVF/LSH — see
     ``lsh_ann_topk``) or block both sides.  The query side streams at any
     size with zero shuffle.
+
+    Preconditions: ids must be non-negative and < 2^31 (asserted loudly at
+    broadcast build — the composite top-k key packs them into the low 32
+    bits), and every QUERY id should be present in the broadcast corpus:
+    ``kk = min(k, n-1)`` assumes one candidate slot is lost to
+    self-exclusion, so a query id absent from the corpus gets no self-hit
+    to exclude yet still receives only ``kk`` neighbors (one fewer than a
+    corpus member would).  Here ``df`` is both sides, so both hold.
     """
     _check_matmul_envelope(df, "cosine_topk_matmul", max_vectors)
     rows = df.select(id_col, vec_col).collect()

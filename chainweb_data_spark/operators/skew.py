@@ -52,15 +52,21 @@ def salted_join(
         tiebreak = F.col(salt_by)
     else:
         tiebreak = salt_by
+    # collision-free working column: a caller-owned "_salt" would be
+    # silently overwritten / made ambiguous otherwise
+    salt_col = "_salt"
+    taken = set(probe.columns) | set(build.columns)
+    while salt_col in taken:
+        salt_col = "_" + salt_col
     salted_probe = probe.withColumn(
-        "_salt", F.pmod(F.hash(tiebreak), F.lit(n_salts))
+        salt_col, F.pmod(F.hash(tiebreak), F.lit(n_salts))
     )
     salted_build = build.join(
         F.broadcast(
             build.sparkSession.range(0, n_salts).select(
-                F.col("id").cast("int").alias("_salt")
+                F.col("id").cast("int").alias(salt_col)
             )
         )
     )
-    out = salted_probe.join(salted_build, [on, "_salt"], how)
-    return out.drop("_salt")
+    out = salted_probe.join(salted_build, [on, salt_col], how)
+    return out.drop(salt_col)

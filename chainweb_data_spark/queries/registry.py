@@ -838,14 +838,17 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_agg",
     oracle="""
     WITH seq AS (
-      SELECT user_id, epoch_us(ts) AS us,
+      SELECT user_id, event_id, epoch_us(ts) AS us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
                       (PARTITION BY user_id ORDER BY ts, event_id)
                   > 3600000000 THEN 1 ELSE 0 END AS brk
       FROM events
     ), numbered AS (
+      -- ORDER BY (us, event_id) matches the lag window's (ts, event_id)
+      -- total order: without the tie-break, duplicate timestamps at a
+      -- session boundary would make sid assignment nondeterministic
       SELECT user_id, us,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM seq
     )

@@ -87,6 +87,10 @@ def update_continuation_history(
         .select(F.col("requestkey").alias("start_rk"), F.col("pactid").alias("_next"))
         .cache()
     )
+    # the loop rebinds `frontier` to localCheckpoint results; keep the
+    # cached initial frontier so its blocks are released after the walk
+    # (unpersisting only the rebound frame would leak them every batch)
+    first_frontier = frontier
     acc: DataFrame | None = None
     depth = 0
     while depth < MAX_DEPTH and not frontier.isEmpty():
@@ -139,7 +143,9 @@ def update_continuation_history(
     merge_batch(spark, batch, lineage_path, ("requestkey", "pactid", "code"))
     if acc is not None:
         merge_batch(spark, acc, history_path, ("start_rk", "depth", "rk", "code"))
-    frontier.unpersist()
+    first_frontier.unpersist()
+    if frontier is not first_frontier:
+        frontier.unpersist()
     batch.unpersist()
 
 

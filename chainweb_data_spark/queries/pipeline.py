@@ -713,6 +713,61 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_embeddings_count(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    """Corpus size of the CORRECTNESS fixture, read from the parquet footer
+    at registration time (same move as the multimodal literal-VALUES oracle:
+    the oracle is derived from deterministic fixture facts, not pinned
+    constants).  Falls back to the known driver fixture size if the
+    testdata tree is absent (e.g. importing the package elsewhere)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).num_rows
+    except Exception:
+        return 500
+
+
+# Plane count the adaptive rule derives for the gate fixture.  The ORACLE is
+# generated for exactly this count; the Spark side re-derives it at runtime
+# from df.count() (lsh_ann_topk num_planes=None), so at the gate's sf0.01 the
+# two agree, and at any other corpus size the plan keeps constant expected
+# bucket occupancy instead of the quadratic wall a pinned plane count hits.
+_ANN_AUTO_BANDS = 2
+_ANN_AUTO_PLANES = sim.auto_num_planes(
+    _fixture_embeddings_count(), bands=_ANN_AUTO_BANDS
+)
+
+
+@register(
+    "ann_lsh_auto_topk",
+    oracle=_ann_lsh_oracle(num_planes=_ANN_AUTO_PLANES, bands=_ANN_AUTO_BANDS),
+)
+def ann_lsh_auto_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-adaptive ANN plan — the configuration you would actually
+    run at 100×: ``auto_num_planes`` sizes the signature as ``log₂(n)`` so
+    expected bucket occupancy (and so rerank work per vector) stays constant
+    as the corpus grows, and the rerank is the bucket-local
+    ``applyInPandas`` matmul (vectors cross Arrow once per bucket, pair
+    scores are one BLAS gemm per bucket).  This is ``lsh_ann_topk`` exactly
+    as production would call it (``num_planes=None``); the pinned-plane
+    ``ann_lsh_topk`` stays registered as the sparse-occupancy comparison
+    point."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_ann_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        k=5,
+        num_planes=None,
+        bands=_ANN_AUTO_BANDS,
+        dim=64,
+    ).orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
+
+
 _IVF_CELLS, _IVF_NPROBE, _IVF_K = 16, 2, 5
 
 

@@ -62,13 +62,16 @@ def register(name: str, oracle: str | None = None):
 # 1. the 14 cw_* chainweb domain queries (the reference's own endpoint
 #    semantics — always gated),
 # 2. every testdata query that is the sole gate for a SURVEY §2 operator ID,
-# 3. the 15 pipeline (dedup/similarity/text/multimodal) queries.
+# 3. the 16 pipeline (dedup/similarity/text/multimodal) queries — including
+#    ann_lsh_auto_topk, the corpus-adaptive ANN plan (the 100× configuration),
+#    which took the gate slot offset_page held through round 4.
 # Exactly 50.  The tail (registered after these, driver-ungated but
 # pytest-covered, each still oracle-hash-checked locally) holds redundant
 # analogs whose §2 IDs are gated elsewhere (O2 via cw_recent_txs, A4 via
-# cw_stats), beyond-reference extras (recent_events, stats_counts,
-# distinct_users, rollup_pricing, pivot_event_counts, sessionization,
-# session_window_agg, doc_length_quantiles, doc_repetition,
+# cw_stats), offset_page (O4 — compat-only and documented-discouraged; its
+# keyset twin stays gated), beyond-reference extras (recent_events,
+# stats_counts, distinct_users, rollup_pricing, pivot_event_counts,
+# sessionization, session_window_agg, doc_length_quantiles, doc_repetition,
 # text_gopher_quality, ann_ivf_topk), Spark-4-native twins of gated
 # queries (cw_continuation_history_rcte — native WITH RECURSIVE;
 # json_variant_extract — VariantType parse-once extraction), and the
@@ -97,7 +100,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "filtered_count",
     "agg_ordered_string",
     "keyset_page",
-    "offset_page",
     "topk_per_group",
     "range_filter",
     "like_search",
@@ -127,6 +129,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "embed_cosine_topk",
     "embed_near_dup",
     "ann_lsh_topk",
+    "ann_lsh_auto_topk",
     "multimodal_image_features",
 )
 

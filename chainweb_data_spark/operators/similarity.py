@@ -52,7 +52,8 @@ def with_unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
 
 
 def cosine_topk_bruteforce(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 5
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+    max_vectors: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector: (id, neighbor_id, cosine).
 
@@ -60,7 +61,16 @@ def cosine_topk_bruteforce(
     replicate the (small) probe side with ``broadcast`` so the pair space is
     partitioned by the build side.  For asymmetric workloads (few queries ×
     many corpus vectors) pass the queries as ``df`` and broadcast them.
+
+    Same enforced corpus envelope as the matmul tier (one side is broadcast
+    whole): refuses loudly beyond ``max_vectors`` instead of OOMing — this
+    keeps the "no unbounded all-pairs anywhere" invariant uniform even for
+    this reference/test-tier helper.
     """
+    _check_matmul_envelope(
+        df, "cosine_topk_bruteforce",
+        MATMUL_MAX_VECTORS if max_vectors is None else max_vectors,
+    )
     u = with_unit_vectors(df, vec_col).select(
         F.col(id_col).alias("_qid"), F.col("_unit").alias("_qv")
     )
@@ -409,11 +419,11 @@ def lsh_ann_topk(
 
 
 def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int):
-    """Deterministic IVF 'training': the centroids are the ``n_cells``
-    lowest-id vectors, L2-normalized.  No k-means iterations — determinism
-    (and an exact SQL oracle) beat a marginally better quantizer here; in
-    production swap in sampled k-means driver-side, the rest of the plan is
-    unchanged.  Returns (ids, matrix) — tiny, broadcast to executors."""
+    """Degenerate IVF 'training': the centroids are the ``n_cells``
+    lowest-id vectors, L2-normalized.  Kept as the zero-iteration baseline
+    (and for tests); ``ivf_train_kmeans`` is the real quantizer — still
+    fully deterministic.  Returns (ids, matrix) — tiny, broadcast to
+    executors."""
     rows = (
         df.select(id_col, vec_col)
         .filter(F.col(id_col) < n_cells)
@@ -423,6 +433,122 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int):
     C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     return np.array([r[0] for r in rows], dtype=np.int64), C
+
+
+# k-means training-sample budget: Lloyd iterations are driver-side numpy on
+# a collected sample, so the sample — not the corpus — bounds driver memory
+# (4096 × 64-dim doubles ≈ 2 MB).  The sample is picked by a DETERMINISTIC
+# md5-mod rule (reproducible in any engine / plain Python, unlike rand() or
+# partition-order-sensitive df.sample), so the same corpus always trains the
+# same quantizer — the engine's replay/oracle convention.
+IVF_TRAIN_SAMPLE = 4096
+IVF_TRAIN_ITERS = 5
+
+
+def _md5_mod_keep(n: int, sample_size: int) -> int:
+    """Modulus m such that keeping ids with md5(id) % m == 0 yields a sample
+    of ≈ ``sample_size`` rows."""
+    return max(1, n // max(1, sample_size))
+
+
+def kmeans_centroids(
+    X: np.ndarray, n_cells: int, iters: int = IVF_TRAIN_ITERS
+) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) over an id-ordered sample.
+
+    No RNG anywhere: init takes ``n_cells`` evenly spaced rows of the
+    (caller-sorted) sample, assignment is argmax cosine with first-index
+    tie-break, and means follow numpy's fixed summation order — so the same
+    sample matrix always yields bit-identical centroids, which is what lets
+    the trained quantizer live inside an exact SQL oracle as literals.
+    Empty cells keep their previous centroid.  Returns (n_cells, dim)
+    L2-normalized float64."""
+    if len(X) == 0 or n_cells < 1:
+        raise ValueError("kmeans_centroids needs a non-empty sample")
+    Xn = np.asarray(X, dtype=np.float64)
+    Xn = Xn / np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-300)
+    k = min(n_cells, len(Xn))
+    init_idx = np.unique(np.linspace(0, len(Xn) - 1, k).astype(np.int64))
+    C = Xn[init_idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(len(C)):
+            members = Xn[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return C
+
+
+def _train_kmeans_from_rows(
+    ids: np.ndarray, X: np.ndarray, n_cells: int, sample_size: int, iters: int
+) -> np.ndarray:
+    """Shared trainer core: md5-mod subsample (over STRINGIFIED ids — the
+    same bytes Spark's md5(CAST(id AS STRING)) hashes), sort by id, Lloyd."""
+    import hashlib
+
+    m = _md5_mod_keep(len(ids), sample_size)
+    if m > 1:
+        keep = np.array(
+            [
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % m == 0
+                for i in ids
+            ]
+        )
+        ids, X = ids[keep], X[keep]
+    order = np.argsort(ids)
+    return kmeans_centroids(X[order], n_cells, iters)
+
+
+def ivf_train_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_TRAIN_ITERS,
+) -> np.ndarray:
+    """Train IVF centroids by sampled spherical k-means on ``df``.
+
+    The md5-mod sample filter runs distributed (JVM-side md5 built-in, no
+    sort, no full collect); only ≈ ``sample_size`` vectors reach the driver.
+    Scale shape: training cost is O(sample × n_cells × iters) driver-side
+    numpy regardless of corpus size."""
+    n = df.count()
+    m = _md5_mod_keep(n, sample_size)
+    samp = df.select(id_col, vec_col)
+    if m > 1:
+        digest = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        samp = samp.filter(F.pmod(digest, F.lit(m)) == 0)
+    rows = samp.collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    return _train_kmeans_from_rows(ids, X, n_cells, len(ids) + 1, iters)
+
+
+def train_ivf_centroids_parquet(
+    path: str,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_TRAIN_ITERS,
+) -> np.ndarray:
+    """Registration-time twin of ``ivf_train_kmeans``: the same sample rule
+    and Lloyd loop over a pyarrow footer read — no SparkSession — so oracle
+    SQL can embed the trained centroids as literals and the runtime Spark
+    path provably reproduces them (float32 parquet values widen to the same
+    float64 on both sides)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+    return _train_kmeans_from_rows(ids, X, n_cells, sample_size, iters)
 
 
 def auto_n_cells(n_vectors: int) -> int:
@@ -441,6 +567,8 @@ def ivf_topk(
     k: int = 5,
     n_cells: int | None = 16,
     nprobe: int = 2,
+    centroids: np.ndarray | None = None,
+    train: str = "kmeans",
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its most-cosine-
     similar centroid cell, probe each query against the ``nprobe`` nearest
@@ -452,11 +580,23 @@ def ivf_topk(
     fan-out is bounded by nprobe.  Assignment is one Arrow-batched pass
     (n × n_cells small matmul per batch); centroids broadcast.
     Cosines round to 6 dp before every argmax/rank so the SQL oracle orders
-    identically.  ``n_cells=None`` applies the √n rule (``auto_n_cells``);
-    the gated query pins 16 cells for its oracle."""
+    identically.  ``n_cells=None`` applies the √n rule (``auto_n_cells``).
+
+    Quantizer: pass ``centroids`` (an (n_cells, dim) matrix, e.g. from
+    ``train_ivf_centroids_parquet``) to skip training; otherwise
+    ``train="kmeans"`` (default) runs deterministic sampled spherical
+    k-means (``ivf_train_kmeans``) and ``train="lowest-id"`` keeps the
+    zero-iteration baseline.  Every path is deterministic, so the full
+    plan — trained centroids included — has an exact SQL oracle."""
     if n_cells is None:
         n_cells = auto_n_cells(df.count())
-    _cids, C = ivf_centroids(df, id_col, vec_col, n_cells)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    elif train == "kmeans":
+        C = ivf_train_kmeans(df, id_col, vec_col, n_cells)
+    else:
+        _cids, C = ivf_centroids(df, id_col, vec_col, n_cells)
     sc = df.sparkSession.sparkContext
     bc = sc.broadcast(C)
 
@@ -531,9 +671,18 @@ def ivf_topk(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95
+    df: DataFrame, id_col: str, vec_col: str, min_cosine: float = 0.95,
+    max_vectors: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b)."""
+    """Near-duplicate pairs by embedding cosine ≥ threshold (id_a < id_b).
+
+    Broadcasts one full side, so the same enforced envelope as the matmul
+    tier applies (``near_dup_pairs_matmul`` is the production exact tier;
+    banded LSH/SimHash are the scale path)."""
+    _check_matmul_envelope(
+        df, "embedding_near_dup_pairs",
+        MATMUL_MAX_VECTORS if max_vectors is None else max_vectors,
+    )
     u = with_unit_vectors(df, vec_col)
     a = u.select(F.col(id_col).alias("id_a"), F.col("_unit").alias("_va"))
     b = u.select(F.col(id_col).alias("id_b"), F.col("_unit").alias("_vb"))

@@ -771,13 +771,49 @@ def ann_lsh_auto_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS, _IVF_NPROBE, _IVF_K = 16, 2, 5
 
 
-def _ann_ivf_oracle(n_cells: int = _IVF_CELLS, nprobe: int = _IVF_NPROBE, k: int = _IVF_K) -> str:
-    return f"""
-    WITH cent AS (
+def _trained_ivf_centroids():
+    """Deterministic sampled-k-means centroids for the gate fixture,
+    trained at registration time via the pyarrow twin of the runtime
+    trainer (``train_ivf_centroids_parquet``) — None if the testdata tree
+    is absent (the query then falls back to the lowest-id baseline)."""
+    try:
+        return sim.train_ivf_centroids_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet", _IVF_CELLS
+        )
+    except Exception:
+        return None
+
+
+_IVF_CENTROIDS = _trained_ivf_centroids()
+
+
+def _ivf_cent_cte(n_cells: int = _IVF_CELLS) -> str:
+    """The quantizer as SQL: trained centroids become literal VALUES rows
+    (repr round-trips each float64 bit-identically); without testdata the
+    CTE degrades to the lowest-id baseline."""
+    if _IVF_CENTROIDS is None:
+        return f"""
+    cent AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
              CAST(embedding AS DOUBLE[]) AS cv
       FROM embeddings WHERE vec_id < {n_cells}
-    ),
+    )"""
+    rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in _IVF_CENTROIDS[i])}])"
+        for i in range(len(_IVF_CENTROIDS))
+    )
+    return f"""
+    cent AS (
+      SELECT CAST(v.cell AS INT) AS cell, CAST(v.cv AS DOUBLE[]) AS cv
+      FROM (VALUES
+      {rows}
+      ) AS v(cell, cv)
+    )"""
+
+
+def _ann_ivf_oracle(n_cells: int = _IVF_CELLS, nprobe: int = _IVF_NPROBE, k: int = _IVF_K) -> str:
+    return f"""
+    WITH {_ivf_cent_cte(n_cells)},
     sims AS (
       SELECT e.vec_id, c.cell,
              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
@@ -813,11 +849,22 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN (the data-adaptive counterpart to ann_lsh_topk's
     hyperplane buckets): assign each vector to its most-similar centroid
     cell, probe the 2 nearest cells per query, exact-rerank candidates.
-    Centroid init is deterministic (lowest-id vectors) so the whole plan —
-    assignment argmax, probe set, rerank order — has an exact SQL oracle."""
+    The quantizer is deterministic sampled spherical k-means (no RNG, so
+    the TRAINED centroids sit in the oracle as literals and the whole
+    plan — training, assignment argmax, probe set, rerank order — has an
+    exact SQL oracle).  The runtime trainer re-derives the same centroids
+    from the data (``train="kmeans"``); without testdata at import time the
+    oracle and query both degrade to the lowest-id baseline."""
     emb = _t(spark, sf_dir, "embeddings")
+    train = "kmeans" if _IVF_CENTROIDS is not None else "lowest-id"
     return sim.ivf_topk(
-        emb, "vec_id", "embedding", k=_IVF_K, n_cells=_IVF_CELLS, nprobe=_IVF_NPROBE
+        emb,
+        "vec_id",
+        "embedding",
+        k=_IVF_K,
+        n_cells=_IVF_CELLS,
+        nprobe=_IVF_NPROBE,
+        train=train,
     ).orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
 
 

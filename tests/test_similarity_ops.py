@@ -67,3 +67,61 @@ def test_auto_sized_ann_runs(spark, emb):
     assert n > 0
     m = ivf_topk(emb, "vec_id", "embedding", k=3, n_cells=None, nprobe=2).count()
     assert m > 0
+
+
+def test_matmul_envelope_enforced_everywhere(spark, emb):
+    """EVERY operator that collects or broadcasts a whole corpus side must
+    refuse loudly beyond its envelope — including the test-tier helpers."""
+    for call in (
+        lambda: sim.cosine_topk_matmul(emb, "vec_id", "embedding", max_vectors=10),
+        lambda: sim.near_dup_pairs_matmul(
+            emb, "vec_id", "embedding", 0.9, max_vectors=10
+        ),
+        lambda: sim.cosine_topk_bruteforce(
+            emb, "vec_id", "embedding", max_vectors=10
+        ),
+        lambda: sim.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", 0.9, max_vectors=10
+        ),
+    ):
+        with pytest.raises(ValueError, match="exact tier"):
+            call()
+
+
+def test_ivf_kmeans_trainer_deterministic(spark, emb):
+    """The registration-time pyarrow trainer and the runtime Spark trainer
+    must produce BIT-IDENTICAL centroids (that equality is what lets the
+    trained quantizer live in the oracle as literals), and the trained
+    quantizer must beat the lowest-id baseline on its own objective."""
+    import numpy as np
+
+    C_reg = sim.train_ivf_centroids_parquet(SF + "/embeddings.parquet", 8)
+    C_rt = sim.ivf_train_kmeans(emb, "vec_id", "embedding", 8)
+    assert np.array_equal(C_reg, C_rt)
+    assert C_reg.shape == (8, 64)
+    # unit-normalized
+    assert np.allclose(np.linalg.norm(C_reg, axis=1), 1.0)
+    X = np.asarray(
+        [list(r[0]) for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    _ids, C0 = sim.ivf_centroids(emb, "vec_id", "embedding", 8)
+    assert (Xn @ C_reg.T).max(axis=1).mean() > (Xn @ C0.T).max(axis=1).mean()
+
+
+def test_ivf_kmeans_subsample_rule():
+    """Past the sample budget the md5-mod rule kicks in: deterministic,
+    engine-reproducible, and ≈ sample_size rows survive."""
+    import hashlib
+
+    import numpy as np
+
+    ids = np.arange(10_000, dtype=np.int64)
+    m = sim._md5_mod_keep(len(ids), 1000)
+    assert m == 10
+    kept = [
+        i
+        for i in ids
+        if int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % m == 0
+    ]
+    assert 800 <= len(kept) <= 1200  # ≈ n/m, hash-uniform

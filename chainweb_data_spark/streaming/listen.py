@@ -164,7 +164,7 @@ def listen_stream(
     checkpoint_dir: str | None = None,
     event_min_height: int = 0,
     available_now: bool = True,
-    atomic: bool = False,
+    atomic: bool = True,
     continuation_history: bool = False,
 ):
     """Run the listen pipeline over a raw-feed directory (each file = a
@@ -172,12 +172,16 @@ def listen_stream(
     for the SSE stream; swap ``readStream.format`` for kafka/socket in
     production, the rest is identical).
 
-    ``atomic=True`` routes each micro-batch through ``publish.publish_batch``
-    — all six tables committed by ONE manifest flip, the reference's
-    single-transaction boundary (Worker.hs:50-82); readers must then use
-    ``publish.read_published``.  The default path appends table-by-table
-    (readers use plain ``spark.read.parquet``) and relies on replay
-    convergence instead.
+    ``atomic=True`` (the DEFAULT, matching the reference's single-transaction
+    boundary, Worker.hs:50-82) routes each micro-batch through
+    ``publish.publish_batch`` — all six tables committed by ONE manifest
+    flip; snapshot readers use ``publish.read_published`` (plain
+    ``spark.read.parquet`` also works between crashes, but may see staged
+    orphans after one).  A directory previously written by the non-atomic
+    path is adopted automatically (``publish.ensure_manifest``), flat or
+    bucketed.  ``atomic=False`` keeps the table-by-table append (replay
+    convergence closes the half-applied window eventually rather than
+    immediately).
 
     ``continuation_history=True`` additionally folds each batch's
     transactions into the incremental continuation-history silver tables

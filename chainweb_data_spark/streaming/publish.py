@@ -40,7 +40,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .listen import TABLE_PKS, prune_existing_to_batch
+from .listen import TABLE_PKS, _existing_layout_is_flat, prune_existing_to_batch
 
 _MANIFEST_DIR = "_manifest"
 
@@ -83,6 +83,46 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(cur_tmp, os.path.join(mdir, "CURRENT"))  # the commit point
+
+
+def ensure_manifest(out_dir: str) -> dict:
+    """Adopt an unmanaged directory into the manifest protocol — the
+    rewrite-compat shim that lets ``atomic=True`` be the DEFAULT sink over
+    tables previously written by the plain table-by-table ``merge_batch``
+    path.
+
+    When no ``CURRENT`` exists, every data file already under a
+    ``<table>.parquet`` directory is committed as snapshot v1 (legacy rows
+    stay visible to ``read_published`` and to the duplicate probe, so the
+    switch appends nothing twice).  On a FRESH directory this commits an
+    EMPTY v1 — deliberately, and before any staging: once ``CURRENT``
+    exists, a crash mid-stage can never be mistaken for adoptable legacy
+    data on replay (files outside the manifest are orphans, reclaimed by
+    :func:`vacuum`).  The only unsupported shape is a directory holding
+    half-staged files from a crashed manifest-LESS writer — don't mix
+    writers mid-crash.  Idempotent; returns the live manifest."""
+    cur = os.path.join(_manifest_path(out_dir), "CURRENT")
+    if os.path.exists(cur):
+        return read_manifest(out_dir)
+    tables: dict[str, list[str]] = {}
+    if os.path.isdir(out_dir):
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.endswith(".parquet"):
+                continue
+            tdir = os.path.join(out_dir, entry)
+            if not os.path.isdir(tdir):
+                continue
+            rels = [
+                os.path.relpath(os.path.join(root, fname), tdir)
+                for root, _dirs, files in os.walk(tdir)
+                for fname in files
+                if not fname.startswith(("_", "."))
+            ]
+            if rels:
+                tables[entry[: -len(".parquet")]] = sorted(rels)
+    manifest = {"version": 1, "tables": tables}
+    _write_manifest(out_dir, manifest)
+    return manifest
 
 
 def read_published(
@@ -128,14 +168,17 @@ def _stage_table(
         batch = batch.join(existing.select(*pk), on=list(pk), how="left_anti")
 
     staging = os.path.join(out_dir, "_staging", f"{table}-{uuid.uuid4().hex}")
+    tdir = os.path.join(out_dir, f"{table}.parquet")
     writer = batch.write.mode("overwrite")
-    if bucket_col is not None:
+    # an ADOPTED legacy table may be flat (bucket col in the data, not the
+    # directory name) — match it: mixing partition subdirs beside flat files
+    # would give readers conflicting schemas for the bucket column
+    if bucket_col is not None and not _existing_layout_is_flat(tdir):
         writer = writer.partitionBy(bucket_col)
     writer.parquet(staging)
 
     # move data files into the table dir, preserving the partition-relative
     # path; part file names embed a UUID so collisions can't occur
-    tdir = os.path.join(out_dir, f"{table}.parquet")
     moved: list[str] = []
     for root, _dirs, files in os.walk(staging):
         for fname in files:
@@ -160,7 +203,9 @@ def publish_batch(
     them — the Worker.hs:50-82 transaction boundary.  Returns the committed
     manifest."""
     pks = pks or TABLE_PKS
-    manifest = read_manifest(out_dir)
+    # adopt legacy (manifest-less) layouts and pin CURRENT before staging —
+    # see ensure_manifest for why this must precede the first staged file
+    manifest = ensure_manifest(out_dir)
     new_tables = {t: list(fs) for t, fs in manifest["tables"].items()}
     for name, df in tables.items():
         new_files = _stage_table(spark, df, out_dir, name, pks[name])

@@ -231,11 +231,11 @@ def test_merge_into_legacy_flat_table_stays_readable(spark, tmp_path_factory):
 
 
 def test_crash_between_table_writes_converges(spark, tmp_path_factory, raw_rows, monkeypatch):
-    """The reference writes all six tables in ONE transaction
-    (Worker.hs:50-82); the parquet path is not atomic across tables, so the
-    guarantee is re-expressed as replay-convergence: kill the batch between
-    table writes, restart the stream on the same checkpoint, and the
-    re-delivered batch heals the partially-applied block set."""
+    """The LEGACY (atomic=False) path is not atomic across tables, so its
+    guarantee is replay-convergence: kill the batch between table writes,
+    restart the stream on the same checkpoint, and the re-delivered batch
+    heals the partially-applied block set.  (The default atomic path closes
+    the window entirely — test_crash_mid_atomic_batch_is_invisible.)"""
     import chainweb_data_spark.streaming.listen as listen_mod
 
     base = str(tmp_path_factory.mktemp("crash"))
@@ -255,7 +255,7 @@ def test_crash_between_table_writes_converges(spark, tmp_path_factory, raw_rows,
 
     monkeypatch.setattr(listen_mod, "merge_batch", dying_merge)
     q = listen_stream(spark, feed, out, checkpoint_dir=ckpt,
-                      event_min_height=ACTIVATION)
+                      event_min_height=ACTIVATION, atomic=False)
     try:
         q.awaitTermination(300)
     except Exception:
@@ -265,7 +265,7 @@ def test_crash_between_table_writes_converges(spark, tmp_path_factory, raw_rows,
     # restart on the SAME checkpoint: the uncommitted batch re-delivers
     monkeypatch.setattr(listen_mod, "merge_batch", real_merge)
     q2 = listen_stream(spark, feed, out, checkpoint_dir=ckpt,
-                       event_min_height=ACTIVATION)
+                       event_min_height=ACTIVATION, atomic=False)
     q2.awaitTermination(300)
 
     raw = spark.createDataFrame(
@@ -281,6 +281,146 @@ def test_crash_between_table_writes_converges(spark, tmp_path_factory, raw_rows,
             exp.select(pk).exceptAll(got.select(pk)).isEmpty()
             and got.select(pk).exceptAll(exp.select(pk)).isEmpty()
         ), f"{name}: PK sets differ after crash-recovery"
+
+
+def test_crash_mid_atomic_batch_is_invisible_then_heals(
+    spark, tmp_path_factory, raw_rows, monkeypatch
+):
+    """The DEFAULT path (atomic=True): kill the stream after some tables of
+    a micro-batch are staged but before the manifest flip.  Snapshot readers
+    must see the previous complete batch set for ALL six tables (no
+    half-applied block, Worker.hs:50-82 parity); a restart on the same
+    checkpoint re-delivers and commits the whole batch; vacuum reclaims the
+    crash orphans."""
+    import chainweb_data_spark.streaming.publish as pub_mod
+    from chainweb_data_spark.streaming.publish import (
+        read_manifest,
+        read_published,
+        vacuum,
+    )
+
+    base = str(tmp_path_factory.mktemp("crash-atomic"))
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "tables")
+    ckpt = os.path.join(base, "ckpt")
+    # 8 feed files at maxFilesPerTrigger=4 → two micro-batches, so the
+    # crash lands mid-SECOND batch and the previous snapshot is non-trivial
+    _write_feed(raw_rows, feed, 8)
+
+    real_stage = pub_mod._stage_table
+    calls = {"n": 0}
+
+    def dying_stage(spark_, df, out_dir, table, pk):
+        calls["n"] += 1
+        # batch 0 stages 6 tables cleanly; die mid-batch-1 (after 2 of 6)
+        if calls["n"] == 9:
+            raise RuntimeError("injected crash mid-atomic-batch")
+        return real_stage(spark_, df, out_dir, table, pk)
+
+    monkeypatch.setattr(pub_mod, "_stage_table", dying_stage)
+    q = listen_stream(spark, feed, out, checkpoint_dir=ckpt,
+                      event_min_height=ACTIVATION)  # default: atomic
+    try:
+        q.awaitTermination(300)
+    except Exception:
+        pass
+    assert calls["n"] == 9, "crash injection did not fire"
+
+    # snapshot isolation: published view == exactly batch 0's commit for
+    # EVERY table, while batch 1's staged orphans physically exist on disk
+    v_crash = read_manifest(out)["version"]
+    snap = {}
+    for name in TABLE_PKS:
+        df = read_published(spark, out, name)
+        snap[name] = 0 if df is None else df.count()
+    assert snap["blocks"] > 0, "batch 0 should have committed before the crash"
+    on_disk = sum(
+        1
+        for n in TABLE_PKS
+        for _root, _d, files in os.walk(os.path.join(out, f"{n}.parquet"))
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    published = sum(
+        len(v) for v in read_manifest(out)["tables"].values()
+    )
+    assert on_disk > published, "crash should leave staged orphan files"
+
+    # restart on the SAME checkpoint: the full batch re-delivers and commits
+    monkeypatch.setattr(pub_mod, "_stage_table", real_stage)
+    q2 = listen_stream(spark, feed, out, checkpoint_dir=ckpt,
+                       event_min_height=ACTIVATION)
+    q2.awaitTermination(300)
+    assert read_manifest(out)["version"] > v_crash
+
+    raw = spark.createDataFrame(
+        [(r["header"], r["powHash"], r["payload"]) for r in raw_rows], RAW_SCHEMA
+    )
+    expected = payload_to_tables(raw, event_min_height=ACTIVATION)
+    for name, exp_raw in expected.items():
+        got = read_published(spark, out, name)
+        pk = list(TABLE_PKS[name])
+        exp = exp_raw.dropDuplicates(pk)
+        assert got is not None and got.count() == exp.count(), name
+        assert (
+            exp.select(pk).exceptAll(got.select(pk)).isEmpty()
+            and got.select(pk).exceptAll(exp.select(pk)).isEmpty()
+        ), f"{name}: PK sets differ after atomic crash-recovery"
+    # the replay re-staged identical content, so the crashed files are
+    # orphans forever — vacuum reclaims them and published reads move not
+    vacuum(out)
+    for name in TABLE_PKS:
+        got = read_published(spark, out, name)
+        exp = expected[name].dropDuplicates(list(TABLE_PKS[name]))
+        assert got.count() == exp.count(), f"{name}: vacuum changed published rows"
+
+
+def test_atomic_default_adopts_legacy_dir(spark, tmp_path_factory, raw_rows):
+    """Flipping a deployment to the (now default) atomic sink over an
+    out_dir written by the old table-by-table path must adopt the legacy
+    rows: they stay visible to snapshot readers AND to the duplicate probe
+    (re-delivered legacy blocks append nothing)."""
+    from chainweb_data_spark.streaming.publish import read_manifest, read_published
+
+    base = str(tmp_path_factory.mktemp("adopt"))
+    feed = os.path.join(base, "feed")
+    out = os.path.join(base, "tables")
+    _write_feed(raw_rows, feed, 2)
+
+    # legacy run: non-atomic, first chunk only
+    legacy_feed = os.path.join(base, "feed1")
+    os.makedirs(legacy_feed)
+    with open(os.path.join(feed, "feed_000.json")) as f:
+        first = f.read()
+    with open(os.path.join(legacy_feed, "feed_000.json"), "w") as f:
+        f.write(first)
+    q = listen_stream(spark, legacy_feed, out,
+                      checkpoint_dir=os.path.join(base, "ckpt-legacy"),
+                      event_min_height=ACTIVATION, atomic=False)
+    q.awaitTermination(300)
+    legacy_blocks = spark.read.parquet(os.path.join(out, "blocks.parquet")).count()
+    assert legacy_blocks > 0
+
+    # atomic run over the FULL feed (chunk 0 re-delivered + chunk 1 new)
+    q2 = listen_stream(spark, feed, out,
+                       checkpoint_dir=os.path.join(base, "ckpt-atomic"),
+                       event_min_height=ACTIVATION)  # default: atomic
+    q2.awaitTermination(300)
+
+    assert read_manifest(out)["version"] >= 1
+    raw = spark.createDataFrame(
+        [(r["header"], r["powHash"], r["payload"]) for r in raw_rows], RAW_SCHEMA
+    )
+    expected = payload_to_tables(raw, event_min_height=ACTIVATION)
+    for name, exp_raw in expected.items():
+        got = read_published(spark, out, name)
+        pk = list(TABLE_PKS[name])
+        exp = exp_raw.dropDuplicates(pk)
+        assert got is not None and got.count() == exp.count(), (
+            f"{name}: {0 if got is None else got.count()} != {exp.count()}"
+        )
+        # adoption kept the probe honest: no PK appears twice
+        assert got.count() == got.dropDuplicates(pk).count(), f"{name}: dup PKs"
 
 
 def test_orphan_twins_coexist(spark, raw_rows):

@@ -442,7 +442,11 @@ def ivf_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int):
 # partition-order-sensitive df.sample), so the same corpus always trains the
 # same quantizer — the engine's replay/oracle convention.
 IVF_TRAIN_SAMPLE = 4096
-IVF_TRAIN_ITERS = 5
+# Lloyd iterations: occupancy balance on clustered corpora keeps improving
+# to ~20 then flattens (measured in scripts/scale_rehearsal.py --skew:
+# Σocc² 133M → 99M from 5 → 20 iters); driver-side cost is microscopic
+# either way (sample × cells × dim flops)
+IVF_TRAIN_ITERS = 20
 
 
 def _md5_mod_keep(n: int, sample_size: int) -> int:
@@ -502,20 +506,40 @@ def _train_kmeans_from_rows(
     return kmeans_centroids(X[order], n_cells, iters)
 
 
-def ivf_train_kmeans(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_cells: int,
-    sample_size: int = IVF_TRAIN_SAMPLE,
+def refine_hot_cells(
+    sample: np.ndarray,
+    C: np.ndarray,
+    target_occ: int,
     iters: int = IVF_TRAIN_ITERS,
 ) -> np.ndarray:
-    """Train IVF centroids by sampled spherical k-means on ``df``.
+    """Split cells whose SAMPLE occupancy exceeds 2× ``target_occ`` by
+    re-running spherical k-means on just their members (``ceil(occ/target)``
+    subcells each) — the deterministic version of hierarchical IVF
+    refinement.
 
-    The md5-mod sample filter runs distributed (JVM-side md5 built-in, no
-    sort, no full collect); only ≈ ``sample_size`` vectors reach the driver.
-    Scale shape: training cost is O(sample × n_cells × iters) driver-side
-    numpy regardless of corpus size."""
+    Why: the √n cell rule's cost model assumes roughly uniform occupancy;
+    a clustered corpus (real text embeddings — topic mass is never uniform)
+    concentrates probe work as Σocc², and Lloyd alone cannot fix a cone
+    holding a third of the corpus (its subcell means all collapse toward
+    the cone axis slowly).  Splitting hot cells bounds per-cell occupancy
+    directly — measured in scripts/scale_rehearsal.py ``--skew``: the
+    quadratic wall a degenerate quantizer hits becomes a runnable plan.
+    Deterministic: same sample ⇒ same refined centroids."""
+    assign = np.argmax(sample @ C.T, axis=1)
+    out = []
+    for c in range(len(C)):
+        members = sample[assign == c]
+        n_sub = int(np.ceil(len(members) / max(target_occ, 1)))
+        if len(members) > 2 * target_occ and n_sub >= 2:
+            out.append(kmeans_centroids(members, n_sub, iters))
+        else:
+            out.append(C[c : c + 1])
+    return np.vstack(out)
+
+
+def _collect_train_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_size: int
+) -> tuple[np.ndarray, np.ndarray]:
     n = df.count()
     m = _md5_mod_keep(n, sample_size)
     samp = df.select(id_col, vec_col)
@@ -527,7 +551,38 @@ def ivf_train_kmeans(
     rows = samp.collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-    return _train_kmeans_from_rows(ids, X, n_cells, len(ids) + 1, iters)
+    return ids, X
+
+
+def ivf_train_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_TRAIN_ITERS,
+    split_hot: bool = False,
+) -> np.ndarray:
+    """Train IVF centroids by sampled spherical k-means on ``df``.
+
+    The md5-mod sample filter runs distributed (JVM-side md5 built-in, no
+    sort, no full collect); only ≈ ``sample_size`` vectors reach the driver.
+    Scale shape: training cost is O(sample × n_cells × iters) driver-side
+    numpy regardless of corpus size.
+
+    ``split_hot=True`` adds one :func:`refine_hot_cells` pass (target
+    occupancy = sample/n_cells), growing the centroid count where the
+    corpus is clustered — recommended for production corpora; kept off by
+    default so callers pinning ``n_cells`` for a fixed oracle get exactly
+    that many cells."""
+    ids, X = _collect_train_sample(df, id_col, vec_col, sample_size)
+    C = _train_kmeans_from_rows(ids, X, n_cells, len(ids) + 1, iters)
+    if split_hot:
+        Xn = np.asarray(X, dtype=np.float64)
+        Xn = Xn / np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-300)
+        order = np.argsort(ids)
+        C = refine_hot_cells(Xn[order], C, max(1, len(ids) // n_cells), iters)
+    return C
 
 
 def train_ivf_centroids_parquet(

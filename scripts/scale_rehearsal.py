@@ -19,7 +19,14 @@ Two corpus regimes, because they scale differently BY CONSTRUCTION:
   every base token, so cross-replica shingle overlap vanishes — the normal
   "10× more content" case, where a healthy plan should grow ~linearly.
 
-Usage:  python scripts/scale_rehearsal.py [multiplier=10] [--distinct]
+A third regime, ``--skew``, targets the IVF quantizer specifically: the
+scaled corpus collapses every replica toward one anchor direction (a
+heavily clustered embedding distribution — the shape real text embeddings
+have).  Under it the lowest-id quantizer's cells go far from uniform and
+probe work concentrates; trained k-means cells re-balance.  The run
+reports wall time AND cell-occupancy stats for both quantizers.
+
+Usage:  python scripts/scale_rehearsal.py [multiplier=10] [--distinct | --skew]
 (Run on an idle machine — same caveat as bench.py.)
 """
 
@@ -108,6 +115,114 @@ def build_scaled(spark, mult: int, distinct: bool = False) -> str:
     return out
 
 
+def build_skewed(spark, mult: int) -> str:
+    """mult× embeddings where replicas collapse toward one anchor vector:
+    v' = 0.7·anchor + 0.3·v (+ tiny per-replica jitter so rows stay
+    distinct) — (mult−1)/mult of the corpus lands in one dense cone, the
+    clustered shape real text embeddings have (topic mass is never
+    uniform).  0.7/0.3 keeps enough residual variance for ANY quantizer to
+    act on; past ~0.95 the corpus is near rank-1 and no cell boundary can
+    split it — that regime is a dedup problem, not an ANN-partitioning
+    one."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/cds_scale/sf0.1skew{mult}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    n_vecs = emb.count()
+    anchor = [
+        float(x)
+        for x in emb.orderBy("vec_id").select("embedding").first()[0]
+    ]
+    anchor_arr = F.array(*[F.lit(a) for a in anchor])
+    reps = spark.range(0, mult).select(F.col("id").alias("rep"))
+    squashed = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        anchor_arr,
+        lambda x, a: a * F.lit(0.7)
+        + x * F.lit(0.3)
+        + F.col("rep").cast("double") / F.lit(10_000.0),
+    ).cast("array<float>")
+    scaled = (
+        emb.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
+            F.when(F.col("rep") == 0, F.col("embedding"))
+            .otherwise(squashed)
+            .alias("embedding"),
+            "label",
+        )
+    )
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    open(marker, "w").close()
+    return out
+
+
+def ivf_skew_report(spark, skew_dir: str) -> dict:
+    """Compare the lowest-id and k-means quantizers on the skewed corpus:
+    end-to-end ivf_topk wall time plus numpy-side cell occupancy (max and
+    Σocc² — the probe-work proxy: candidate pairs ∝ Σ over probed cells of
+    occupancy)."""
+    import numpy as np
+
+    from chainweb_data_spark.operators import similarity as sim
+    from chainweb_data_spark.sources.tables import load_table
+
+    emb = load_table(spark, skew_dir, "embeddings").cache()
+    n = emb.count()
+    n_cells = sim.auto_n_cells(n)
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+
+    report = {"n_vectors": n, "n_cells": n_cells, "quantizers": {}}
+    for train in ("lowest-id", "kmeans", "kmeans+split"):
+        if train == "kmeans":
+            C = sim.ivf_train_kmeans(emb, "vec_id", "embedding", n_cells)
+        elif train == "kmeans+split":
+            C = sim.ivf_train_kmeans(
+                emb, "vec_id", "embedding", n_cells, split_hot=True
+            )
+        else:
+            _ids, C = sim.ivf_centroids(emb, "vec_id", "embedding", n_cells)
+        occ = np.bincount(
+            np.argmax(np.round(Xn @ C.T, 6), axis=1), minlength=len(C)
+        )
+        # candidate pairs ≈ Σ occ² (each cell's queries probe their own
+        # cell first) — beyond ~50M the rerank IS the quadratic wall the
+        # quantizer comparison exists to show; running it would just hang
+        # the rehearsal, so record the projection instead of the wall time
+        pair_work = int((occ.astype(np.int64) ** 2).sum())
+        entry = {
+            "n_cells": len(C),
+            "occ_max": int(occ.max()),
+            "occ_mean": round(float(occ.mean()), 1),
+            "occ_sq_sum": pair_work,
+        }
+        if pair_work <= 50_000_000:
+
+            def run(spark_, sf_dir, _C=C):
+                e = load_table(spark_, sf_dir, "embeddings")
+                return sim.ivf_topk(
+                    e, "vec_id", "embedding", k=5, n_cells=len(_C), nprobe=2,
+                    centroids=_C,
+                )
+
+            entry["wall_s"] = timed(run, spark, skew_dir)
+        else:
+            entry["wall_s"] = None
+            entry["skipped"] = (
+                f"projected ~{pair_work:,} candidate pairs — the quadratic "
+                "wall; occupancy stats above are the measurement"
+            )
+        report["quantizers"][train] = entry
+    emb.unpersist()
+    return report
+
+
 def timed(fn, spark, sf_dir) -> float:
     fn(spark, sf_dir).collect()  # warm: codegen + page cache
     df = fn(spark, sf_dir)
@@ -120,10 +235,20 @@ def main() -> None:
     from chainweb_data_spark.queries import query_fns
     from chainweb_data_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if a != "--distinct"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     distinct = "--distinct" in sys.argv[1:]
+    skew = "--skew" in sys.argv[1:]
     mult = int(args[0]) if args else 10
     spark = get_spark("cds-scale-rehearsal")
+    if skew:
+        skew_dir = build_skewed(spark, mult)
+        print(json.dumps({
+            "multiplier": mult,
+            "regime": "skew",
+            "base_sf_dir": BASE_SF,
+            "ivf": ivf_skew_report(spark, skew_dir),
+        }))
+        return
     fns = query_fns()
     scaled_dir = build_scaled(spark, mult, distinct)
 

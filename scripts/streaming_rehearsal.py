@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Streaming-scale rehearsal: prove the per-micro-batch costs the sink
+claims are O(batch locality) stay FLAT as table history grows 10×.
+
+The query-side rehearsal (scripts/scale_rehearsal.py) measures operator
+growth with corpus size; this one measures the three sink-side costs of
+the listen pipeline (streaming/listen.py, streaming/publish.py,
+streaming/stateful.py) against history size:
+
+- merge probe (non-atomic path): the PK anti-join behind merge_batch —
+  claimed bounded by height_bucket range pruning (listen.py merge_plan),
+  so probing one tip batch must cost the same against 10× the buckets.
+- atomic publish: stage + manifest commit of one tip batch via
+  publish_batch — the probe reads the PUBLISHED file list (explicit files
+  + basePath), so partition pruning must survive the manifest indirection.
+- windowed stats sink: the (key, window_start) merge behind
+  windowed_counts_sink — claimed pruned by the day-derived key_bucket.
+
+Each cost is timed as min-of-N at 1× and 10× history and reported as a
+growth ratio: ~1× validates the pruning claims; ~10× means a probe is
+scanning history.  Run on an idle machine (same caveat as bench.py).
+
+Usage:  python scripts/streaming_rehearsal.py [multiplier=10] [n_timings=3]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = "/tmp/cds_stream_scale"
+ROWS_PER_BUCKET = 2_000
+BASE_BUCKETS = 20
+BATCH_ROWS = 2_000  # one tip micro-batch: half replayed, half new
+
+
+def _blocks(spark, lo: int, hi: int):
+    from pyspark.sql import functions as F
+
+    return spark.range(lo, hi).select(
+        F.md5(F.col("id").cast("string")).alias("hash"),
+        F.col("id").alias("height"),
+        (F.col("id") / ROWS_PER_BUCKET).cast("long").alias("height_bucket"),
+    )
+
+
+def build_history(spark, name: str, n_buckets: int) -> str:
+    """A bucket-partitioned blocks table of ``n_buckets`` height buckets —
+    the same layout merge_batch writes, built in one shot."""
+    path = os.path.join(WORK, name, "blocks.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    _blocks(spark, 0, n_buckets * ROWS_PER_BUCKET).write.partitionBy(
+        "height_bucket"
+    ).mode("overwrite").parquet(path)
+    return path
+
+
+def _tip_batch(spark, n_buckets: int):
+    top = n_buckets * ROWS_PER_BUCKET
+    return _blocks(spark, top - BATCH_ROWS // 2, top + BATCH_ROWS // 2)
+
+
+def time_merge_probe(spark, path: str, n_buckets: int, n: int) -> float:
+    """The merge_plan anti-join (probe + dedup) WITHOUT the append, so
+    repeated timings see identical history."""
+    from chainweb_data_spark.streaming.listen import merge_plan
+
+    best = float("inf")
+    for _ in range(n):
+        batch = _tip_batch(spark, n_buckets)
+        t0 = time.perf_counter()
+        plan, _bucket = merge_plan(spark, batch, path, ("hash",))
+        assert plan.count() == BATCH_ROWS // 2  # replayed half dropped
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def time_atomic_publish(spark, name: str, n_buckets: int, n: int) -> float:
+    """publish_batch of one tip batch against an adopted history: stage
+    write + probe + manifest flip.  The first call adopts (untimed); each
+    timed call publishes a DISTINCT new slice so the probe always faces
+    the same shape (previous slices live in newer manifests)."""
+    from chainweb_data_spark.streaming.publish import ensure_manifest, publish_batch
+
+    out_dir = os.path.join(WORK, name)
+    ensure_manifest(out_dir)
+    top = n_buckets * ROWS_PER_BUCKET
+    best = float("inf")
+    for i in range(n):
+        lo = top + i * BATCH_ROWS
+        batch = _blocks(spark, lo - BATCH_ROWS // 2, lo + BATCH_ROWS // 2)
+        t0 = time.perf_counter()
+        publish_batch(spark, {"blocks": batch}, out_dir, {"blocks": ("hash",)})
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def build_stats_history(spark, name: str, n_days: int) -> str:
+    """A (chainid, window_start) stats table bucketed by UTC day — the
+    windowed_counts_sink layout."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(WORK, name, "stats.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    windows_per_day = 144  # 10-minute windows
+    df = (
+        spark.range(0, n_days * windows_per_day)
+        .crossJoin(spark.range(0, 4).select(F.col("id").alias("chainid")))
+        .select(
+            "chainid",
+            F.timestamp_seconds(
+                F.lit(1_600_000_000) + F.col("id") * 600
+            ).alias("window_start"),
+            (F.col("id") % 97 + 1).alias("n"),
+        )
+        .withColumn(
+            "key_bucket", F.date_format(F.col("window_start"), "yyyy-MM-dd")
+        )
+    )
+    df.write.partitionBy("key_bucket").mode("overwrite").parquet(path)
+    return path
+
+
+def time_stats_merge(spark, path: str, n_days: int, n: int) -> float:
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.streaming.listen import merge_plan
+
+    windows_per_day = 144
+    tip = n_days * windows_per_day
+    best = float("inf")
+    for _ in range(n):
+        batch = (
+            spark.range(tip - windows_per_day // 2, tip + windows_per_day // 2)
+            .crossJoin(spark.range(0, 4).select(F.col("id").alias("chainid")))
+            .select(
+                "chainid",
+                F.timestamp_seconds(
+                    F.lit(1_600_000_000) + F.col("id") * 600
+                ).alias("window_start"),
+                (F.col("id") % 97 + 1).alias("n"),
+            )
+            .withColumn(
+                "key_bucket", F.date_format(F.col("window_start"), "yyyy-MM-dd")
+            )
+        )
+        t0 = time.perf_counter()
+        plan, _bucket = merge_plan(
+            spark, batch, path, ("chainid", "window_start")
+        )
+        assert plan.count() == windows_per_day // 2 * 4
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    from chainweb_data_spark.session import get_spark
+
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    spark = get_spark("cds-streaming-rehearsal")
+    shutil.rmtree(WORK, ignore_errors=True)
+
+    result = {"multiplier": mult, "costs": {}}
+
+    p1 = build_history(spark, "hist1x", BASE_BUCKETS)
+    p10 = build_history(spark, "hist10x", BASE_BUCKETS * mult)
+    t1 = time_merge_probe(spark, p1, BASE_BUCKETS, n)
+    t10 = time_merge_probe(spark, p10, BASE_BUCKETS * mult, n)
+    result["costs"]["merge_probe"] = {
+        "base_s": t1, "scaled_s": t10, "growth": round(t10 / max(t1, 1e-9), 2)
+    }
+
+    a1 = time_atomic_publish(spark, "hist1x", BASE_BUCKETS, n)
+    a10 = time_atomic_publish(spark, "hist10x", BASE_BUCKETS * mult, n)
+    result["costs"]["atomic_publish"] = {
+        "base_s": a1, "scaled_s": a10, "growth": round(a10 / max(a1, 1e-9), 2)
+    }
+
+    s1 = build_stats_history(spark, "stats1x", 30)
+    s10 = build_stats_history(spark, "stats10x", 30 * mult)
+    w1 = time_stats_merge(spark, s1, 30, n)
+    w10 = time_stats_merge(spark, s10, 30 * mult, n)
+    result["costs"]["windowed_stats_merge"] = {
+        "base_s": w1, "scaled_s": w10, "growth": round(w10 / max(w1, 1e-9), 2)
+    }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

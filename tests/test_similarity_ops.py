@@ -109,6 +109,36 @@ def test_ivf_kmeans_trainer_deterministic(spark, emb):
     assert (Xn @ C_reg.T).max(axis=1).mean() > (Xn @ C0.T).max(axis=1).mean()
 
 
+def test_refine_hot_cells_splits_clusters():
+    """On a clustered sample (one cone holding most mass), the refinement
+    pass must split the hot cell — bounding occ_max and the Σocc² probe-work
+    proxy — and stay deterministic."""
+    import numpy as np
+
+    # deterministic synthetic corpus: 900 points in a tight cone + 100 spread
+    d = 16
+    anchor = np.ones(d)
+    base = np.array(
+        [[np.cos(i * j + 1.0) for j in range(d)] for i in range(100)]
+    )
+    cone = 0.9 * anchor[None, :] + 0.1 * np.vstack([base] * 9)
+    X = np.vstack([cone, base])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    C0 = sim.kmeans_centroids(Xn, 8, iters=10)
+    occ0 = np.bincount(np.argmax(Xn @ C0.T, axis=1), minlength=len(C0))
+    C1 = sim.refine_hot_cells(Xn, C0, target_occ=len(Xn) // 8, iters=10)
+    occ1 = np.bincount(np.argmax(Xn @ C1.T, axis=1), minlength=len(C1))
+    assert len(C1) > len(C0), "hot cell was not split"
+    assert occ1.max() < occ0.max()
+    assert int((occ1.astype(np.int64) ** 2).sum()) < int(
+        (occ0.astype(np.int64) ** 2).sum()
+    )
+    # deterministic
+    C1b = sim.refine_hot_cells(Xn, C0, target_occ=len(Xn) // 8, iters=10)
+    assert np.array_equal(C1, C1b)
+
+
 def test_ivf_kmeans_subsample_rule():
     """Past the sample budget the md5-mod rule kicks in: deterministic,
     engine-reproducible, and ≈ sample_size rows survive."""

@@ -41,12 +41,15 @@ HEADLINE = [
     "gap_detection",        # lead-window gaps (W1)
     "latest_per_user",      # latest-per-key (J6)
     "minhash_lsh_pairs",    # dedup at scale (north star)
+    "minhash_verified_pairs",  # end-to-end dedup chain: LSH → exact verify
     "ngram_jaccard_pairs",  # exact near-dup (north star)
     "simhash_near_pairs",   # simhash dedup, explode-free bit voting
     "text_quality",         # text analysis (north star)
     "embed_cosine_topk",    # similarity search baseline (north star)
-    "ann_lsh_topk",         # ANN scale path (north star)
-    "ann_ivf_topk",         # IVF-flat ANN, data-adaptive cells (north star)
+    "ann_lsh_topk",         # ANN, pinned planes (sparse-occupancy point)
+    "ann_lsh_auto_topk",    # ANN scale path: corpus-adaptive planes (gated)
+    "ann_ivf_topk",         # IVF-flat ANN, trained quantizer (north star)
+    "multimodal_image_features",  # binary media pipeline (mapInPandas)
 ]
 
 

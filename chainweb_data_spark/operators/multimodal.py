@@ -39,6 +39,52 @@ MEDIA_META_SCHEMA = T.StructType(
 
 FAKE_MAGIC = b"FKE1"
 
+# ---------------------------------------------------------------------------
+# codec registry: {(media_type, magic) -> decoder}.  The production swap is
+# DATA, not code edits: register_codec("image", b"\x89PNG", pil_decode) and
+# every pipeline below decodes PNGs — the fake formats register through the
+# exact same door at import.  Spark kernels snapshot the registry into their
+# closure at plan-build time (cloudpickle ships the snapshot — including
+# decoders registered at runtime — to executors, where a module-global dict
+# would arrive import-fresh without them).
+# ---------------------------------------------------------------------------
+
+from typing import Callable
+
+_CODECS: dict[tuple[str, bytes], Callable[[bytes], object]] = {}
+
+
+def register_codec(
+    media_type: str, magic: bytes, decoder: Callable[[bytes], object]
+) -> None:
+    """Route payloads of ``media_type`` whose bytes start with ``magic``
+    through ``decoder``.  Re-registering a (type, magic) pair replaces the
+    decoder."""
+    _CODECS[(media_type, magic)] = decoder
+
+
+def unregister_codec(media_type: str, magic: bytes) -> None:
+    _CODECS.pop((media_type, magic), None)
+
+
+def _registry_snapshot() -> dict[tuple[str, bytes], Callable[[bytes], object]]:
+    return dict(_CODECS)
+
+
+def _decode(
+    codecs: dict[tuple[str, bytes], Callable[[bytes], object]],
+    media_type: str,
+    data: bytes,
+):
+    for (mt, magic), fn in codecs.items():
+        if mt == media_type and data[: len(magic)] == magic:
+            return fn(data)
+    raise NotImplementedError(
+        f"no registered {media_type} codec matches the payload magic; "
+        "real codecs (PIL/turbojpeg/ffmpeg/soundfile) are unavailable in "
+        "this environment — register_codec() them here in production"
+    )
+
 
 def fake_image_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
     """Deterministic fake 'image': FKE1 | w | h | seed-derived RGB8 payload."""
@@ -47,20 +93,16 @@ def fake_image_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
     return FAKE_MAGIC + struct.pack("<HH", width, height) + payload.tobytes()
 
 
-def decode_image(data: bytes) -> np.ndarray:
-    """Decode a binary image payload to HxWx3 uint8.
+def _decode_fake_image(data: bytes) -> np.ndarray:
+    w, h = struct.unpack("<HH", data[4:8])
+    return np.frombuffer(data[8 : 8 + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
 
-    Real codecs (PIL/libvips/ffmpeg) are unavailable in this container —
-    only the deterministic fake format decodes; anything else raises, which
-    is the documented stub boundary.
-    """
-    if data[:4] == FAKE_MAGIC:
-        w, h = struct.unpack("<HH", data[4:8])
-        return np.frombuffer(data[8 : 8 + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
-    raise NotImplementedError(
-        "real image codecs not available in this environment; "
-        "plug PIL/turbojpeg here in production"
-    )
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode a binary image payload to HxWx3 uint8 via the codec registry
+    (only the deterministic fake format is registered in this container;
+    anything else raises — the documented stub boundary)."""
+    return _decode(_CODECS, "image", data)
 
 
 def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
@@ -101,18 +143,18 @@ def fake_video_bytes(
     )
 
 
-def decode_video(data: bytes) -> np.ndarray:
-    """Binary video payload → (n_frames, H, W, 3) uint8 (same stub boundary
-    as decode_image — swap in ffmpeg/pyav in production)."""
-    if data[:4] == FAKE_VIDEO_MAGIC:
-        w, h, n = struct.unpack("<HHH", data[4:10])
-        return np.frombuffer(data[10 : 10 + n * w * h * 3], dtype=np.uint8).reshape(
-            n, h, w, 3
-        )
-    raise NotImplementedError(
-        "real video codecs not available in this environment; "
-        "plug ffmpeg/pyav here in production"
+def _decode_fake_video(data: bytes) -> np.ndarray:
+    w, h, n = struct.unpack("<HHH", data[4:10])
+    return np.frombuffer(data[10 : 10 + n * w * h * 3], dtype=np.uint8).reshape(
+        n, h, w, 3
     )
+
+
+def decode_video(data: bytes) -> np.ndarray:
+    """Binary video payload → (n_frames, H, W, 3) uint8 via the codec
+    registry (same stub boundary as decode_image — register ffmpeg/pyav in
+    production)."""
+    return _decode(_CODECS, "video", data)
 
 
 def fake_audio_bytes(seed: int, n_samples: int = 1600, sample_rate: int = 16000) -> bytes:
@@ -126,15 +168,22 @@ def fake_audio_bytes(seed: int, n_samples: int = 1600, sample_rate: int = 16000)
     )
 
 
+def _decode_fake_audio(data: bytes) -> tuple[int, np.ndarray]:
+    rate, n = struct.unpack("<IH", data[4:10])
+    return rate, np.frombuffer(data[10 : 10 + 2 * n], dtype=np.int16)
+
+
 def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
-    """Binary audio payload → (sample_rate, int16 samples)."""
-    if data[:4] == FAKE_AUDIO_MAGIC:
-        rate, n = struct.unpack("<IH", data[4:10])
-        return rate, np.frombuffer(data[10 : 10 + 2 * n], dtype=np.int16)
-    raise NotImplementedError(
-        "real audio codecs not available in this environment; "
-        "plug soundfile/ffmpeg here in production"
-    )
+    """Binary audio payload → (sample_rate, int16 samples) via the codec
+    registry."""
+    return _decode(_CODECS, "audio", data)
+
+
+# the deterministic fakes register through the same door production codecs
+# would — the registry, not special cases in the decode functions
+register_codec("image", FAKE_MAGIC, _decode_fake_image)
+register_codec("video", FAKE_VIDEO_MAGIC, _decode_fake_video)
+register_codec("audio", FAKE_AUDIO_MAGIC, _decode_fake_audio)
 
 
 def attach_fake_video(df: DataFrame, id_col: str) -> DataFrame:
@@ -161,12 +210,13 @@ def image_features(df: DataFrame, id_col: str, media_col: str = "media") -> Data
     vectorized numpy).  Pattern generalizes to resize / frame-sample /
     embedding extraction — swap the body, keep the plumbing."""
     id_c, media_c = id_col, media_col
+    codecs = _registry_snapshot()  # ship runtime-registered codecs too
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, data in zip(pdf[id_c], pdf[media_c]):
-                img = decode_image(bytes(data))
+                img = _decode(codecs, "image", bytes(data))
                 rows.append(
                     {
                         "id": int(i),
@@ -210,12 +260,15 @@ def image_resize(
     Arrow batch of binaries per Python call; swap the kernel for a real
     resampler in production, the plumbing stays."""
     id_c, media_c = id_col, media_col
+    codecs = _registry_snapshot()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, data in zip(pdf[id_c], pdf[media_c]):
-                img = resize_nearest(decode_image(bytes(data)), out_w, out_h)
+                img = resize_nearest(
+                    _decode(codecs, "image", bytes(data)), out_w, out_h
+                )
                 reenc = (
                     FAKE_MAGIC
                     + struct.pack("<HH", out_w, out_h)
@@ -250,12 +303,13 @@ def video_frame_sample(
     BT.601 luma mean — the fan-out (one binary → many frame rows) shape a
     real frame-dedup / shot-detect pipeline needs."""
     id_c, media_c = id_col, media_col
+    codecs = _registry_snapshot()
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, data in zip(pdf[id_c], pdf[media_c]):
-                vid = decode_video(bytes(data)).astype(np.float64)
+                vid = _decode(codecs, "video", bytes(data)).astype(np.float64)
                 for fidx in range(0, vid.shape[0], every_k):
                     fr = vid[fidx]
                     luma = (
@@ -282,12 +336,13 @@ def audio_features(df: DataFrame, id_col: str, media_col: str = "media") -> Data
     """Per-clip audio features (rate, length, RMS, peak) — the audio leg of
     the binary-column pipeline."""
     id_c, media_c = id_col, media_col
+    codecs = _registry_snapshot()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, data in zip(pdf[id_c], pdf[media_c]):
-                rate, samples = decode_audio(bytes(data))
+                rate, samples = _decode(codecs, "audio", bytes(data))
                 x = samples.astype(np.float64)
                 rows.append(
                     {

@@ -104,6 +104,81 @@ def test_scaled_budget_matches_reference_throttle():
     assert scaled_budget(4, 100) == 1  # never starves
 
 
+def test_truly_concurrent_drains_throttle_and_stay_exact(spark):
+    """Eight REAL threads drain the same governed scan concurrently.  A
+    barrier inside the gauge's first entry makes the overlap deterministic:
+    all eight are registered in-flight before any computes its budget, so
+    every thread's FIRST request must run with the throttled budget
+    (8 // (8//3) = 4 slices), and — the reference invariant — every
+    thread's complete drain must still enumerate EXACTLY the full result
+    set.  Throttling trades latency, never rows."""
+    import threading
+
+    from chainweb_data_spark.plans.bounded_scan import LoadGauge, bounded_scan
+
+    N_THREADS = 8
+
+    class FirstEntryBarrierGauge(LoadGauge):
+        def __init__(self, parties: int) -> None:
+            super().__init__()
+            self._barrier = threading.Barrier(parties)
+            self._tl = threading.local()
+
+        def __enter__(self):
+            out = super().__enter__()
+            if not getattr(self._tl, "synced", False):
+                self._tl.synced = True
+                self._barrier.wait(timeout=120)
+            return out
+
+    # matches concentrated at the BOTTOM of the range: the first (throttled)
+    # request scans empty top slices, so the budget — not the limit — is
+    # what stops it, making slices_examined observe the throttle directly
+    df = _table(spark, n=400, match_every=1).cache()
+    df.count()
+    pred = F.col("height") < 50
+    kw = dict(limit=7, slice_width=50, budget_slices=8, floor=0)
+    expected = [(h, f"rk-{h:05d}") for h in range(49, -1, -1)]
+
+    gauge = FirstEntryBarrierGauge(N_THREADS)
+    results: list = [None] * N_THREADS
+    errors: list = []
+
+    def drain(idx: int) -> None:
+        try:
+            rows: list = []
+            first_examined = None
+            cursor = None
+            while True:
+                res = bounded_scan(
+                    df, pred, SPEC, cursor=cursor, gauge=gauge, **kw
+                )
+                if first_examined is None:
+                    first_examined = res.slices_examined
+                rows.extend(res.rows)
+                if res.next_cursor is None:
+                    break
+                cursor = res.next_cursor
+            results[idx] = (rows, first_examined)
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=drain, args=(i,)) for i in range(N_THREADS)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    assert gauge.active == 0
+    for rows, first_examined in results:
+        # all 8 overlapped at their first budget computation (barrier), so
+        # each saw active=8 → budget 8 // (8//3) = 4 slices
+        assert first_examined == 4, first_examined
+        assert [(r.height, r.rk) for r in rows] == expected
+
+
 def test_concurrent_governed_scans_get_smaller_budgets(spark):
     """Under simulated load the governor examines proportionally fewer
     slices per request, and the under-budget request still hands back a

@@ -371,10 +371,12 @@ def lsh_ann_topk(
 
     ``num_planes=None`` sizes the signature from the corpus
     (``auto_num_planes``): bucket occupancy — and so rerank cost per vector
-    — stays roughly constant as data grows, at the price of a count() and a
-    non-reproducible-by-fixed-SQL plan (the gated query pins 16 planes for
-    its oracle; production callers should pass None or re-derive on
-    ingest)."""
+    — stays roughly constant as data grows, at the price of one count().
+    This configuration is itself under the correctness gate
+    (``ann_lsh_auto_topk`` — its oracle is generated at registration time
+    for the plane count the fixture's corpus size derives); the pinned
+    16-plane ``ann_lsh_topk`` remains as the sparse-occupancy comparison
+    point."""
     if num_planes is None:
         num_planes = auto_num_planes(df.count(), bands)
     width = num_planes // bands

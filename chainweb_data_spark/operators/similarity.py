@@ -693,29 +693,54 @@ def ivf_topk(
     probes = assigned.select(
         F.col(id_col), F.explode("probe_cells").alias("cell")
     )
-    cand = (
-        probes.join(members, "cell")
-        .filter(F.col(id_col) != F.col("neighbor_id"))
-        .select(id_col, "neighbor_id")
-        .distinct()
-    )
+    # CELL-LOCAL rerank (same shape as bucket_pair_cosines): each cell
+    # gathers its member vectors once and its probing queries nprobe times,
+    # so Arrow traffic is (1 + nprobe) × corpus × dim doubles and the pair
+    # scores are one BLAS Q @ M.T per cell — versus the candidate-join +
+    # pair-UDF form, which shipped BOTH vectors on every candidate row
+    # (occupancy × nprobe × 2 × dim doubles per query; measured ~170× more
+    # Arrow bytes at sf0.1).  A member belongs to exactly one cell, so a
+    # (query, neighbor) pair arises in exactly one group — no dedup pass.
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    scored = (
-        cand.join(vecs, id_col)
-        .join(
-            vecs.select(
-                F.col(id_col).alias("neighbor_id"), F.col("_v").alias("_vn")
-            ),
-            "neighbor_id",
+    member_rows = assigned.select(id_col, "cell").join(vecs, id_col).select(
+        "cell", F.lit(True).alias("_is_member"), id_col, "_v"
+    )
+    probe_rows = probes.join(vecs, id_col).select(
+        "cell", F.lit(False).alias("_is_member"), id_col, "_v"
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[~pdf["_is_member"]]
+        m = pdf[pdf["_is_member"]]
+        if len(q) == 0 or len(m) == 0:
+            return pd.DataFrame(
+                {id_col: [], "neighbor_id": [], "cosine": []}
+            ).astype({id_col: "int64", "neighbor_id": "int64", "cosine": "float64"})
+        Q = np.asarray(q["_v"].tolist(), dtype=np.float64)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        M = np.asarray(m["_v"].tolist(), dtype=np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        qids = q[id_col].to_numpy(dtype=np.int64)
+        mids = m[id_col].to_numpy(dtype=np.int64)
+        S = np.round(Q @ M.T, 6)
+        qi, mi = np.nonzero(qids[:, None] != mids[None, :])
+        return pd.DataFrame(
+            {id_col: qids[qi], "neighbor_id": mids[mi], "cosine": S[qi, mi]}
         )
-        .select(
-            id_col,
-            "neighbor_id",
-            cosine_pairs_udf(F.col("_v"), F.col("_vn")).alias("cosine"),
-        )
+
+    scored = member_rows.unionByName(probe_rows).groupBy("cell").applyInPandas(
+        _rerank, pair_schema
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -86,6 +86,38 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def contaminated_docs(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥1 word k-gram
+    shingle with the benchmark/eval set — (id, n_hits, first_shingle).
+
+    The standard train/test-overlap sweep a pretraining pipeline runs
+    before training (real deployments use 8-13-gram shingles; the fixture's
+    short docs use 3).  Scale shape: the benchmark side is tiny relative to
+    the corpus, so its DISTINCT shingle set is **broadcast** — the corpus
+    shingle stream (the big side) joins map-side with NO shuffle; the only
+    shuffle is the per-doc hit aggregation, map-side combined.  Flag-don't-
+    drop output: callers anti-join or filter downstream, keeping the
+    removal decision (and its audit trail) separate from detection."""
+    corpus_sh = word_shingles(docs, id_col, text_col, k)
+    bench_sh = (
+        word_shingles(bench, id_col, text_col, k).select("shingle").distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min("shingle").alias("first_shingle"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -111,6 +111,56 @@ def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def pack_offsets(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document its global
+    token offset and the context-window chunk range it lands in —
+    (id, n_tokens, start_offset, chunk_start, chunk_end).
+
+    This is the standard LLM-pretraining packing (documents concatenated in
+    id order, then sliced into fixed ``capacity`` windows; a document may
+    straddle a boundary, hence the chunk RANGE).  The global running sum is
+    computed scale-safely in two phases: range-partition by id, cumsum
+    WITHIN each partition (an ordinary partitioned window — no
+    single-partition WindowExec), then one tiny driver-side prefix sum of
+    the per-partition totals broadcast back as base offsets.  The offsets
+    are a pure function of the data (partition boundaries cancel out), so
+    the operator stays oracle-exact."""
+    base = df.select(F.col(id_col), F.col(tokens_col).cast("long").alias("_n"))
+    part = base.repartitionByRange(id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql.window import Window
+
+    w_in = Window.partitionBy("_pid").orderBy(id_col)
+    local = part.withColumn("_cum_in", F.sum("_n").over(w_in))
+    totals = (
+        local.groupBy("_pid")
+        .agg(F.max("_cum_in").alias("_tot"))
+        .orderBy("_pid")
+        .collect()
+    )
+    bases, acc = [], 0
+    for r in totals:
+        bases.append((int(r["_pid"]), acc))
+        acc += int(r["_tot"])
+    base_df = df.sparkSession.createDataFrame(bases, "_pid int, _base long")
+    start = F.col("_base") + F.col("_cum_in") - F.col("_n")
+    end_tok = start + F.greatest(F.col("_n"), F.lit(1)) - 1  # empty docs: 1 slot
+    cap = F.lit(capacity)
+    return local.join(F.broadcast(base_df), "_pid").select(
+        F.col(id_col),
+        F.col("_n").alias("n_tokens"),
+        start.cast("long").alias("start_offset"),
+        ((start - F.pmod(start, cap)) / cap).cast("long").alias("chunk_start"),
+        ((end_tok - F.pmod(end_tok, cap)) / cap).cast("long").alias("chunk_end"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
     """Append ``fp``: min md5 over all char k-grams (MinHash-style rolling
     fingerprint / winnowing-lite).  Array built-ins only: sequence of start

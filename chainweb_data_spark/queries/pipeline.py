@@ -1091,3 +1091,82 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_media = mm.attach_fake_audio(docs, "doc_id")
     return mm.audio_features(with_media, "doc_id").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Decontamination + sequence packing (pretraining-pipeline staples)
+# ---------------------------------------------------------------------------
+
+# benchmark set: every 29th document — a held-out eval slice the corpus
+# must be swept against; corpus = everything else
+_BENCH_MOD = 29
+
+
+@register(
+    "decontaminate_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-2,1)+1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_hits, MIN(c.shingle) AS first_shingle
+    FROM corpus c JOIN bench b USING (shingle)
+    GROUP BY c.doc_id
+    ORDER BY doc_id
+    """,
+)
+def decontaminate_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/test-overlap sweep): flag corpus
+    documents sharing any word 3-gram with the benchmark slice.  The
+    benchmark's distinct shingle set broadcasts — the corpus side joins
+    map-side with no shuffle; the only shuffle is the per-doc hit count."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return dd.contaminated_docs(corpus, bench, "doc_id", "text", k=3).orderBy(
+        "doc_id"
+    )
+
+
+_PACK_CAPACITY = 512
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH counted AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1
+             END AS n
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+      FROM counted
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(c - n AS BIGINT) AS start_offset,
+           CAST((c - n) // {_PACK_CAPACITY} AS BIGINT) AS chunk_start,
+           CAST((c - n + greatest(n, 1) - 1) // {_PACK_CAPACITY} AS BIGINT) AS chunk_end
+    FROM cum ORDER BY doc_id
+    """,
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: global token offset + context-
+    window chunk range per document (capacity = _PACK_CAPACITY).  The
+    running sum is two-phase (partitioned cumsum + driver prefix of
+    per-partition totals), so no single-partition window exists at any
+    corpus size; the oracle's single-window SQL is the semantic spec, not
+    the physical plan."""
+    docs = _t(spark, sf_dir, "documents")
+    counted = docs.select("doc_id", tx.token_count(F.col("text")).alias("_n"))
+    return tx.pack_offsets(counted, "doc_id", "_n", _PACK_CAPACITY).orderBy(
+        "doc_id"
+    )

@@ -86,6 +86,72 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair list —
+    (id, cluster_rep, cluster_size) for every document appearing in ≥1
+    pair; ``cluster_rep`` is the component's minimum id (the kept doc).
+
+    Pairs are only HALF of dedup: near-duplicacy is not transitive-closed
+    by pair emission (A~B, B~C may surface without A~C), so production
+    removal keeps one representative per CONNECTED COMPONENT.  Computed by
+    iterative min-label propagation — every node repeatedly takes the min
+    label over itself and its neighbors, converging in O(component
+    diameter) rounds (near-dup components are shallow: a boilerplate
+    cluster is a dense blob, diameter ~2).
+
+    Scale shape: each round is one equi-join edges⋈labels plus one
+    map-side-combined groupBy min — no shuffle wider than the edge list;
+    iterations localCheckpoint (lineage stays flat); early exit on
+    convergence (no label changed).  Same fixpoint pattern as the
+    continuation-history walk (queries/chainweb.py)."""
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_nmin"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+                (F.col("_nmin") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("id"),
+        F.col("label").alias("cluster_rep"),
+        "cluster_size",
+    )
+
+
 def contaminated_docs(
     docs: DataFrame,
     bench: DataFrame,

@@ -193,6 +193,75 @@ def minhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= 0.2).orderBy("id_a", "id_b")
 
 
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_cols_sql(16)} FROM sh GROUP BY doc_id),
+    banded AS ({_band_sql(16, 4)}),
+    kept AS (
+      SELECT banded.* FROM banded
+      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) k USING (band, bucket)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM cand p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    vp AS (
+      SELECT id_a, id_b FROM inter
+      JOIN szs sa ON sa.doc_id = id_a
+      JOIN szs sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION SELECT id_b, id_a FROM vp
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (
+      SELECT src AS id, least(src, MIN(dst)) AS cluster_rep
+      FROM reach GROUP BY src
+    ),
+    cs AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_rep)
+    SELECT l.id, l.cluster_rep, cs.cluster_size
+    FROM lab l JOIN cs USING (cluster_rep)
+    ORDER BY id
+    """,
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the verified
+    MinHash pair list, min-id representative per component — the removal
+    decision a dedup pipeline actually executes (pair emission is not
+    transitively closed; A~B, B~C must collapse to ONE kept doc).  Spark
+    side is iterative min-label propagation (O(diameter) rounds, each one
+    equi-join + map-combined min); the oracle states the same fixpoint as
+    a recursive transitive-closure CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.word_shingles(docs, "doc_id", "text", k=3).cache()
+    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = dd.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    vp = dd._jaccard_for_pairs(sh, cand, "doc_id").filter(
+        F.col("jaccard") >= 0.2
+    )
+    return dd.duplicate_clusters(vp.select("id_a", "id_b")).orderBy("id")
+
+
 # Stop-shingle document-frequency cap: a shingle in more than this many docs
 # is boilerplate and is dropped from the Jaccard universe BEFORE the
 # inverted-index self-join (bounds join cost at n_shingles × cap² — the

@@ -112,3 +112,34 @@ def test_matmul_envelope_enforced(spark):
         near_dup_pairs_matmul(df, "vec_id", "embedding", 0.9, max_vectors=50)
     # inside the envelope both build fine
     assert cosine_topk_matmul(df, "vec_id", "embedding", k=1).count() > 0
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """A~B, B~C without A~C must still collapse to ONE component with the
+    min-id representative; disjoint components stay separate; every member
+    carries the component size."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21), (40, 41), (41, 40)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in dd.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: (1, 4), 2: (1, 4), 3: (1, 4), 9: (1, 4),
+        20: (20, 2), 21: (20, 2),
+        40: (40, 2), 41: (40, 2),
+    }
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A path graph has the worst diameter for min-label propagation —
+    the label must still reach the far end (within max_iters)."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    rows = dd.duplicate_clusters(pairs, max_iters=n + 2).collect()
+    assert len(rows) == n + 1
+    assert all(r["cluster_rep"] == 0 and r["cluster_size"] == n + 1 for r in rows)

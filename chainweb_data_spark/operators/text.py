@@ -161,6 +161,66 @@ def pack_offsets(
     )
 
 
+def sample_pred(id_col: Column | str, num: int, den: int = 256) -> Column:
+    """Deterministic sampling predicate keeping ≈ ``num/den`` of rows:
+    ``md5(id) < threshold`` compared LEXICOGRAPHICALLY on the hex digest
+    (uniform over [0,1) in 1/256 steps for den=256).
+
+    Why not rand()/TABLESAMPLE: replays, retries, and oracles all need the
+    SAME sample from the same data; md5-of-id is reproducible in any engine
+    (string compare only — no hex→int cast, which SQL dialects disagree
+    on).  Runs JVM-side, pushes past shuffles, costs one hash per row."""
+    if den not in (16, 256, 4096):
+        raise ValueError("den must be a power of 16 (16, 256, or 4096)")
+    width = {16: 1, 256: 2, 4096: 3}[den]
+    if not (0 <= num <= den):
+        raise ValueError(f"num must be in [0, {den}]")
+    threshold = format(num, f"0{width}x")
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.md5(c.cast("string")) < F.lit(threshold)
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates: dict[str, tuple[int, int]]
+) -> DataFrame:
+    """Keep each stratum at its own deterministic rate — the standard
+    corpus-mixing move (e.g. downsample a dominant language).  ``rates``
+    maps stratum value → (num, den); strata absent from the map are kept
+    whole.  One predicate per stratum, OR-folded: pure codegen'd
+    expressions, no join, no shuffle."""
+    pred = None
+    strata = set(rates)
+    for val, (num, den) in sorted(rates.items()):
+        p = (F.col(strata_col) == F.lit(val)) & sample_pred(id_col, num, den)
+        pred = p if pred is None else (pred | p)
+    keep_rest = ~F.col(strata_col).isin(*strata) if strata else F.lit(True)
+    return df.filter(keep_rest | pred if pred is not None else F.lit(True))
+
+
+def vocabulary(
+    df: DataFrame, id_col: str, text_col: str, k: int = 50, min_count: int = 1
+) -> DataFrame:
+    """Corpus heavy hitters: top-``k`` tokens by frequency —
+    (token, n_occurrences, n_docs).  One explode + one map-side-combined
+    groupBy; the top-k is a TakeOrdered (no global sort materialization).
+    The scale caveat is the explode width, not the aggregation: token
+    cardinality ≪ token count, so the shuffle carries the vocabulary."""
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("_doc").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
     """Append ``fp``: min md5 over all char k-grams (MinHash-style rolling
     fingerprint / winnowing-lite).  Array built-ins only: sequence of start

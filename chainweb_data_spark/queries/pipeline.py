@@ -1202,6 +1202,57 @@ def decontaminate_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language sampling rates (num/256): downsample the dominant strata,
+# keep the rest whole — the corpus-mixing move
+_SAMPLE_RATES = {"en": (64, 256), "fr": (128, 256)}
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND md5(CAST(doc_id AS VARCHAR)) < '40')
+       OR (lang = 'fr' AND md5(CAST(doc_id AS VARCHAR)) < '80')
+       OR lang NOT IN ('en', 'fr')
+    ORDER BY doc_id
+    """,
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: en at 25%, fr at 50%, everything
+    else kept whole.  The predicate is md5(id) compared lexicographically
+    against a hex threshold — same sample on every replay and in any
+    engine, no rand()/TABLESAMPLE nondeterminism, pure codegen (no join,
+    no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tx.stratified_sample(docs, "doc_id", "lang", _SAMPLE_RATES)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM toks WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+)
+def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-50 tokens by occurrence count
+    (with document frequency) — explode + map-combined groupBy +
+    TakeOrdered; deterministic total order (count desc, token asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.vocabulary(docs, "doc_id", "text", k=50)
+
+
 _PACK_CAPACITY = 512
 
 

@@ -221,6 +221,42 @@ def vocabulary(
     )
 
 
+def encode_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Vocabulary encoding — each document's token sequence mapped to ids,
+    order preserved: (id, token_ids array<long>, n_tokens, n_oov).
+
+    ``vocab`` is (token, vocab_id); unknown tokens map to ``oov_id``.  The
+    classic text→tensor step before packing: posexplode keeps positions, the
+    vocabulary (small by construction — heavy-hitter truncated) joins
+    BROADCAST so the token stream never shuffles for the lookup; the only
+    shuffle is the per-doc re-assembly, map-side combined, and the ordered
+    array is rebuilt with array_sort over (pos, id) structs — no window, no
+    per-doc sort pass."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    joined = toks.join(F.broadcast(vocab), "token", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("vocab_id"), F.lit(oov_id)).cast("long").alias("tid"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+    )
+    return joined.groupBy(id_col).agg(
+        ordered.alias("token_ids"),
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tid") == oov_id).cast("long")).alias("n_oov"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
     """Append ``fp``: min md5 over all char k-grams (MinHash-style rolling
     fingerprint / winnowing-lite).  Array built-ins only: sequence of start

@@ -1253,6 +1253,68 @@ def vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.vocabulary(docs, "doc_id", "text", k=50)
 
 
+_VOCAB_K = 30  # heavy-hitter vocabulary size for the encoding gate
+
+
+@register(
+    "encode_token_ids",
+    oracle=f"""
+    WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, u['pos'] AS pos, u['tok'] AS token
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)+1),
+                                     i -> {{'pos': i, 'tok': t[i]}})) AS u
+        FROM toks0
+      )
+      WHERE u['tok'] <> ''
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS n FROM pos GROUP BY token
+    ),
+    vocab AS (
+      SELECT token, vid FROM (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) AS vid
+        FROM counts
+      ) WHERE vid <= {_VOCAB_K}
+    ),
+    enc AS (
+      SELECT p.doc_id, p.pos, COALESCE(v.vid, 0) AS tid
+      FROM pos p LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           md5(array_to_string(list(tid ORDER BY pos), ',')) AS ids_md5,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def encode_token_ids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (text → token-id tensors): top-30 heavy-hitter
+    vocabulary, every document's token sequence mapped to ids (OOV → 0)
+    with order preserved.  The gate hashes md5 of the comma-joined id
+    sequence — a drift anywhere in mapping OR order flips the digest."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    vocab = (
+        tx.vocabulary(docs, "doc_id", "text", k=_VOCAB_K)
+        .withColumn("vocab_id", F.row_number().over(w))
+        .select("token", "vocab_id")
+    )
+    enc = tx.encode_tokens(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
+            )
+        ).alias("ids_md5"),
+        "n_tokens",
+        "n_oov",
+    ).orderBy("doc_id")
+
+
 _PACK_CAPACITY = 512
 
 

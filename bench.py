@@ -66,20 +66,26 @@ def main() -> None:
         lambda it: it, "id long"
     ).collect()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fns[name](spark, SF_DIR).collect()  # warm: codegen + page cache
-        # the timed run executes a FRESH plan (re-collecting the same
+        # each timed run executes a FRESH plan (re-collecting the same
         # DataFrame would skip its completed shuffle stages — that measures
         # shuffle-file reuse, not execution), but its CONSTRUCTION stays
         # outside the timer: query functions may do bounded one-time driver
         # work while building the plan (e.g. the matmul corpus broadcast —
-        # a server does that at startup, not per request).
-        df = fns[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        rows = df.collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        del rows
+        # a server does that at startup, not per request).  min-of-N
+        # because local[32] timings drift ±25-40% under machine noise —
+        # the minimum is the steady-state execution cost.
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            df = fns[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            rows = df.collect()
+            best = min(best, time.perf_counter() - t0)
+            del rows
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -152,12 +152,18 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     )
 
 
+# broadcast envelope for the benchmark shingle set: ~64B/shingle → ~1.3 GB
+# at the cap; past it the benchmark side must be bucket-joined instead
+BENCH_MAX_SHINGLES = 20_000_000
+
+
 def contaminated_docs(
     docs: DataFrame,
     bench: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
+    max_bench_shingles: int = BENCH_MAX_SHINGLES,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing ≥1 word k-gram
     shingle with the benchmark/eval set — (id, n_hits, first_shingle).
@@ -169,11 +175,23 @@ def contaminated_docs(
     shingle stream (the big side) joins map-side with NO shuffle; the only
     shuffle is the per-doc hit aggregation, map-side combined.  Flag-don't-
     drop output: callers anti-join or filter downstream, keeping the
-    removal decision (and its audit trail) separate from detection."""
+    removal decision (and its audit trail) separate from detection.
+
+    The broadcast is ENVELOPE-GUARDED (same policy as the exact-cosine
+    tier): a benchmark whose distinct shingle set exceeds
+    ``max_bench_shingles`` raises loudly instead of OOMing executors —
+    at that size, bucket-join the two shingle streams instead."""
     corpus_sh = word_shingles(docs, id_col, text_col, k)
     bench_sh = (
         word_shingles(bench, id_col, text_col, k).select("shingle").distinct()
     )
+    n_bench = bench_sh.count()
+    if n_bench > max_bench_shingles:
+        raise ValueError(
+            f"contaminated_docs broadcasts the benchmark shingle set; "
+            f"{n_bench} distinct shingles exceeds the {max_bench_shingles} "
+            "broadcast envelope — shuffle-join the shingle streams instead"
+        )
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)

@@ -143,3 +143,15 @@ def test_duplicate_clusters_long_chain_converges(spark):
     rows = dd.duplicate_clusters(pairs, max_iters=n + 2).collect()
     assert len(rows) == n + 1
     assert all(r["cluster_rep"] == 0 and r["cluster_size"] == n + 1 for r in rows)
+
+
+def test_decontamination_broadcast_envelope(spark):
+    """The benchmark shingle broadcast must refuse loudly past its
+    envelope (same policy as the exact-cosine tier)."""
+    import pytest as _pytest
+
+    docs = _corpus(spark)
+    with _pytest.raises(ValueError, match="broadcast envelope"):
+        dd.contaminated_docs(
+            docs, docs, "doc_id", "text", max_bench_shingles=3
+        )

@@ -82,6 +82,27 @@ def test_ann_candidate_join_is_equi(spark):
     assert any(j in p for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
 
 
+def test_decontamination_broadcasts_benchmark(spark):
+    # the benchmark shingle set must broadcast: the corpus token stream
+    # never shuffles for the overlap lookup
+    p = plan_of(spark, "decontaminate_docs")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_encode_vocab_lookup_broadcasts(spark):
+    p = plan_of(spark, "encode_token_ids")
+    assert "BroadcastHashJoin" in p
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    # the scale point of pack_offsets: the running sum must be a
+    # PARTITIONED window (per-_pid cumsum + driver prefix), never a
+    # single-partition global window over the corpus
+    p = plan_of(spark, "pack_sequences").replace(" ", "")
+    assert "windowspecdefinition(_pid" in p, "global-window cumsum detected"
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(

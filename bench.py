@@ -50,6 +50,8 @@ HEADLINE = [
     "ann_lsh_auto_topk",    # ANN scale path: corpus-adaptive planes (gated)
     "ann_ivf_topk",         # IVF-flat ANN, trained quantizer (north star)
     "multimodal_image_features",  # binary media pipeline (mapInPandas)
+    "curation_pipeline",    # END-TO-END: quality → dedup → clusters →
+                            # decontaminate → sample, one composed plan
 ]
 
 

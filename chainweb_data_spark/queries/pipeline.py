@@ -1206,6 +1206,141 @@ def decontaminate_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keep the rest whole — the corpus-mixing move
 _SAMPLE_RATES = {"en": (64, 256), "fr": (128, 256)}
 
+# DuckDB token count identical to operators/text.py token_count()
+_TOKCOUNT_SQL = (
+    "CASE WHEN length(text) = 0 THEN 0 "
+    "ELSE length(text) - length(replace(text, ' ', '')) + 1 END"
+)
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE
+    corpus0 AS (SELECT * FROM documents WHERE doc_id % {_BENCH_MOD} <> 0),
+    quality AS (SELECT * FROM corpus0 WHERE {_TOKCOUNT_SQL} >= 5),
+    keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)),
+    base AS (SELECT q.* FROM quality q JOIN keep_exact USING (doc_id)),
+    btoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM base),
+    bsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-2,1)+1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM btoks
+    ),
+    sig AS (SELECT doc_id, {_minhash_cols_sql(16)} FROM bsh GROUP BY doc_id),
+    banded AS ({_band_sql(16, 4)}),
+    kept AS (
+      SELECT banded.* FROM banded
+      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) k USING (band, bucket)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM cand p
+      JOIN bsh a ON a.doc_id = p.id_a
+      JOIN bsh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    vp AS (
+      SELECT id_a, id_b FROM inter
+      JOIN szs sa ON sa.doc_id = id_a
+      JOIN szs sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION SELECT id_b, id_a FROM vp
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (
+      SELECT src AS id, least(src, MIN(dst)) AS rep FROM reach GROUP BY src
+    ),
+    nd AS (
+      SELECT * FROM base
+      WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> rep)
+    ),
+    benchtoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    benchsh AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(t)-2,1)+1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM benchtoks
+    ),
+    ndtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM nd),
+    ndsh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-2,1)+1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM ndtoks
+    ),
+    contaminated AS (
+      SELECT DISTINCT n.doc_id FROM ndsh n JOIN benchsh b USING (shingle)
+    ),
+    clean AS (
+      SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id, lang, CAST({_TOKCOUNT_SQL} AS BIGINT) AS n_tokens
+    FROM clean
+    WHERE (lang = 'en' AND md5(CAST(doc_id AS VARCHAR)) < '40')
+       OR (lang = 'fr' AND md5(CAST(doc_id AS VARCHAR)) < '80')
+       OR lang NOT IN ('en', 'fr')
+    ORDER BY doc_id
+    """,
+)
+def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: the full pass a pretraining pipeline runs, as
+    ONE composed plan — quality floor (≥5 tokens) → exact dedup (min-id per
+    content hash) → near-dup CLUSTER removal (LSH candidates → exact
+    Jaccard ≥ 0.2 → connected components, keep each component's min-id
+    rep) → benchmark decontamination (any shared 3-gram with the held-out
+    slice) → stratified sampling (en 25%, fr 50%) — emitting the surviving
+    (doc_id, lang, n_tokens) rows.  Every stage is the already-gated
+    operator; this query gates their COMPOSITION (filter ordering,
+    survivor-set handoff between stages)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus0 = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    quality = corpus0.filter(tx.token_count(F.col("text")) >= 5)
+    base = dd.dedup_exact(quality, "doc_id", "text")
+    sh = dd.word_shingles(base, "doc_id", "text", k=3).cache()
+    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = dd.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    vp = dd._jaccard_for_pairs(sh, cand, "doc_id").filter(
+        F.col("jaccard") >= 0.2
+    )
+    dropped = (
+        dd.duplicate_clusters(vp.select("id_a", "id_b"))
+        .filter(F.col("id") != F.col("cluster_rep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    nd = base.join(dropped, "doc_id", "left_anti")
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    cont = dd.contaminated_docs(nd, bench, "doc_id", "text", k=3).select(
+        "doc_id"
+    )
+    clean = nd.join(cont, "doc_id", "left_anti")
+    sampled = tx.stratified_sample(clean, "doc_id", "lang", _SAMPLE_RATES)
+    return sampled.select(
+        "doc_id",
+        "lang",
+        tx.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
 
 @register(
     "stratified_sample",

@@ -175,6 +175,10 @@ def sample_pred(id_col: Column | str, num: int, den: int = 256) -> Column:
     width = {16: 1, 256: 2, 4096: 3}[den]
     if not (0 <= num <= den):
         raise ValueError(f"num must be in [0, {den}]")
+    if num == den:
+        # full rate: format(den) would be one hex char WIDER than the
+        # digest prefix and the lexicographic compare would go wrong
+        return F.lit(True)
     threshold = format(num, f"0{width}x")
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.md5(c.cast("string")) < F.lit(threshold)

@@ -1,0 +1,101 @@
+"""Invariants of the curation operators (sampling, packing, clustering)
+that the oracle hash alone doesn't pin down: partitioning-invariance,
+sample nesting, and the two-phase cumsum's exactness against a plain
+Python prefix sum."""
+
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.operators import dedup as dd
+from chainweb_data_spark.operators import text as tx
+
+
+def _counted(spark, n=500, seed_mult=2654435761):
+    """Deterministic pseudo-random token counts, including zeros."""
+    rows = [(i, (i * seed_mult) % 97 if i % 13 else 0) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, n long"), rows
+
+
+def test_pack_offsets_is_exact_prefix_sum(spark):
+    df, rows = _counted(spark)
+    got = {
+        r["doc_id"]: (r["start_offset"], r["chunk_start"], r["chunk_end"])
+        for r in tx.pack_offsets(df, "doc_id", "n", 64).collect()
+    }
+    acc = 0
+    for i, n in rows:
+        start = acc
+        end = start + max(n, 1) - 1
+        assert got[i] == (start, start // 64, end // 64), (i, n, got[i])
+        acc += n
+    assert len(got) == len(rows)
+
+
+def test_pack_offsets_partitioning_invariant(spark):
+    """The two-phase cumsum must be a pure function of the DATA — the same
+    offsets whatever partitioning the input arrives with."""
+    df, _rows = _counted(spark, n=300)
+    a = sorted(
+        map(tuple, tx.pack_offsets(df, "doc_id", "n", 128).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            tx.pack_offsets(df.repartition(7), "doc_id", "n", 128).collect(),
+        )
+    )
+    c = sorted(
+        map(
+            tuple,
+            tx.pack_offsets(df.coalesce(1), "doc_id", "n", 128).collect(),
+        )
+    )
+    assert a == b == c
+
+
+def test_sample_pred_nesting_and_rate(spark):
+    """Deterministic samples NEST (num/256 ⊆ (num+m)/256 — the property
+    that lets a pipeline cheaply grow a sample without resampling) and hit
+    the target rate within binomial noise."""
+    df = spark.range(0, 4000).select(F.col("id"))
+    sets = {}
+    for num in (32, 64, 128, 256):
+        sets[num] = {
+            r[0] for r in df.filter(tx.sample_pred("id", num)).collect()
+        }
+    assert sets[32] <= sets[64] <= sets[128] <= sets[256]
+    assert len(sets[256]) == 4000  # num == den keeps everything
+    for num in (32, 64, 128):
+        expect = 4000 * num / 256
+        assert abs(len(sets[num]) - expect) < 4 * (expect ** 0.5) + 20
+    # deterministic: a second evaluation yields the identical set
+    again = {r[0] for r in df.filter(tx.sample_pred("id", 64)).collect()}
+    assert again == sets[64]
+
+
+def test_stratified_keeps_unlisted_strata_whole(spark):
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    out = tx.stratified_sample(df, "doc_id", "lang", {"en": (64, 256)})
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["fr"] == 100 and by_lang["de"] == 100  # kept whole
+    assert 0 < by_lang.get("en", 0) < 100  # downsampled
+
+
+def test_duplicate_clusters_partitioning_invariant(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]  # 20 two-node components
+        + [(100, 101), (101, 102), (102, 103)],  # one 4-node chain
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, dd.duplicate_clusters(pairs).collect()))
+    b = sorted(
+        map(tuple, dd.duplicate_clusters(pairs.repartition(5)).collect())
+    )
+    assert a == b
+    reps = {r for (_i, r, _s) in a}
+    assert all(r in {i for (i, _r, _s) in a} for r in reps)

@@ -775,3 +775,62 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def cluster_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    centroids: "np.ndarray | None" = None,
+    train: str = "kmeans",
+) -> DataFrame:
+    """Hard cluster assignment: every vector mapped to its most-cosine-
+    similar centroid — the IVF quantizer exposed as a first-class operator
+    (semantic clustering for corpus mixing / per-cluster sampling, the
+    companion to ``ivf_topk`` which consumes the same assignment as its
+    index).  Returns (id, cell, cosine) with cosine rounded to 6 dp BEFORE
+    the argmax (ties break to the lowest cell index) so the assignment has
+    an exact SQL oracle.
+
+    Scale shape: centroids broadcast (n_cells × dim — tiny), assignment is
+    one Arrow-batched ``mapInPandas`` pass (per-batch gemm against the
+    centroid matrix); no shuffle at all.
+    """
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    elif train == "kmeans":
+        C = ivf_train_kmeans(df, id_col, vec_col, n_cells)
+    else:
+        _cids, C = ivf_centroids(df, id_col, vec_col, n_cells)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _assign(batches):
+        CM = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            S = np.round(Q @ CM.T, 6)
+            order = np.argsort(-S, axis=1, kind="stable")
+            cell = order[:, 0]
+            rows = np.arange(len(cell))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cell.astype(np.int32),
+                    "cosine": S[rows, cell],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_assign, schema)

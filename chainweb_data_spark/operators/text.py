@@ -274,3 +274,75 @@ def fingerprint(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
         )
     )
     return df.withColumn("fp", fp)
+
+
+# PII redaction rules: (regex, replacement), applied IN ORDER — the email
+# rule must run before the bare-number rule so the local-part's digits
+# aren't chewed first.  Patterns stay inside the common Java-regex ∩ RE2
+# subset (character classes, bounded repeats, \b word boundaries; no
+# lookaround, no backreferences) so Spark's regexp_replace and any
+# RE2-based engine (DuckDB, Go) redact IDENTICALLY — cross-engine parity
+# of the scrub is itself a correctness property worth gating.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{7,}\b", "<NUM>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub email addresses, dotted-quad IPs, and long digit runs (phone /
+    account numbers) from a text column — chained JVM-side
+    ``regexp_replace`` calls, whole-stage codegen, no Python.  The
+    training-data hygiene pass every public corpus pipeline runs before
+    tokenization."""
+    out = col
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document, scored by
+    ``tf × (N / df)`` — term frequency times inverse document frequency in
+    its LINEAR form.  The classic ``tf·ln(N/df)`` ranks identically for a
+    fixed tf (ln is monotone); the linear form is chosen because every
+    arithmetic step (int multiply exact under 2^53, one IEEE division) is
+    bit-identical across engines, whereas ``ln`` is a transcendental whose
+    last ulp is libm-specific — determinism is a feature of the score.
+
+    Plan shape: one shuffle for per-doc tf, one token-keyed aggregation for
+    df, a join on token (AQE broadcasts it when the vocabulary is small;
+    at open-vocabulary scale it stays a shuffle join — do NOT force
+    broadcast, vocabularies at 100 TB don't fit), one per-doc window for
+    the top-k.  ``n_docs`` avoids the extra count job when already known.
+
+    Ties (equal score) break on token ascending — total order, so the
+    result set is engine-stable.
+    """
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "token").withColumn(
+        "score", F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )

@@ -1,0 +1,195 @@
+"""Time-series joins Spark lacks as built-ins: as-of join and a binned
+range (interval-containment) join.
+
+Both are implemented as compositions of existing DataFrame operators — no
+Python in the hot path, no cross join, no per-row UDF — so Catalyst plans
+them like any other relational query and they inherit AQE/codegen for free.
+
+**As-of join** (``asof_join``): for every left row, the newest right row of
+the same key with ``right_ts <= left_ts``.  The classic distributed form is
+the *union–sort–fill* plan: tag both sides, union them, and run ONE window
+over (key, ts) carrying the last-seen right payload forward; left rows then
+read their fill.  Cost is a single shuffle on the key plus a per-key sort —
+the same cost class as the sort-merge ASOF implementations in DuckDB /
+Pandas ``merge_asof``, but executed as an ordinary Spark window so it
+scales horizontally across keys.  (A salted rail is impossible for windows;
+for the one-hot-key case, split the time axis into buckets, window inside
+(key, bucket), and cascade each bucket's last right row into the next
+bucket via a second, tiny window over the per-bucket summaries.  Not built
+here — at the reference's shapes keys are plentiful — but the plan shape is
+documented because it is the known answer to as-of skew.)
+
+**Binned range join** (``binned_range_join``): point-in-interval joins
+(``start <= ts <= end``) naively force Spark into a broadcast-nested-loop
+or cartesian plan because there is no equality conjunct.  The standard
+scale fix is binning: quantize time into fixed-width bins, replicate every
+interval into each bin it overlaps, and equi-join on (key, bin) — the exact
+containment predicate then filters locally.  Replication factor is
+``span/bin_width + 1`` per interval and is GUARDED (``F.assert_true`` fails
+the task loudly if an interval would fan out past ``max_bins`` — the same
+cap-by-construction stance as the dedup operators' bucket caps).  Every
+qualifying (point, interval) pair materializes exactly once because a point
+lives in exactly one bin.
+
+Reference parity: the reference's only range predicates are height-window
+scans (`haskell-src/exec/Chainweb/Lookups.hs:102-139` block ranges) and the
+coin-schedule interval join (`haskell-src/exec/Chainweb/Coins.hs:148-158`),
+both of which this repo already serves via layout pruning and a broadcast
+interval join (`operators/coins.py`).  These two operators generalize that
+machinery to arbitrary-cardinality time-series — the shape a training-data
+pipeline needs for event/feature alignment (features as-of an example's
+timestamp) and windowed attribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _require_disjoint(left: DataFrame, right_cols: list[str], op: str) -> None:
+    overlap = set(left.columns) & set(right_cols)
+    if overlap:
+        raise ValueError(
+            f"{op}: output would have ambiguous column(s) {sorted(overlap)}; "
+            "rename one side before joining"
+        )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row gains the payload of the newest
+    ``right`` row with the same ``on`` key and ``right_ts <= left_ts``
+    (inclusive), or NULLs when no such row exists — the semantics of DuckDB
+    ``ASOF LEFT JOIN`` / pandas ``merge_asof(direction="backward")``.
+
+    ``tolerance_us`` — optional max age in microseconds: matches older than
+    ``left_ts - tolerance_us`` are nulled out (still left-join semantics).
+
+    Right rows must be unique per (key, ts): among ties the fill picks an
+    arbitrary one (Spark's window sort is not stable across runs), so
+    deduplicate ties deterministically first (e.g. ``max_by`` a tiebreak).
+
+    Plan shape: one shuffle of ``|left| + |right|`` rows on the key, one
+    per-key sort, zero joins.  The window's frame is rows-unbounded-
+    preceding with ``ignorenulls`` last() — an O(1)-state running fill, not
+    a re-scan per row.
+    """
+    rpay = [c for c in right.columns if c != on]
+    if right_ts not in rpay:
+        raise ValueError(f"asof_join: right side lacks ts column {right_ts!r}")
+    _require_disjoint(left, rpay, "asof_join")
+    lcols = left.columns
+
+    lstruct = F.struct(*[F.col(c) for c in lcols])
+    rstruct = F.struct(*[F.col(c) for c in rpay])
+    ltype = left.select(lstruct.alias("_l")).schema["_l"].dataType
+    rtype = right.select(rstruct.alias("_r")).schema["_r"].dataType
+
+    # tag: right rows sort BEFORE left rows at equal ts (side 0 < 1), which
+    # is exactly what makes the match inclusive (right_ts == left_ts wins)
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        lstruct.alias("_l"),
+        F.lit(None).cast(rtype).alias("_r"),
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(ltype).alias("_l"),
+        rstruct.alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l.unionByName(r)
+        .withColumn("_rf", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance_us is not None:
+        fresh = F.unix_micros(F.col("_ts")) - F.unix_micros(
+            F.col("_rf").getField(right_ts)
+        ) <= F.lit(tolerance_us)
+        filled = filled.withColumn(
+            "_rf", F.when(fresh, F.col("_rf"))  # else NULL struct
+        )
+    return filled.select(
+        *[F.col("_l").getField(c).alias(c) for c in lcols],
+        *[F.col("_rf").getField(c).alias(c) for c in rpay],
+    )
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width_us: int,
+    max_bins: int = 64,
+) -> DataFrame:
+    """Inner join of ``points`` rows onto every ``intervals`` row of the
+    same key whose ``[start_ts, end_ts]`` (inclusive both ends) contains
+    ``point_ts`` — planned as an EQUI-join, never a nested-loop.
+
+    ``bin_width_us`` sets the time-bin width; pick it near the typical
+    interval span so replication stays ~2×.  ``max_bins`` is the fan-out
+    guard: an interval spanning more than ``max_bins`` bins fails the job
+    loudly (``F.assert_true``) instead of silently exploding the shuffle —
+    degenerate "match everything" intervals are a data bug, not a plan.
+
+    Plan shape: both sides shuffle once on (key, bin); interval rows
+    replicate ``span/bin + 1`` times; the containment predicate runs as a
+    post-join filter inside the same codegen stage.  Each qualifying pair
+    appears exactly once (a point has exactly one bin).
+    """
+    ipay = [c for c in intervals.columns if c != on]
+    _require_disjoint(points, ipay, "binned_range_join")
+    w = int(bin_width_us)
+    if w <= 0:
+        raise ValueError("binned_range_join: bin_width_us must be positive")
+
+    p = points.withColumn(
+        "_bin", F.floor(F.unix_micros(F.col(point_ts)) / F.lit(w))
+    )
+    b0 = F.floor(F.unix_micros(F.col(start_ts)) / F.lit(w))
+    b1 = F.floor(F.unix_micros(F.col(end_ts)) / F.lit(w))
+    # the assert must be LOAD-BEARING or Catalyst prunes it away with the
+    # column that holds it: assert_true yields NULL on success, so folding
+    # its (always-0) value into the sequence bound forces evaluation on
+    # every interval row while changing nothing when the guard holds
+    guard = F.coalesce(
+        F.assert_true(
+            (b1 >= b0) & (b1 - b0 < F.lit(max_bins)),
+            F.concat(
+                F.lit(
+                    "binned_range_join: interval spans too many bins "
+                    f"(max_bins={max_bins}, bin_width_us={w}): "
+                ),
+                F.col(start_ts).cast("string"),
+                F.lit(" .. "),
+                F.col(end_ts).cast("string"),
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    i = intervals.withColumn("_bin", F.explode(F.sequence(b0 + guard, b1)))
+    out = p.join(i, [on, "_bin"]).filter(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return out.drop("_bin")

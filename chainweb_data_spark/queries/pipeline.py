@@ -1487,3 +1487,129 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pack_offsets(counted, "doc_id", "_n", _PACK_CAPACITY).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction, TF-IDF salience, cluster assignment (round-5 additions)
+# ---------------------------------------------------------------------------
+
+# The corpus text is synthetic words with no PII, so the query SYNTHESIZES a
+# deterministic PII suffix per doc (email + dotted-quad + account number,
+# derived from doc_id with identical string ops in both engines) and gates
+# the redaction of that.  What is being verified is cross-engine regex
+# parity of the scrub rules — Java regex (Spark) vs RE2 (DuckDB) — which is
+# exactly the property a shared-rules redaction pass must hold.
+_PII_SUFFIX_SQL = (
+    "substr(text, 1, 40) || ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com from 10.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.0.1 acct '"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 8, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    expr = "pii"
+    for pat, repl in tx.PII_RULES:
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl}', 'g')"
+    return f"""
+    WITH base AS (SELECT doc_id, {_PII_SUFFIX_SQL} AS pii FROM documents)
+    SELECT doc_id, {expr} AS redacted FROM base ORDER BY doc_id
+    """
+
+
+@register("redact_pii_docs", oracle=_pii_oracle())
+def redact_pii_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a synthesized-PII column: emails, dotted-quad IPs,
+    and ≥7-digit runs replaced by typed placeholders.  Pure chained
+    ``regexp_replace`` — whole-stage codegen, zero Python, zero shuffle;
+    the rules live in ``operators/text.py PII_RULES`` and the oracle is
+    generated from the SAME rule list (one source of truth)."""
+    docs = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 acct "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 8, "0"),
+    )
+    return (
+        docs.select("doc_id", pii.alias("pii"))
+        .select("doc_id", tx.redact_pii(F.col("pii")).alias("redacted"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      WHERE len(token) > 0 GROUP BY doc_id, token
+    ), dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+             CAST(tf AS DOUBLE) * (SELECT n_docs FROM n) / df AS score
+      FROM tf JOIN dfreq USING (token)
+    )
+    SELECT doc_id, token, tf, df, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document by tf × (N/df) — linear-
+    idf salience (engine-exact arithmetic; see operator docstring for why
+    linear beats ln here).  The df relation joins WITHOUT a forced
+    broadcast: at open-vocabulary scale it must stay a shuffle join, and
+    AQE broadcasts it when it is actually small."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tx.tfidf_topk_terms(docs, "doc_id", "text", k=3)
+        .withColumn("rank", F.col("rank").cast("long"))
+        .orderBy("doc_id", "rank")
+    )
+
+
+def _cluster_assign_oracle() -> str:
+    return f"""
+    WITH {_ivf_cent_cte(_IVF_CELLS)},
+    sims AS (
+      SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT vec_id, cell, s AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+      FROM sims
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """
+
+
+@register("embed_cluster_assign", oracle=_cluster_assign_oracle())
+def embed_cluster_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster assignment: each embedding mapped to its nearest
+    trained k-means centroid (the IVF quantizer as a first-class corpus-
+    organization operator — per-cluster sampling / mixing / dedup all hang
+    off this).  Centroids are the SAME deterministic trained set the gated
+    ``ann_ivf_topk`` uses, so the oracle embeds them as literals; the
+    Spark path is one broadcast + one Arrow-batched pass, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if _IVF_CENTROIDS is not None:
+        return sim.cluster_assign(
+            emb, "vec_id", "embedding", centroids=_IVF_CENTROIDS
+        ).orderBy("vec_id")
+    return sim.cluster_assign(
+        emb, "vec_id", "embedding", n_cells=_IVF_CELLS, train="lowest-id"
+    ).orderBy("vec_id")

@@ -1,0 +1,81 @@
+"""Round-5 text/similarity extras: PII redaction rules, tf×(N/df) term
+salience, and hard cluster assignment against a numpy reference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.operators import similarity as sim
+from chainweb_data_spark.operators import text as tx
+
+
+def test_redact_pii_rules(spark):
+    rows = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "from 192.168.0.1 port 80"),
+            (3, "acct 12345678 and 123456 stay-short"),
+            (4, "x1.2.3.4y glued digits a123456789b"),
+            (5, "clean text only"),
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["red"]
+        for r in rows.select(
+            "id", tx.redact_pii(F.col("t")).alias("red")
+        ).collect()
+    }
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "from <IP> port 80"
+    # 7+ digit runs redact; 6-digit stays
+    assert got[3] == "acct <NUM> and 123456 stay-short"
+    # \b guards: digits glued to letters are not standalone numbers/IPs
+    assert got[4] == "x1.2.3.4y glued digits a123456789b"
+    assert got[5] == "clean text only"
+
+
+def test_tfidf_topk_terms_small(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "id long, text string",
+    )
+    out = tx.tfidf_topk_terms(docs, "id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append((r["rank"], r["token"], r["score"]))
+    # doc 1: apple tf=2 df=1 → 2*3/1=6; banana tf=1 df=2 → 1.5; common 1.0
+    assert sorted(by_doc[1])[0] == (1, "apple", 6.0)
+    assert sorted(by_doc[1])[1] == (2, "banana", 1.5)
+    # doc 3: cherry tf=3 df=2 → 4.5 beats common (1.0)
+    assert sorted(by_doc[3])[0] == (1, "cherry", 4.5)
+    # every doc got exactly k rows (k=2 here, all have ≥2 distinct tokens)
+    assert {len(v) for v in by_doc.values()} == {2}
+
+
+def test_cluster_assign_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    C = rng.normal(size=(4, 8))
+    X = rng.normal(size=(40, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["cosine"])
+        for r in sim.cluster_assign(
+            df, "vec_id", "embedding", centroids=C
+        ).collect()
+    }
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = np.round(Xn @ Cn.T, 6)
+    for i in range(len(X)):
+        cell = int(np.argmax(S[i]))  # ties impossible at random doubles
+        assert got[i][0] == cell
+        assert got[i][1] == pytest.approx(S[i, cell], abs=0)
+    assert len(got) == len(X)

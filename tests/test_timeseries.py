@@ -1,0 +1,180 @@
+"""Time-series joins (operators/timeseries.py): as-of semantics against a
+brute-force reference, inclusive boundaries, tolerance nulling, the binned
+range join's exact-once pair guarantee across bin boundaries, the fan-out
+guard, and plan-shape assertions (as-of has no join node; the range join is
+an equi-join, never a nested loop)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.operators.timeseries import asof_join, binned_range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "l-a"),
+            (1, _ts(20), "l-b"),
+            (1, _ts(5), "l-early"),   # before any right row
+            (2, _ts(30), "l-c"),
+            (3, _ts(30), "l-lonely"),  # key with no right rows at all
+        ],
+        "k long, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(10), 100.0),  # ties l-a's ts exactly → inclusive match
+            (1, _ts(15), 150.0),
+            (2, _ts(1), 210.0),
+            (2, _ts(29), 290.0),
+        ],
+        "k long, rts timestamp, rval double",
+    )
+    return left.cache(), right.cache()
+
+
+def test_asof_backward_inclusive(spark, frames):
+    left, right = frames
+    out = {
+        r["lval"]: (r["rval"], r["rts"])
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    assert out["l-a"] == (100.0, _ts(10))      # equality is inclusive
+    assert out["l-b"] == (150.0, _ts(15))      # newest ≤ ts wins
+    assert out["l-early"] == (None, None)      # nothing at or before
+    assert out["l-c"] == (290.0, _ts(29))
+    assert out["l-lonely"] == (None, None)     # left-join semantics
+    assert len(out) == 5
+
+
+def test_asof_tolerance(spark, frames):
+    left, right = frames
+    out = {
+        r["lval"]: r["rval"]
+        for r in asof_join(
+            left, right, "k", "ts", "rts", tolerance_us=5 * 60 * 1_000_000
+        ).collect()
+    }
+    assert out["l-a"] == 100.0      # age 0 ≤ 5 min
+    assert out["l-b"] == 150.0      # age exactly 5 min — inclusive
+    assert out["l-c"] == 290.0      # age 1 min — fresh
+    assert out["l-early"] is None   # no match at all stays null
+
+
+def test_asof_tolerance_nulls_stale(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(100), "x")], "k long, ts timestamp, lval string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0)], "k long, rts timestamp, rval double"
+    )
+    fresh = asof_join(
+        left, right, "k", "ts", "rts", tolerance_us=91 * 60 * 1_000_000
+    ).collect()[0]
+    stale = asof_join(
+        left, right, "k", "ts", "rts", tolerance_us=89 * 60 * 1_000_000
+    ).collect()[0]
+    assert fresh["rval"] == 1.0
+    assert stale["rval"] is None and stale["lval"] == "x"
+
+
+def test_asof_rejects_ambiguous_columns(spark, frames):
+    left, right = frames
+    bad_right = right.withColumnRenamed("rval", "lval")
+    with pytest.raises(ValueError, match="ambiguous"):
+        asof_join(left, bad_right, "k", "ts", "rts")
+
+
+def test_asof_plan_has_no_join(spark, frames):
+    left, right = frames
+    plan = asof_join(left, right, "k", "ts", "rts")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union–sort–fill: window only, no join operator
+
+
+def test_range_join_matches_bruteforce_and_exact_once(spark):
+    # intervals spanning multiple bins; duplicates would show up if an
+    # interval's replicas each matched the same point
+    points = spark.createDataFrame(
+        [(k, i, _ts(i * 7)) for k in (1, 2) for i in range(40)],
+        "k long, pid long, pts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, 100, _ts(0), _ts(60)),     # spans 3 bins at 30min width
+            (1, 101, _ts(50), _ts(55)),
+            (2, 200, _ts(140), _ts(141)),
+            (2, 201, _ts(300), _ts(400)),  # beyond all points
+        ],
+        "k long, iid long, istart timestamp, iend timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_range_join(
+            points, intervals, "k", "pts", "istart", "iend",
+            bin_width_us=30 * 60 * 1_000_000,
+        ).collect()
+    )
+    expect = sorted(
+        (p, i)
+        for (pk, p, pt) in [(r["k"], r["pid"], r["pts"]) for r in points.collect()]
+        for (ik, i, s, e) in [
+            (r["k"], r["iid"], r["istart"], r["iend"]) for r in intervals.collect()
+        ]
+        if pk == ik and s <= pt <= e
+    )
+    assert got == expect
+    assert len(got) == len(set(got))  # exact-once per qualifying pair
+
+
+def test_range_join_boundary_inclusive(spark):
+    points = spark.createDataFrame(
+        [(1, 1, _ts(0)), (1, 2, _ts(30))], "k long, pid long, pts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 9, _ts(0), _ts(30))], "k long, iid long, istart timestamp, iend timestamp"
+    )
+    got = binned_range_join(
+        points, intervals, "k", "pts", "istart", "iend",
+        bin_width_us=60 * 1_000_000,
+    ).count()
+    assert got == 2  # both endpoints inclusive
+
+
+def test_range_join_fanout_guard(spark):
+    points = spark.createDataFrame(
+        [(1, 1, _ts(0))], "k long, pid long, pts timestamp"
+    )
+    wide = spark.createDataFrame(
+        [(1, 9, _ts(0), _ts(10_000))],
+        "k long, iid long, istart timestamp, iend timestamp",
+    )
+    with pytest.raises(Exception, match="spans too many bins"):
+        binned_range_join(
+            points, wide, "k", "pts", "istart", "iend",
+            bin_width_us=60 * 1_000_000, max_bins=8,
+        ).collect()
+
+
+def test_range_join_plan_is_equi_join(spark):
+    points = spark.createDataFrame(
+        [(1, 1, _ts(0))], "k long, pid long, pts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 9, _ts(0), _ts(30))],
+        "k long, iid long, istart timestamp, iend timestamp",
+    )
+    plan = binned_range_join(
+        points, intervals, "k", "pts", "istart", "iend",
+        bin_width_us=60 * 1_000_000,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

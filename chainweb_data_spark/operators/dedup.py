@@ -72,6 +72,16 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     O(n_words²) parses per doc.  Materializing drops it to one split per
     doc (measured 1.79s → 0.80s at sf0.1).
     """
+    # KEEP the generator input as the inline expression, NOT an aliased
+    # array column: explode over a plain attribute triggers
+    # InferFiltersFromGenerate, whose size(_sh) > 0 filter then pushes
+    # through the projection and re-inlines the whole tokenize+shingle
+    # expression — every doc shingled twice (measured 2.8× on the
+    # decontamination consumer).  The rule skips expensive generator
+    # inputs, so the fused form below stays single-evaluation.  When you
+    # already HOLD a materialized array relation (cache of
+    # :func:`shingle_set_arrays`), exploding the attribute is fine — the
+    # inferred filter reads the materialized array.
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     toks = F.col("_toks")
     n = F.size(toks)
@@ -83,6 +93,37 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     # a (doc, shingle) pair is unique by construction, so no shuffle-distinct
     return base.select(
         F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
+
+
+def shingle_set_arrays(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, _sh: array of distinct word k-gram shingles) — the ARRAY form
+    of :func:`word_shingles`, computed entirely row-local (no explode, no
+    shuffle).  Consumers that need the relational form explode ``_sh``;
+    consumers that need per-pair set algebra (exact Jaccard verification)
+    join these rows directly and intersect in codegen, skipping the
+    fold-back-into-arrays groupBy a relational input would force.
+
+    Deliberately emits ONLY the array — no derived columns.  A sibling
+    ``size(_sh)`` column here would make CollapseProject inline the whole
+    tokenize+shingle+distinct expression a second time (Catalyst has no
+    CSE across a projection's aliases — the same trap documented on
+    ``word_shingles``; measured 3× on the decontamination consumer).
+    Derive sizes AFTER materializing (cache) with ``F.size`` — see
+    :func:`jaccard_for_pairs_sets`."""
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    # per-doc dedup happens row-local (array_distinct) — a (doc, shingle)
+    # pair is unique by construction, so no shuffle-distinct downstream
+    return base.select(
+        F.col(id_col), F.array_distinct(shingles).alias("_sh")
     )
 
 
@@ -328,18 +369,50 @@ def minhash_dedup_pairs(
 
 
 def _jaccard_for_pairs(shingled: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
-    sh_a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    """Exact Jaccard for an explicit candidate-pair list.
+
+    Shape: fold each doc's (already-distinct) shingle rows into ONE array
+    row, equi-join the pair list against it twice, and take
+    ``size(array_intersect(a, b))`` inside codegen.  Versus the previous
+    expand-and-count plan (pairs × shingles row explosion through a
+    groupBy), this ships the same bytes (each doc's shingles once per pair
+    it appears in) but as Tungsten-packed arrays with no 10⁶-row hash
+    aggregate.  Work remains O(candidate pairs × doc size); the LSH caps
+    bound how often one hot doc's array is replicated.
+
+    Callers that still hold the source documents should prefer
+    :func:`jaccard_for_pairs_sets` with :func:`shingle_set_arrays` — same
+    join shape without this fold-back groupBy."""
+    sets_ = shingled.groupBy(id_col).agg(
+        F.collect_list("shingle").alias("_sh")
     )
+    return jaccard_for_pairs_sets(sets_, pairs, id_col)
+
+
+def jaccard_for_pairs_sets(
+    sets_: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for (id_a, id_b) candidate pairs against a
+    (id, _sh array) shingle-set relation (see :func:`shingle_set_arrays`):
+    two equi-joins + one codegen'd ``array_intersect`` per pair — no row
+    explosion, no aggregate.  Set sizes are derived with ``F.size`` on the
+    joined arrays, which is why callers should CACHE ``sets_``: on a
+    materialized array, size() is an O(1) header read; on a raw plan it
+    would re-inline the shingle expression (the CollapseProject/no-CSE
+    trap noted on :func:`shingle_set_arrays`)."""
+    a = sets_.select(
+        F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")
+    )
+    b = sets_.select(
+        F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")
+    )
+    n_inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", n_inter)
+        .withColumn("n_a", F.size(F.col("_sa")))
+        .withColumn("n_b", F.size(F.col("_sb")))
         .select(
             "id_a",
             "id_b",

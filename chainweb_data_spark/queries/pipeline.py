@@ -184,12 +184,13 @@ def minhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the end-to-end dedup job a curation pipeline schedules;
     the jaccard is an exact rational, engine-stable at any threshold."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dd.word_shingles(docs, "doc_id", "text", k=3).cache()
+    sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
+    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
     sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )
-    jac = dd._jaccard_for_pairs(sh, cand, "doc_id")
+    jac = dd.jaccard_for_pairs_sets(sets_, cand, "doc_id")
     return jac.filter(F.col("jaccard") >= 0.2).orderBy("id_a", "id_b")
 
 
@@ -251,12 +252,13 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join + map-combined min); the oracle states the same fixpoint as
     a recursive transitive-closure CTE."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dd.word_shingles(docs, "doc_id", "text", k=3).cache()
+    sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
+    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
     sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )
-    vp = dd._jaccard_for_pairs(sh, cand, "doc_id").filter(
+    vp = dd.jaccard_for_pairs_sets(sets_, cand, "doc_id").filter(
         F.col("jaccard") >= 0.2
     )
     return dd.duplicate_clusters(vp.select("id_a", "id_b")).orderBy("id")
@@ -1315,12 +1317,13 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus0 = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
     quality = corpus0.filter(tx.token_count(F.col("text")) >= 5)
     base = dd.dedup_exact(quality, "doc_id", "text")
-    sh = dd.word_shingles(base, "doc_id", "text", k=3).cache()
+    sets_ = dd.shingle_set_arrays(base, "doc_id", "text", k=3).cache()
+    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
     sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )
-    vp = dd._jaccard_for_pairs(sh, cand, "doc_id").filter(
+    vp = dd.jaccard_for_pairs_sets(sets_, cand, "doc_id").filter(
         F.col("jaccard") >= 0.2
     )
     dropped = (

@@ -52,6 +52,10 @@ HEADLINE = [
     "multimodal_image_features",  # binary media pipeline (mapInPandas)
     "curation_pipeline",    # END-TO-END: quality → dedup → clusters →
                             # decontaminate → sample, one composed plan
+    "asof_join_orders",     # as-of join (union–sort–fill, no join node)
+    "range_join_orders",    # interval join as binned equi-join
+    "dup_spans_docs",       # repeated-substring span flagging (C4 trim)
+    "tfidf_top_terms",      # per-doc term salience (tf × N/df)
 ]
 
 

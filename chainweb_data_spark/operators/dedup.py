@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -655,3 +656,91 @@ def simhash_near_pairs(
         "id_b",
         F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# duplicate-span detection: broadcast envelope for the hot-gram set (same
+# policy as contaminated_docs' benchmark shingles — boilerplate has few
+# DISTINCT forms even in a huge corpus, but the guard refuses loudly
+# rather than OOM if that assumption breaks)
+HOT_GRAM_MAX = 2_000_000
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 2,
+    max_hot_grams: int = HOT_GRAM_MAX,
+) -> DataFrame:
+    """Repeated-substring spans: maximal token ranges of each document
+    covered by word ``k``-grams that appear in ≥ ``min_df`` documents —
+    the span-level primitive of C4/RefinedWeb-style boilerplate removal
+    (the reference pipelines drop or trim these spans; this operator
+    FLAGS them, keeping removal a separate decision like
+    ``contaminated_docs``).
+
+    Returns (id, span_start, span_end, n_grams): token offsets, 0-based,
+    end exclusive; overlapping/adjacent gram hits merge into one span.
+
+    Plan shape: positional grams are row-local (inline generator — the
+    same InferFiltersFromGenerate trap as ``word_shingles`` applies, so
+    the expression stays fused); gram document-frequency is one shuffle;
+    the hot-gram set (df ≥ min_df) is BROADCAST under an enforced
+    ``max_hot_grams`` envelope, so flagging the corpus is a map-side
+    semi-join; span merging is a per-doc window (interval-merge via
+    running max-end) + one aggregation — everything shuffles on the doc
+    id, never on pairs.
+    """
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    grams_arr = F.when(
+        n - (k - 1) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        F.col(id_col), F.posexplode(grams_arr).alias("pos", "gram")
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("gram")
+    )
+    n_hot = hot.count()
+    if n_hot > max_hot_grams:
+        raise ValueError(
+            f"duplicate_spans broadcasts the hot-gram set; {n_hot} grams "
+            f"exceeds the {max_hot_grams} envelope — raise min_df or "
+            "semi-join the gram streams instead"
+        )
+    hits = grams.join(F.broadcast(hot), "gram").select(id_col, "pos")
+
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w_prev)
+    flagged = hits.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("_sid", F.sum("_new").over(w_run))
+    return (
+        flagged.groupBy(id_col, "_sid")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("_sid")
+    )

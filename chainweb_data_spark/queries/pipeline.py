@@ -1616,3 +1616,53 @@ def embed_cluster_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cluster_assign(
         emb, "vec_id", "embedding", n_cells=_IVF_CELLS, train="lowest-id"
     ).orderBy("vec_id")
+
+
+@register(
+    "dup_spans_docs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+    ),
+    hot AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM grams JOIN hot USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS _new
+      FROM hits
+    ),
+    sess AS (
+      SELECT doc_id, pos,
+             SUM(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS _sid
+      FROM flagged
+    )
+    SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end,
+           COUNT(*) AS n_grams
+    FROM sess GROUP BY doc_id, _sid
+    ORDER BY doc_id, span_start
+    """,
+)
+def dup_spans_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring spans (word 8-grams shared by ≥2 docs, merged
+    into maximal token ranges) — the span-level boilerplate-removal
+    primitive (C4/RefinedWeb trim step), flag-don't-drop like
+    ``decontaminate_docs``.  Hot grams broadcast under an enforced
+    envelope; span merging is a per-doc interval-merge window."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.duplicate_spans(docs, "doc_id", "text", k=8, min_df=2).orderBy(
+        "doc_id", "span_start"
+    )

@@ -79,3 +79,57 @@ def test_cluster_assign_matches_numpy(spark):
         assert got[i][0] == cell
         assert got[i][1] == pytest.approx(S[i, cell], abs=0)
     assert len(got) == len(X)
+
+
+def test_duplicate_spans_merging(spark):
+    from chainweb_data_spark.operators.dedup import duplicate_spans
+
+    # docs 1 and 2 share two disjoint 4-grams; doc 3 shares nothing
+    docs = spark.createDataFrame(
+        [
+            # shared gram "w1 w2 w3 w4" at pos 2; shared "w7 w8 w9 w10" at pos 8
+            (1, "x1 x2 w1 w2 w3 w4 x3 x4 w7 w8 w9 w10 x5"),
+            (2, "w1 w2 w3 w4 gap1 gap2 w7 w8 w9 w10"),
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_grams"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=4, min_df=2).collect()
+    }
+    # doc 1: spans [2,6) and [8,12); doc 2: [0,4) and [6,10); doc 3: none
+    assert out[(1, 2)] == (6, 1)
+    assert out[(1, 8)] == (12, 1)
+    assert out[(2, 0)] == (4, 1)
+    assert out[(2, 6)] == (10, 1)
+    assert not any(k[0] == 3 for k in out)
+
+
+def test_duplicate_spans_overlap_merges(spark):
+    from chainweb_data_spark.operators.dedup import duplicate_spans
+
+    # overlapping hits: docs share a 5-token run → two overlapping 4-grams
+    docs = spark.createDataFrame(
+        [
+            (1, "p q w1 w2 w3 w4 w5 r s"),
+            (2, "w1 w2 w3 w4 w5"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(docs, "doc_id", "text", k=4, min_df=2).collect()
+    spans = {(r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"] for r in rows}
+    # doc 1: grams at pos 2 and 3 merge into [2, 7); doc 2: [0, 5)
+    assert spans[(1, 2, 7)] == 2
+    assert spans[(2, 0, 5)] == 2
+    assert len(spans) == 2
+
+
+def test_duplicate_spans_envelope_guard(spark):
+    from chainweb_data_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="envelope"):
+        duplicate_spans(docs, "doc_id", "text", k=4, min_df=2, max_hot_grams=1)

@@ -233,3 +233,125 @@ def windowed_counts_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment (the stream twin of operators/timeseries.py
+# asof_join: facts take the newest dimension row at-or-before their time)
+# ---------------------------------------------------------------------------
+
+
+def advance_asof(
+    last_dim: tuple[int, float] | None,
+    rows: list[tuple[int, int, int, float]],
+) -> tuple[list[tuple[int, int, tuple[int, float] | None]], tuple[int, float] | None]:
+    """The as-of enrichment state transition, as a pure function (property-
+    tested without Spark): fold one batch of per-key rows
+    ``(us, side, fact_id, dim_val)`` — side 0 = dimension update, side 1 =
+    fact — through the (dim_us, dim_val) last-seen state.  Rows replay in
+    (us, side) order, dims-first on ties, mirroring the batch operator's
+    inclusive-equality sort.  Emits ``(fact_id, fact_us, matched_dim)`` per
+    fact, where the match is the newest dim AT OR BEFORE the fact
+    (``dim_us <= fact_us``); a fact older than everything in state matches
+    None rather than a future dim — state keeps only the newest dim, so
+    as-of correctness for LATE facts needs the feed per-key
+    batch-monotonic (the same stated requirement as ``sessionize_stream``;
+    out-of-order feeds reorder upstream with a watermark + sort).
+    Composable: folding one batch equals folding any batch-split of it on
+    a monotonic feed."""
+    out: list[tuple[int, int, tuple[int, float] | None]] = []
+    for us, side, fid, dv in sorted(rows, key=lambda r: (r[0], r[1])):
+        if side == 0:
+            if last_dim is None or us >= last_dim[0]:
+                last_dim = (us, dv)
+        else:
+            match = last_dim if last_dim is not None and last_dim[0] <= us else None
+            out.append((fid, us, match))
+    return out, last_dim
+
+
+_ASOF_OUT = "{key} long, fact_id long, fact_us long, dim_us long, dim_val double"
+_ASOF_STATE = "dim_us long, dim_val double"
+
+
+def enrich_asof_stream(
+    facts: DataFrame,
+    dims: DataFrame,
+    key_col: str = "k",
+    us_col: str = "us",
+    fact_id_col: str = "fact_id",
+    val_col: str = "dim_val",
+) -> DataFrame:
+    """Continuously enrich a fact stream with the latest dimension row per
+    key — the streaming form of ``operators/timeseries.py asof_join`` and
+    the stock "join events to the slowly-changing dim" production pattern
+    Structured Streaming's stream-stream join cannot express without a
+    time-bounded buffer on BOTH sides.
+
+    Both inputs are streaming DataFrames: ``facts`` (key, us, fact_id) and
+    ``dims`` (key, us, dim_val).  They union with a side tag and group by
+    key; ``applyInPandasWithState`` replays each batch in (us, side) order
+    through an O(1) per-key state (the newest dim), emitting one enriched
+    row per fact (dim columns NULL when nothing is at-or-before it).
+
+    Scale shape: one shuffle on the key, 2 scalars of state per key —
+    state size is O(n_keys) forever, unlike a stream-stream join whose
+    buffer grows with the watermark horizon × event rate."""
+    out_schema = _ASOF_OUT.format(key=key_col)
+
+    tagged = facts.select(
+        F.col(key_col),
+        F.col(us_col).alias("_us"),
+        F.lit(1).alias("_side"),
+        F.col(fact_id_col).alias("_fid"),
+        F.lit(None).cast("double").alias("_dv"),
+    ).unionByName(
+        dims.select(
+            F.col(key_col),
+            F.col(us_col).alias("_us"),
+            F.lit(0).alias("_side"),
+            F.lit(None).cast("long").alias("_fid"),
+            F.col(val_col).alias("_dv"),
+        )
+    )
+
+    def _fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_dim = tuple(state.get) if state.exists else None
+        rows: list[tuple[int, int, int, float]] = []
+        for pdf in pdfs:
+            for us, side, fid, dv in zip(
+                pdf["_us"], pdf["_side"], pdf["_fid"], pdf["_dv"]
+            ):
+                rows.append(
+                    (
+                        int(us),
+                        int(side),
+                        -1 if pd.isna(fid) else int(fid),
+                        float("nan") if pd.isna(dv) else float(dv),
+                    )
+                )
+        out, last_dim = advance_asof(last_dim, rows)
+        if last_dim is not None:
+            state.update(last_dim)
+        if out:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out),
+                    "fact_id": [o[0] for o in out],
+                    "fact_us": [o[1] for o in out],
+                    "dim_us": [o[2][0] if o[2] else None for o in out],
+                    "dim_val": [o[2][1] if o[2] else None for o in out],
+                }
+            )
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -253,3 +253,122 @@ def test_windowed_counts_sink_persists_and_replay_is_noop(
     n_before = spark.read.parquet(out).count()
     run("b")  # fresh checkpoint: full re-emission, merged away
     assert spark.read.parquet(out).count() == n_before
+
+
+# ---------------------------------------------------------------------------
+# streaming as-of enrichment
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # side weight source
+            st.integers(0, 10**6),      # fact id / dim val seed
+        ),
+        max_size=40,
+    ),
+    split=st.integers(0, 40),
+)
+@settings(max_examples=200, deadline=None)
+def test_advance_asof_batch_split_composability(rows, split):
+    from chainweb_data_spark.streaming.stateful import advance_asof
+
+    # strictly increasing timestamps: the monotonic-feed contract under
+    # which batch-splitting anywhere must not change the result
+    feed = [
+        (BASE + i * US, 0 if s == 0 else 1, seed, float(seed) / 3.0)
+        for i, (s, seed) in enumerate(rows)
+    ]
+    one_out, one_state = advance_asof(None, feed)
+    split = min(split, len(feed))
+    a_out, mid = advance_asof(None, feed[:split])
+    b_out, two_state = advance_asof(mid, feed[split:])
+    assert one_out == a_out + b_out
+    assert one_state == two_state
+
+
+def test_advance_asof_semantics():
+    from chainweb_data_spark.streaming.stateful import advance_asof
+
+    t = lambda m: BASE + m * MIN
+    # dim at t0; fact at t0 (tie → inclusive match); fact before any dim;
+    # stale dim update ignored; late fact older than state matches None
+    out, state = advance_asof(
+        None,
+        [
+            (t(0), 1, 7, float("nan")),   # fact before any dim → None
+            (t(0), 0, -1, 1.0),           # dim at the same us → processed first
+            (t(5), 0, -1, 2.0),
+            (t(6), 1, 8, float("nan")),   # → dim 2.0
+        ],
+    )
+    # the t(0) fact ties with the t(0) dim: dims sort first → inclusive
+    assert out == [(7, t(0), (t(0), 1.0)), (8, t(6), (t(5), 2.0))]
+    assert state == (t(5), 2.0)
+    # stale dim (older than state) is ignored; late fact gets None
+    out2, state2 = advance_asof(state, [(t(1), 0, -1, 9.0), (t(2), 1, 9, 0.0)])
+    assert state2 == (t(5), 2.0)
+    assert out2 == [(9, t(2), None)]
+
+
+def _write_asof_feed(tmp, name, batches, fields):
+    feed = os.path.join(tmp, name)
+    os.makedirs(feed, exist_ok=True)
+    for i, rows in enumerate(batches):
+        path = os.path.join(feed, f"b{i:03d}.json")
+        with open(path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(dict(zip(fields, row))) + "\n")
+        t = 1_700_000_000 + i * 10
+        os.utime(path, (t, t))
+    return feed
+
+
+def test_enrich_asof_stream_cross_batch(spark, tmp_path):
+    from chainweb_data_spark.streaming.stateful import enrich_asof_stream
+
+    t = lambda m: BASE + m * MIN
+    dims_feed = _write_asof_feed(
+        str(tmp_path),
+        "dims",
+        [
+            [(1, t(0), 10.0), (2, t(0), 20.0)],
+            [(1, t(5), 11.0)],
+        ],
+        ("k", "us", "dim_val"),
+    )
+    facts_feed = _write_asof_feed(
+        str(tmp_path),
+        "facts",
+        [
+            [(1, t(1), 100)],
+            [(1, t(4), 102), (1, t(6), 101), (2, t(6), 200), (3, t(6), 300)],
+        ],
+        ("k", "us", "fact_id"),
+    )
+    facts = (
+        spark.readStream.schema("k long, us long, fact_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(facts_feed)
+    )
+    dims = (
+        spark.readStream.schema("k long, us long, dim_val double")
+        .option("maxFilesPerTrigger", 1)
+        .json(dims_feed)
+    )
+    out = enrich_asof_stream(facts, dims, key_col="k")
+    _run_to_memory(out, "asof_stream")
+    got = sorted(
+        (r["k"], r["fact_id"], r["fact_us"], r["dim_us"], r["dim_val"])
+        for r in spark.table("asof_stream").collect()
+    )
+    assert got == sorted(
+        [
+            (1, 100, t(1), t(0), 10.0),   # batch-0 dim, batch-0 fact
+            (1, 102, t(4), t(0), 10.0),   # in-batch replay: before the t5 dim
+            (1, 101, t(6), t(5), 11.0),   # same-batch dim update applies
+            (2, 200, t(6), t(0), 20.0),   # dim carried ACROSS batches in state
+            (3, 300, t(6), None, None),   # no dim ever → left semantics
+        ]
+    )

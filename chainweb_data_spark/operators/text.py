@@ -346,3 +346,13 @@ def tfidf_topk_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "df", "score", "rank")
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonicalize text for dedup/fingerprinting: lowercase, collapse any
+    whitespace run to one space, trim.  Pure JVM-side built-ins (codegen);
+    the regex stays in the Java-regex ∩ RE2 subset so any SQL engine
+    normalizes identically.  This is the pre-hash step real curation
+    pipelines apply so trivially-reformatted copies (case, spacing) fall
+    into the same exact-dedup bucket."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))

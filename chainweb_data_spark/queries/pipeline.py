@@ -1666,3 +1666,90 @@ def dup_spans_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_spans(docs, "doc_id", "text", k=8, min_df=2).orderBy(
         "doc_id", "span_start"
     )
+
+
+_NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_VARIANT_OFFSET = 1_000_000
+
+
+@register(
+    "dedup_normalized_docs",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {_VARIANT_OFFSET},
+             upper(replace(text, ' ', '  ')) AS text
+      FROM documents
+    )
+    SELECT md5({_NORM_SQL}) AS content_hash, COUNT(*) AS n_dups,
+           MIN(doc_id) AS keep_id
+    FROM u GROUP BY content_hash HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+)
+def dedup_normalized_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: trivially-reformatted copies
+    (case, whitespace) hash into the same group after ``normalize_text``
+    (lowercase + whitespace collapse + trim).  The fixture has no such
+    variants, so the query SYNTHESIZES one per doc (uppercased, spaces
+    doubled — identical construction in the oracle): every group must come
+    out exactly (original, variant), which gates the normalization
+    semantics themselves cross-engine.  Pure codegen + one hash-groupBy —
+    the same scale shape as ``dedup_exact_docs``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.select(
+        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+        F.upper(F.replace(F.col("text"), F.lit(" "), F.lit("  "))).alias("text"),
+    )
+    u = docs.unionByName(variants)
+    return (
+        u.select(
+            F.md5(tx.normalize_text(F.col("text"))).alias("content_hash"),
+            "doc_id",
+        )
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("content_hash")
+    )
+
+
+@register(
+    "embed_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE vp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION SELECT id_b, id_a FROM vp
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (
+      SELECT src AS id, least(src, MIN(dst)) AS cluster_rep
+      FROM reach GROUP BY src
+    ),
+    cs AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_rep)
+    SELECT l.id, l.cluster_rep, cs.cluster_size
+    FROM lab l JOIN cs USING (cluster_rep)
+    ORDER BY id
+    """,
+)
+def embed_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate CLUSTERS: connected components over the
+    embedding-cosine near-dup pair list (≥ 0.45), min-id representative
+    per component — ``dedup_clusters`` with the similarity signal swapped
+    from lexical MinHash to embeddings; the same min-label propagation
+    consumes either pair source unchanged (the operator boundary a
+    pipeline actually wants)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vp = sim.near_dup_pairs_matmul(emb, "vec_id", "embedding", 0.45)
+    return dd.duplicate_clusters(vp.select("id_a", "id_b")).orderBy("id")

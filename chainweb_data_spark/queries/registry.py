@@ -62,18 +62,26 @@ def register(name: str, oracle: str | None = None):
 # 1. the 14 cw_* chainweb domain queries (the reference's own endpoint
 #    semantics — always gated),
 # 2. every testdata query that is the sole gate for a SURVEY §2 operator ID,
-# 3. the 16 pipeline (dedup/similarity/text/multimodal) queries — including
+# 3. the 15 pipeline (dedup/similarity/text/multimodal) queries — including
 #    ann_lsh_auto_topk, the corpus-adaptive ANN plan (the 100× configuration),
-#    which took the gate slot offset_page held through round 4.
+#    which took the gate slot offset_page held through round 4,
+# 4. the two round-5 time-series join operators (asof_join_orders,
+#    range_join_orders — new operator FAMILIES, which is worth more gate
+#    information than a second gate on an already-gated family; they took
+#    the slots of global_max, redundant with cw_stats for A2, and
+#    dedup_exact_props, redundant with dedup_exact_docs for exact dedup).
 # Exactly 50.  The tail (registered after these, driver-ungated but
 # pytest-covered, each still oracle-hash-checked locally) holds redundant
 # analogs whose §2 IDs are gated elsewhere (O2 via cw_recent_txs, A4 via
-# cw_stats), offset_page (O4 — compat-only and documented-discouraged; its
-# keyset twin stays gated), beyond-reference extras (recent_events,
-# stats_counts, distinct_users, rollup_pricing, pivot_event_counts,
-# sessionization, session_window_agg, doc_length_quantiles, doc_repetition,
-# text_gopher_quality, ann_ivf_topk), Spark-4-native twins of gated
-# queries (cw_continuation_history_rcte — native WITH RECURSIVE;
+# cw_stats, A2 via cw_stats, exact dedup via dedup_exact_docs),
+# offset_page (O4 — compat-only and documented-discouraged; its keyset
+# twin stays gated), beyond-reference extras (recent_events, stats_counts,
+# distinct_users, rollup_pricing, pivot_event_counts, sessionization,
+# session_window_agg, doc_length_quantiles, doc_repetition,
+# text_gopher_quality, ann_ivf_topk, redact_pii_docs, tfidf_top_terms,
+# dup_spans_docs, embed_cluster_assign, dedup_normalized_docs,
+# embed_dedup_clusters), Spark-4-native twins of gated queries
+# (cw_continuation_history_rcte — native WITH RECURSIVE;
 # json_variant_extract — VariantType parse-once extraction), and the
 # multimodal resize/frame-sample/audio legs (the gate slot for the binary
 # pipeline is multimodal_image_features).
@@ -96,7 +104,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # testdata §2 operators
     "pricing_summary",
     "groupby_minmax",
-    "global_max",
     "filtered_count",
     "agg_ordered_string",
     "keyset_page",
@@ -116,7 +123,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "union_legs",
     # training-data pipeline (north-star extensions)
     "dedup_exact_docs",
-    "dedup_exact_props",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
@@ -131,6 +137,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ann_lsh_topk",
     "ann_lsh_auto_topk",
     "multimodal_image_features",
+    # time-series joins (round-5 operators: as-of + binned range join)
+    "asof_join_orders",
+    "range_join_orders",
 )
 
 

@@ -268,27 +268,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame,
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
-
-    band_hash = md5(band_idx || minhashes-in-band); the self-join is an
-    equi-join on (band_idx, band_hash), never a cross join.  Buckets with a
-    hot key (boilerplate-heavy corpora) are the classic skew case → AQE
-    skew-join spreads the shuffle, but the candidate COUNT is still
-    quadratic in bucket size; ``max_bucket_size`` drops buckets above the
-    cap entirely (a bucket holding b docs yields b²/2 pairs — at cap c the
-    whole join is bounded by n_buckets × c²/2 candidates).  A giant bucket
-    means the band signature carries no discrimination for those docs; pairs
-    inside it still surface through their other, selective bands.
-    """
+    """(id, band, bucket) LSH band rows: band_hash = md5(band_idx ||
+    minhashes-in-band).  The materialized form IS the LSH index — the
+    incremental dedup index (streaming/dedup_index.py) persists exactly
+    these rows; ``lsh_candidate_pairs`` self-joins them."""
     rows_per_band = num_hashes // bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -313,6 +304,28 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    band_hash = md5(band_idx || minhashes-in-band); the self-join is an
+    equi-join on (band_idx, band_hash), never a cross join.  Buckets with a
+    hot key (boilerplate-heavy corpora) are the classic skew case → AQE
+    skew-join spreads the shuffle, but the candidate COUNT is still
+    quadratic in bucket size; ``max_bucket_size`` drops buckets above the
+    cap entirely (a bucket holding b docs yields b²/2 pairs — at cap c the
+    whole join is bounded by n_buckets × c²/2 candidates).  A giant bucket
+    means the band signature carries no discrimination for those docs; pairs
+    inside it still surface through their other, selective bands.
+    """
+    banded = banded_signatures(signatures, id_col, num_hashes, bands)
     # The banded relation feeds up to three consumers (hot-bucket agg, the
     # anti-join probe, both self-join sides); without caching, each one
     # re-runs the shingle→md5×num_hashes signature pipeline upstream.  It is

@@ -1,0 +1,210 @@
+"""Incremental MinHash dedup index — near-duplicate detection of each new
+micro-batch against the FULL corpus history, with probe cost that scales
+with the batch, not the history.
+
+The batch queries (queries/pipeline.py ``minhash_verified_pairs``) dedup a
+corpus against itself; a production ingestion pipeline needs the other
+shape: "is this NEW document a near-dup of anything we already hold?" —
+asked continuously, at 100 TB of history.  Re-running the batch job per
+arrival is O(history) per batch; this module maintains three silver tables
+(same merge/replay discipline as the chainweb listen sink,
+streaming/listen.py) so each batch costs O(batch + hits):
+
+- ``minhash_bands.parquet`` — (doc_id, band, bucket, key_bucket): the
+  banded LSH index rows (operators/dedup.py ``banded_signatures``),
+  PK (doc_id, band), partitioned by ``key_bucket`` = bucket's first hex
+  char.  The cross-era probe BROADCASTS the batch's banded rows against
+  this table — a map-side join: the index is never shuffled, only scanned
+  (partition-pruned to the batch's key_buckets when the batch is narrow).
+- ``shingle_sets.parquet`` — (doc_id, _sh array, key_bucket): per-doc
+  distinct shingle arrays for exact-Jaccard verification, PK (doc_id),
+  partitioned by doc_id bucket.  Only candidates' rows are fetched
+  (broadcast semi-join on the candidate old-ids — O(hits)).
+- ``bucket_counts.parquet`` — (batch_id, band, bucket, n): per-batch bucket
+  occupancy deltas, PK (batch_id, band, bucket) so replays are no-ops.
+  The HISTORICAL hot-bucket set (Σn > cap) is recomputed from this small
+  table at probe time and excluded from the cross-era join — the same
+  "drop hot buckets whole" rail the batch gate exercises, extended across
+  time: a boilerplate bucket that went hot in week 1 stays dropped in
+  week 40 without rescanning the index.
+
+Semantics: ``update_dedup_index`` returns one row per flagged NEW doc —
+(doc_id, dup_of, jaccard) with exact Jaccard ≥ the threshold — where
+``dup_of`` is a historical doc or an earlier (lower-id) doc of the same
+batch.  Flag-don't-drop (the ``contaminated_docs`` stance); the caller
+decides removal.  Replaying a batch (same batch_id) re-flags the same rows
+and merges nothing — idempotent end to end.
+
+Scale notes: batch banded rows and the candidate id set broadcast (both
+O(batch)); the only shuffles are batch-internal (signature groupBy, pair
+dedup).  Index growth is bands rows × ~50 B per doc — ~2 TB of index per
+10¹⁰ docs at the defaults, scanned map-side per probe; compact with
+sources/maintenance.py like any other silver table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from .listen import merge_batch
+
+BANDS_TABLE = "minhash_bands.parquet"
+SETS_TABLE = "shingle_sets.parquet"
+COUNTS_TABLE = "bucket_counts.parquet"
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+def update_dedup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.2,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """Flag near-dups of ``docs`` against the index AND within the batch,
+    then fold the batch into the index.  Returns the flagged rows, eagerly
+    checkpointed (the probe must run before the merge appends to the
+    tables its lazy plan reads)."""
+    bands_path = os.path.join(out_dir, BANDS_TABLE)
+    sets_path = os.path.join(out_dir, SETS_TABLE)
+    counts_path = os.path.join(out_dir, COUNTS_TABLE)
+
+    sets_ = dd.shingle_set_arrays(docs, id_col, text_col, k).cache()
+    sh = sets_.select(id_col, F.explode("_sh").alias("shingle"))
+    sig = dd.minhash_signatures(sh, id_col, num_hashes)
+    banded = dd.banded_signatures(sig, id_col, num_hashes, bands).cache()
+
+    # historical hot buckets (Σ occupancy over all prior batches > cap):
+    # excluded from BOTH probe sides, mirroring the batch gate's cap
+    counts = _read_if_exists(spark, counts_path)
+    if counts is not None:
+        hot = (
+            counts.groupBy("band", "bucket")
+            .agg(F.sum("n").alias("_tot"))
+            .filter(F.col("_tot") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        probe_banded = banded.join(
+            F.broadcast(hot), ["band", "bucket"], "left_anti"
+        ).cache()
+    else:
+        probe_banded = banded
+
+    # cross-era candidates: stored index rows sharing a (band, bucket) with
+    # the batch — batch side broadcast, index side scanned map-side only
+    stored = _read_if_exists(spark, bands_path)
+    cross: DataFrame | None = None
+    if stored is not None:
+        keys = [
+            r[0]
+            for r in probe_banded.select(
+                F.substring("bucket", 1, 1).alias("kb")
+            )
+            .distinct()
+            .collect()
+        ]
+        pruned = stored.filter(F.col("key_bucket").isin(keys))
+        new_side = probe_banded.select(
+            F.col(id_col).alias("_new_id"), "band", "bucket"
+        )
+        # exclude old-ids that are IN this batch: on a replay the batch's
+        # own rows are already stored, and without this the cross probe
+        # would emit the internal pairs AGAIN in the opposite orientation —
+        # replays must re-flag exactly the first run's rows
+        batch_ids = docs.select(F.col(id_col)).distinct()
+        cross = (
+            pruned.join(F.broadcast(new_side), ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("_new_id"))
+            .join(F.broadcast(batch_ids), id_col, "left_anti")
+            .select(
+                F.col("_new_id").alias("id_new"),
+                F.col(id_col).alias("id_old"),
+            )
+            .distinct()
+        )
+
+    # batch-internal candidates (standard capped self-join) — dup_of is the
+    # batch's earlier (min-id) doc
+    internal = dd.lsh_candidate_pairs(
+        sig, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+    ).select(F.col("id_b").alias("id_new"), F.col("id_a").alias("id_old"))
+
+    cand = internal if cross is None else internal.unionByName(cross).distinct()
+
+    # verification sets: batch sets ∪ the candidates' historical sets
+    # (fetched by broadcast semi-join on the old-id set — O(hits))
+    verify_sets = sets_
+    if cross is not None:
+        old_ids = cand.select(F.col("id_old").alias(id_col)).distinct()
+        stored_sets = _read_if_exists(spark, sets_path)
+        if stored_sets is not None:
+            fetched = stored_sets.join(F.broadcast(old_ids), id_col, "left_semi")
+            verify_sets = (
+                sets_.unionByName(fetched.select(id_col, "_sh"))
+                .dropDuplicates([id_col])
+                .cache()
+            )
+
+    flagged = (
+        dd.jaccard_for_pairs_sets(
+            verify_sets,
+            cand.select(
+                F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b")
+            ),
+            id_col,
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("dup_of"),
+            "jaccard",
+        )
+    )
+    # materialize BEFORE merging — the merge appends to the tables the
+    # probe's lazy plan reads; eager localCheckpoint freezes the result on
+    # executors (no driver collect, flags can be any size)
+    result = flagged.localCheckpoint(eager=True)
+
+    # fold the batch in (idempotent PK merges; replays are no-ops)
+    merge_batch(
+        spark,
+        banded.withColumn("key_bucket", F.substring("bucket", 1, 1)),
+        bands_path,
+        (id_col, "band"),
+    )
+    merge_batch(
+        spark,
+        sets_.withColumn(
+            "key_bucket", F.pmod(F.col(id_col), F.lit(16)).cast("string")
+        ),
+        sets_path,
+        (id_col,),
+    )
+    merge_batch(
+        spark,
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("batch_id", F.lit(batch_id)),
+        counts_path,
+        ("batch_id", "band", "bucket"),
+    )
+    sets_.unpersist()
+    if probe_banded is not banded:
+        probe_banded.unpersist()
+    if verify_sets is not sets_:
+        verify_sets.unpersist()
+    banded.unpersist()
+    return result

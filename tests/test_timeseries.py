@@ -178,3 +178,60 @@ def test_range_join_plan_is_equi_join(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(1234)
+    keys = list(range(8))
+    left_rows = [
+        (rng.choice(keys), _ts(rng.randint(0, 5000)), i) for i in range(300)
+    ]
+    right_rows = []
+    seen = set()
+    for j in range(150):
+        k, m = rng.choice(keys), rng.randint(0, 5000)
+        if (k, m) in seen:  # asof needs unique (key, ts) on the right
+            continue
+        seen.add((k, m))
+        right_rows.append((k, _ts(m), float(j)))
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, lid long")
+    right = spark.createDataFrame(right_rows, "k long, rts timestamp, rv double")
+
+    got = {
+        r["lid"]: (r["rts"], r["rv"])
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    for k, ts, lid in left_rows:
+        cands = [(rt, rv) for (rk, rt, rv) in right_rows if rk == k and rt <= ts]
+        expect = max(cands) if cands else (None, None)
+        assert got[lid] == expect, (lid, got[lid], expect)
+    assert len(got) == len(left_rows)
+
+
+def test_range_join_matches_bruteforce_random(spark):
+    import random
+
+    rng = random.Random(99)
+    keys = list(range(6))
+    points = [(rng.choice(keys), i, _ts(rng.randint(0, 2000))) for i in range(200)]
+    ivals = []
+    for j in range(80):
+        s = rng.randint(0, 2000)
+        ivals.append((rng.choice(keys), 1000 + j, _ts(s), _ts(s + rng.randint(0, 120))))
+    p = spark.createDataFrame(points, "k long, pid long, pts timestamp")
+    i = spark.createDataFrame(ivals, "k long, iid long, istart timestamp, iend timestamp")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_range_join(
+            p, i, "k", "pts", "istart", "iend", bin_width_us=45 * 60 * 1_000_000
+        ).collect()
+    )
+    expect = sorted(
+        (pid, iid)
+        for (pk, pid, pt) in points
+        for (ik, iid, s, e) in ivals
+        if pk == ik and s <= pt <= e
+    )
+    assert got == expect

@@ -186,6 +186,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    else:
+        # refuse-loudly policy (same stance as the matmul/broadcast
+        # envelopes): labels that are still moving after max_iters rounds
+        # would be silently WRONG cluster assignments — a component with
+        # diameter > max_iters (e.g. a long version-chain of successive
+        # edits) needs a higher cap, not a wrong answer.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iters="
+            f"{max_iters} rounds: a component's diameter exceeds the cap; "
+            "raise max_iters"
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("id"),
@@ -715,9 +726,12 @@ def duplicate_spans(
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # three consumers (envelope count, hot-gram agg, hits probe) — cache so
+    # the tokenize+posexplode pipeline runs once, not three times (the same
+    # materialized-index reasoning as lsh_candidate_pairs' banded cache)
     grams = base.select(
         F.col(id_col), F.posexplode(grams_arr).alias("pos", "gram")
-    )
+    ).cache()
     hot = (
         grams.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))

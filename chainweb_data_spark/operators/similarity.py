@@ -822,8 +822,9 @@ def cluster_assign(
             Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
             S = np.round(Q @ CM.T, 6)
-            order = np.argsort(-S, axis=1, kind="stable")
-            cell = order[:, 0]
+            # argmax returns the FIRST max — the same lowest-cell tie-break
+            # as ivf_topk's stable argsort, at O(cells) not O(cells log)
+            cell = np.argmax(S, axis=1)
             rows = np.arange(len(cell))
             yield pd.DataFrame(
                 {

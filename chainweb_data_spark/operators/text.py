@@ -189,15 +189,23 @@ def stratified_sample(
 ) -> DataFrame:
     """Keep each stratum at its own deterministic rate — the standard
     corpus-mixing move (e.g. downsample a dominant language).  ``rates``
-    maps stratum value → (num, den); strata absent from the map are kept
-    whole.  One predicate per stratum, OR-folded: pure codegen'd
-    expressions, no join, no shuffle."""
+    maps stratum value → (num, den); strata absent from the map — INCLUDING
+    a NULL stratum (failed language-ID etc.) — are kept whole.  One
+    predicate per stratum, OR-folded: pure codegen'd expressions, no join,
+    no shuffle."""
     pred = None
     strata = set(rates)
     for val, (num, den) in sorted(rates.items()):
         p = (F.col(strata_col) == F.lit(val)) & sample_pred(id_col, num, den)
         pred = p if pred is None else (pred | p)
-    keep_rest = ~F.col(strata_col).isin(*strata) if strata else F.lit(True)
+    # NULL stratum must be an explicit keep: NOT IN over a NULL is NULL in
+    # three-valued logic, so without the isNull arm the filter would
+    # silently DROP every NULL-stratum row instead of keeping it whole
+    keep_rest = (
+        (F.col(strata_col).isNull() | ~F.col(strata_col).isin(*strata))
+        if strata
+        else F.lit(True)
+    )
     return df.filter(keep_rest | pred if pred is not None else F.lit(True))
 
 

@@ -72,6 +72,8 @@ def asof_join(
 
     ``tolerance_us`` — optional max age in microseconds: matches older than
     ``left_ts - tolerance_us`` are nulled out (still left-join semantics).
+    NULL join keys never match anything (equality-join semantics): a
+    null-key left row survives with NULL right columns.
 
     Right rows must be unique per (key, ts): among ties the fill picks an
     arbitrary one (Spark's window sort is not stable across runs), so
@@ -114,9 +116,17 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # NULL-key semantics: Window.partitionBy groups NULL keys into ONE
+    # partition, which would let null-key left rows take null-key right
+    # payloads — but an equality join (DuckDB ASOF, pandas merge_asof)
+    # never matches NULLs.  Nulling the fill for null keys restores join
+    # semantics at zero cost (no second scan, no union of filtered legs).
+    fill = F.last("_r", ignorenulls=True).over(w)
     filled = (
         l.unionByName(r)
-        .withColumn("_rf", F.last("_r", ignorenulls=True).over(w))
+        .withColumn(
+            "_rf", F.when(F.col("_k").isNotNull(), fill)  # else NULL struct
+        )
         .filter(F.col("_side") == 1)
     )
     if tolerance_us is not None:

@@ -1299,7 +1299,7 @@ _TOKCOUNT_SQL = (
     FROM clean
     WHERE (lang = 'en' AND md5(CAST(doc_id AS VARCHAR)) < '40')
        OR (lang = 'fr' AND md5(CAST(doc_id AS VARCHAR)) < '80')
-       OR lang NOT IN ('en', 'fr')
+       OR lang IS NULL OR lang NOT IN ('en', 'fr')
     ORDER BY doc_id
     """,
 )
@@ -1351,7 +1351,7 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang FROM documents
     WHERE (lang = 'en' AND md5(CAST(doc_id AS VARCHAR)) < '40')
        OR (lang = 'fr' AND md5(CAST(doc_id AS VARCHAR)) < '80')
-       OR lang NOT IN ('en', 'fr')
+       OR lang IS NULL OR lang NOT IN ('en', 'fr')
     ORDER BY doc_id
     """,
 )

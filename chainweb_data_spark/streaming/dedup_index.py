@@ -87,10 +87,15 @@ def update_dedup_index(
     sig = dd.minhash_signatures(sh, id_col, num_hashes)
     banded = dd.banded_signatures(sig, id_col, num_hashes, bands).cache()
 
-    # historical hot buckets (Σ occupancy over all prior batches > cap):
-    # excluded from BOTH probe sides, mirroring the batch gate's cap
+    # historical hot buckets (Σ occupancy over all PRIOR batches > cap):
+    # excluded from BOTH probe sides, mirroring the batch gate's cap.
+    # The current batch_id is excluded from the sum — on a replay the
+    # first run's own counts are already stored, and including them would
+    # make the replay see a hotter history than the original run did
+    # (fewer flags ⇒ the idempotence contract breaks exactly at the cap).
     counts = _read_if_exists(spark, counts_path)
     if counts is not None:
+        counts = counts.filter(F.col("batch_id") != batch_id)
         hot = (
             counts.groupBy("band", "bucket")
             .agg(F.sum("n").alias("_tot"))

@@ -99,3 +99,35 @@ def test_duplicate_clusters_partitioning_invariant(spark):
     assert a == b
     reps = {r for (_i, r, _s) in a}
     assert all(r in {i for (i, _r, _s) in a} for r in reps)
+
+
+def test_stratified_sample_keeps_null_stratum(spark):
+    from chainweb_data_spark.operators.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "zz"), (4, None)],
+        "doc_id long, lang string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(df, "doc_id", "lang", {"en": (0, 256)}).collect()
+    }
+    # en sampled at rate 0 (dropped); NULL and unmapped strata kept WHOLE
+    assert kept == {2, 3, 4}
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from chainweb_data_spark.operators.dedup import duplicate_clusters
+
+    # a path component of diameter 6 cannot converge in 2 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=2)
+    # and with enough rounds the same chain is ONE cluster
+    ok = duplicate_clusters(pairs, max_iters=10).collect()
+    assert {r["cluster_rep"] for r in ok} == {0}
+    assert {r["cluster_size"] for r in ok} == {7}

@@ -117,3 +117,21 @@ def test_historical_hot_bucket_rail(spark, tmp_path):
     # buckets — all dropped whole, so no flags (the batch gate's cap
     # semantics, extended across time)
     assert flags == []
+
+
+def test_replay_idempotent_at_the_hot_cap_boundary(spark, tmp_path):
+    """The review scenario: history sits just under the cap, the batch
+    pushes the bucket over it.  The replay must still see only PRIOR
+    batches' counts (its own first-run counts excluded) and re-flag the
+    same rows."""
+    out = str(tmp_path / "idx")
+    cap = 8
+    # history: 7 near-identical docs → bucket occupancy 7 <= cap
+    hist = _docs(spark, [(i, BASE_TEXT) for i in range(7)])
+    update_dedup_index(spark, hist, out, batch_id=0, max_bucket_size=cap)
+    # batch 1: 4 more near-dups → post-merge occupancy 11 > cap
+    b1 = _docs(spark, [(100 + i, BASE_TEXT + " tail") for i in range(4)])
+    first = _flags(update_dedup_index(spark, b1, out, batch_id=1, max_bucket_size=cap))
+    assert first  # cross-era flags exist on the first run
+    replay = _flags(update_dedup_index(spark, b1, out, batch_id=1, max_bucket_size=cap))
+    assert replay == first

@@ -235,3 +235,17 @@ def test_range_join_matches_bruteforce_random(spark):
         if pk == ik and s <= pt <= e
     )
     assert got == expect
+
+
+def test_asof_null_keys_never_match(spark):
+    left = spark.createDataFrame(
+        [(None, _ts(10), "null-key"), (1, _ts(10), "real-key")],
+        "k long, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(5), 9.0), (1, _ts(5), 1.0)],
+        "k long, rts timestamp, rval double",
+    )
+    out = {r["lval"]: r["rval"] for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    # equality-join semantics: NULL never matches NULL; the row survives
+    assert out == {"null-key": None, "real-key": 1.0}

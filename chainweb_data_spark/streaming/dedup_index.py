@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from .listen import merge_batch
+from .publish import publish_batch, read_published
 
 BANDS_TABLE = "minhash_bands.parquet"
 SETS_TABLE = "shingle_sets.parquet"
@@ -59,6 +60,21 @@ COUNTS_TABLE = "bucket_counts.parquet"
 
 def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+_PKS = {
+    "minhash_bands": ("doc_id", "band"),
+    "shingle_sets": ("doc_id",),
+    "bucket_counts": ("batch_id", "band", "bucket"),
+}
+
+
+def _read_table(
+    spark: SparkSession, out_dir: str, table: str, atomic: bool
+) -> DataFrame | None:
+    if atomic:
+        return read_published(spark, out_dir, table)
+    return _read_if_exists(spark, os.path.join(out_dir, f"{table}.parquet"))
 
 
 def update_dedup_index(
@@ -73,14 +89,18 @@ def update_dedup_index(
     bands: int = 4,
     min_jaccard: float = 0.2,
     max_bucket_size: int = 50,
+    atomic: bool = True,
 ) -> DataFrame:
     """Flag near-dups of ``docs`` against the index AND within the batch,
     then fold the batch into the index.  Returns the flagged rows, eagerly
     checkpointed (the probe must run before the merge appends to the
-    tables its lazy plan reads)."""
-    bands_path = os.path.join(out_dir, BANDS_TABLE)
-    sets_path = os.path.join(out_dir, SETS_TABLE)
-    counts_path = os.path.join(out_dir, COUNTS_TABLE)
+    tables its lazy plan reads).
+
+    ``atomic`` (default) commits all three tables through ONE manifest
+    flip (streaming/publish.py) — a crash mid-fold leaves the index
+    exactly at the previous snapshot instead of bands-without-sets
+    (sets-less candidates would silently verify against nothing).
+    ``atomic=False`` falls back to per-table merge_batch appends."""
 
     sets_ = dd.shingle_set_arrays(docs, id_col, text_col, k).cache()
     sh = sets_.select(id_col, F.explode("_sh").alias("shingle"))
@@ -93,7 +113,7 @@ def update_dedup_index(
     # first run's own counts are already stored, and including them would
     # make the replay see a hotter history than the original run did
     # (fewer flags ⇒ the idempotence contract breaks exactly at the cap).
-    counts = _read_if_exists(spark, counts_path)
+    counts = _read_table(spark, out_dir, "bucket_counts", atomic)
     if counts is not None:
         counts = counts.filter(F.col("batch_id") != batch_id)
         hot = (
@@ -110,7 +130,7 @@ def update_dedup_index(
 
     # cross-era candidates: stored index rows sharing a (band, bucket) with
     # the batch — batch side broadcast, index side scanned map-side only
-    stored = _read_if_exists(spark, bands_path)
+    stored = _read_table(spark, out_dir, "minhash_bands", atomic)
     cross: DataFrame | None = None
     if stored is not None:
         keys = [
@@ -154,7 +174,7 @@ def update_dedup_index(
     verify_sets = sets_
     if cross is not None:
         old_ids = cand.select(F.col("id_old").alias(id_col)).distinct()
-        stored_sets = _read_if_exists(spark, sets_path)
+        stored_sets = _read_table(spark, out_dir, "shingle_sets", atomic)
         if stored_sets is not None:
             fetched = stored_sets.join(F.broadcast(old_ids), id_col, "left_semi")
             verify_sets = (
@@ -184,28 +204,24 @@ def update_dedup_index(
     result = flagged.localCheckpoint(eager=True)
 
     # fold the batch in (idempotent PK merges; replays are no-ops)
-    merge_batch(
-        spark,
-        banded.withColumn("key_bucket", F.substring("bucket", 1, 1)),
-        bands_path,
-        (id_col, "band"),
-    )
-    merge_batch(
-        spark,
-        sets_.withColumn(
+    to_merge = {
+        "minhash_bands": banded.withColumn(
+            "key_bucket", F.substring("bucket", 1, 1)
+        ),
+        "shingle_sets": sets_.withColumn(
             "key_bucket", F.pmod(F.col(id_col), F.lit(16)).cast("string")
         ),
-        sets_path,
-        (id_col,),
-    )
-    merge_batch(
-        spark,
-        banded.groupBy("band", "bucket")
+        "bucket_counts": banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("n"))
         .withColumn("batch_id", F.lit(batch_id)),
-        counts_path,
-        ("batch_id", "band", "bucket"),
-    )
+    }
+    if atomic:
+        publish_batch(spark, to_merge, out_dir, pks=_PKS)
+    else:
+        for name, df in to_merge.items():
+            merge_batch(
+                spark, df, os.path.join(out_dir, f"{name}.parquet"), _PKS[name]
+            )
     sets_.unpersist()
     if probe_banded is not banded:
         probe_banded.unpersist()

@@ -135,3 +135,19 @@ def test_replay_idempotent_at_the_hot_cap_boundary(spark, tmp_path):
     assert first  # cross-era flags exist on the first run
     replay = _flags(update_dedup_index(spark, b1, out, batch_id=1, max_bucket_size=cap))
     assert replay == first
+
+
+def test_non_atomic_fallback_matches_atomic(spark, tmp_path):
+    rows0 = [(1, BASE_TEXT)]
+    rows1 = [(10, BASE_TEXT + " tail"), (11, BASE_TEXT + " tail extra")]
+    flags = {}
+    for mode in (True, False):
+        out = str(tmp_path / f"idx_{mode}")
+        update_dedup_index(spark, _docs(spark, rows0), out, batch_id=0, atomic=mode)
+        flags[mode] = _flags(
+            update_dedup_index(spark, _docs(spark, rows1), out, batch_id=1, atomic=mode)
+        )
+    assert flags[True] == flags[False] != []
+    # atomic mode leaves a manifest; fallback mode does not
+    assert os.path.exists(os.path.join(str(tmp_path / "idx_True"), "_manifest"))
+    assert not os.path.exists(os.path.join(str(tmp_path / "idx_False"), "_manifest"))

@@ -60,13 +60,13 @@ def _require_disjoint(left: DataFrame, right_cols: list[str], op: str) -> None:
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     tolerance_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains the payload of the newest
-    ``right`` row with the same ``on`` key and ``right_ts <= left_ts``
+    ``right`` row with the same ``on`` key(s) and ``right_ts <= left_ts``
     (inclusive), or NULLs when no such row exists — the semantics of DuckDB
     ``ASOF LEFT JOIN`` / pandas ``merge_asof(direction="backward")``.
 
@@ -84,7 +84,8 @@ def asof_join(
     preceding with ``ignorenulls`` last() — an O(1)-state running fill, not
     a re-scan per row.
     """
-    rpay = [c for c in right.columns if c != on]
+    keys = [on] if isinstance(on, str) else list(on)
+    rpay = [c for c in right.columns if c not in keys]
     if right_ts not in rpay:
         raise ValueError(f"asof_join: right side lacks ts column {right_ts!r}")
     _require_disjoint(left, rpay, "asof_join")
@@ -98,21 +99,21 @@ def asof_join(
     # tag: right rows sort BEFORE left rows at equal ts (side 0 < 1), which
     # is exactly what makes the match inclusive (right_ts == left_ts wins)
     l = left.select(
-        F.col(on).alias("_k"),
+        *[F.col(k) for k in keys],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         lstruct.alias("_l"),
         F.lit(None).cast(rtype).alias("_r"),
     )
     r = right.select(
-        F.col(on).alias("_k"),
+        *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(ltype).alias("_l"),
         rstruct.alias("_r"),
     )
     w = (
-        Window.partitionBy("_k")
+        Window.partitionBy(*keys)
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -122,10 +123,14 @@ def asof_join(
     # never matches NULLs.  Nulling the fill for null keys restores join
     # semantics at zero cost (no second scan, no union of filtered legs).
     fill = F.last("_r", ignorenulls=True).over(w)
+    keys_not_null = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        keys_not_null = c if keys_not_null is None else (keys_not_null & c)
     filled = (
         l.unionByName(r)
         .withColumn(
-            "_rf", F.when(F.col("_k").isNotNull(), fill)  # else NULL struct
+            "_rf", F.when(keys_not_null, fill)  # else NULL struct
         )
         .filter(F.col("_side") == 1)
     )
@@ -203,3 +208,22 @@ def binned_range_join(
         & (F.col(point_ts) <= F.col(end_ts))
     )
     return out.drop("_bin")
+
+
+def suggest_bin_width(
+    intervals: DataFrame, start_ts: str, end_ts: str
+) -> int:
+    """Data-derived bin width for :func:`binned_range_join`: the MEDIAN
+    interval span in microseconds (floored at 1).  At that width the
+    typical interval replicates into ≤ 2 bins, which is the sweet spot —
+    wider bins cut replication but grow per-bin join populations; narrower
+    bins do the reverse.  One approximate-percentile aggregation over the
+    interval relation; run once per layout, not per query (the same
+    derive-the-knob-from-data move as ``auto_num_planes``/``auto_n_cells``).
+    """
+    row = intervals.select(
+        F.percentile_approx(
+            F.unix_micros(F.col(end_ts)) - F.unix_micros(F.col(start_ts)), 0.5
+        ).alias("m")
+    ).first()
+    return max(int(row["m"] or 1), 1)

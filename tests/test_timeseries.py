@@ -249,3 +249,31 @@ def test_asof_null_keys_never_match(spark):
     out = {r["lval"]: r["rval"] for r in asof_join(left, right, "k", "ts", "rts").collect()}
     # equality-join semantics: NULL never matches NULL; the row survives
     assert out == {"null-key": None, "real-key": 1.0}
+
+
+def test_asof_composite_key(spark):
+    left = spark.createDataFrame(
+        [(1, "x", _ts(10), "a"), (1, "y", _ts(10), "b"), (2, "x", _ts(10), "c")],
+        "k1 long, k2 string, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", _ts(5), 10.0), (1, "y", _ts(6), 20.0), (2, "z", _ts(1), 99.0)],
+        "k1 long, k2 string, rts timestamp, rval double",
+    )
+    out = {
+        r["lval"]: r["rval"]
+        for r in asof_join(left, right, ["k1", "k2"], "ts", "rts").collect()
+    }
+    # composite keys match on BOTH columns; (2,"x") finds nothing
+    assert out == {"a": 10.0, "b": 20.0, "c": None}
+
+
+def test_suggest_bin_width(spark):
+    from chainweb_data_spark.operators.timeseries import suggest_bin_width
+
+    ivals = spark.createDataFrame(
+        [(1, _ts(0), _ts(10)), (2, _ts(0), _ts(20)), (3, _ts(0), _ts(30))],
+        "iid long, istart timestamp, iend timestamp",
+    )
+    w = suggest_bin_width(ivals, "istart", "iend")
+    assert w == 20 * 60 * 1_000_000  # the median span (20 min) in µs

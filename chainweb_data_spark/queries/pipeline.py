@@ -1753,3 +1753,74 @@ def embed_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     vp = sim.near_dup_pairs_matmul(emb, "vec_id", "embedding", 0.45)
     return dd.duplicate_clusters(vp.select("id_a", "id_b")).orderBy("id")
+
+
+def _cluster_balanced_oracle() -> str:
+    return f"""
+    WITH {_ivf_cent_cte(_IVF_CELLS)},
+    sims AS (
+      SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    occ AS (SELECT cell, COUNT(*) AS n_cell FROM assign GROUP BY cell),
+    m AS (SELECT MIN(n_cell) AS m FROM occ),
+    rates AS (
+      SELECT cell, least(256, (256 * (SELECT m FROM m)) // n_cell) AS num
+      FROM occ
+    )
+    SELECT a.vec_id, a.cell FROM assign a JOIN rates r USING (cell)
+    WHERE r.num >= 256
+       OR md5(CAST(a.vec_id AS VARCHAR)) < printf('%02x', r.num)
+    ORDER BY vec_id
+    """
+
+
+@register("cluster_balanced_sample", oracle=_cluster_balanced_oracle())
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic balance sampling: downsample each embedding cluster toward
+    the SMALLEST cluster's occupancy (rate = min_occ/occ, quantized to
+    /256) — the cluster-level corpus-mixing move (over-represented
+    semantic regions shrink, rare ones keep everything; the SemDeDup-style
+    companion to per-language stratified_sample).  Rates are DERIVED FROM
+    THE DATA with integer-exact arithmetic ((256·m) div occ — no float
+    division anywhere), the keep-rule is the same md5-threshold predicate
+    as sample_pred, and cluster assignment reuses the trained quantizer —
+    so the whole adaptive plan still has an exact SQL oracle.  Plan: one
+    Arrow assignment pass, one 16-row aggregate broadcast back, one filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if _IVF_CENTROIDS is not None:
+        assign = sim.cluster_assign(
+            emb, "vec_id", "embedding", centroids=_IVF_CENTROIDS
+        )
+    else:
+        assign = sim.cluster_assign(
+            emb, "vec_id", "embedding", n_cells=_IVF_CELLS, train="lowest-id"
+        )
+    assign = assign.select("vec_id", "cell")
+    occ = assign.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    m = occ.agg(F.min("n_cell").alias("m"))
+    rates = occ.crossJoin(F.broadcast(m)).select(
+        "cell",
+        F.least(
+            F.lit(256), F.expr("(256 * m) div n_cell")
+        ).alias("num"),
+    )
+    kept = (
+        assign.join(F.broadcast(rates), "cell")
+        .filter(
+            (F.col("num") >= 256)
+            | (
+                F.md5(F.col("vec_id").cast("string"))
+                < F.format_string("%02x", F.col("num").cast("int"))
+            )
+        )
+        .select("vec_id", "cell")
+    )
+    return kept.orderBy("vec_id")

@@ -151,3 +151,34 @@ def test_non_atomic_fallback_matches_atomic(spark, tmp_path):
     # atomic mode leaves a manifest; fallback mode does not
     assert os.path.exists(os.path.join(str(tmp_path / "idx_True"), "_manifest"))
     assert not os.path.exists(os.path.join(str(tmp_path / "idx_False"), "_manifest"))
+
+
+# ---------------------------------------------------------------------------
+# incremental corpus stats (streaming/corpus_stats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_stats_accumulate_and_replay(spark, tmp_path):
+    from chainweb_data_spark.streaming.corpus_stats import (
+        corpus_stats,
+        update_corpus_stats,
+    )
+
+    out = str(tmp_path / "stats")
+    b0 = spark.createDataFrame(
+        [(1, "en", "one two three"), (2, "fr", "un deux"), (3, None, "x y z w")],
+        "doc_id long, lang string, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(4, "en", "four five")], "doc_id long, lang string, text string"
+    )
+    update_corpus_stats(spark, b0, out, batch_id=0)
+    update_corpus_stats(spark, b1, out, batch_id=1)
+    update_corpus_stats(spark, b1, out, batch_id=1)  # replay: no double count
+    got = {
+        r["lang"]: (r["n_docs"], r["n_tokens"], r["n_chars"])
+        for r in corpus_stats(spark, out).collect()
+    }
+    assert got["en"] == (2, 5, 22)   # 3+2 tokens, 13+9 chars
+    assert got["fr"] == (1, 2, 7)
+    assert got[None] == (1, 4, 7)    # NULL language is reported, not dropped

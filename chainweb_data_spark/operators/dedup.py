@@ -771,3 +771,43 @@ def duplicate_spans(
         )
         .drop("_sid")
     )
+
+
+def trim_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """ACT on :func:`duplicate_spans` flags: rebuild each document's text
+    with the flagged token ranges removed (the C4/RefinedWeb trim step).
+    Returns (id, trimmed) for EVERY input doc — unflagged docs pass through
+    verbatim, fully-covered docs come out as the empty string (callers
+    typically drop those with a quality floor).
+
+    Plan shape: spans fold to one array row per doc (tiny — spans are rare
+    by construction), LEFT-join onto the docs, and the token filter runs
+    row-local inside codegen (``filter`` with the index lambda over the
+    split array) — no per-token row explosion, one broadcast-sized join."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start"), F.col("span_end"))
+        ).alias("_spans")
+    )
+    joined = docs.join(sp, id_col, "left").withColumn(
+        "_spans",
+        F.coalesce(F.col("_spans"), F.array().cast(
+            "array<struct<span_start:bigint,span_end:bigint>>"
+        )),
+    )
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col), F.array_join(kept, " ").alias("trimmed")
+    )

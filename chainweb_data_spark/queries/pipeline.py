@@ -1824,3 +1824,74 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell")
     )
     return kept.orderBy("vec_id")
+
+
+@register(
+    "trim_dup_spans_docs",
+    oracle="""
+    WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks0, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+    ),
+    hot AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, pos FROM grams JOIN hot USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS _new
+      FROM hits
+    ),
+    sess AS (
+      SELECT doc_id, pos,
+             SUM(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS _sid
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+      FROM sess GROUP BY doc_id, _sid
+    ),
+    alltoks AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM toks0, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT a.doc_id, a.pos, a.tok FROM alltoks a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = a.doc_id
+          AND a.pos >= s.span_start AND a.pos < s.span_end
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             array_to_string(list(tok ORDER BY pos), ' ') AS trimmed
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.trimmed, '') AS trimmed
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def trim_dup_spans_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACT on the duplicate-span flags: every doc's text rebuilt with the
+    flagged 8-gram spans removed (C4/RefinedWeb trim).  The flag query
+    (``dup_spans_docs``) and this trim share the operator pair
+    ``duplicate_spans`` → ``trim_duplicate_spans``; unflagged docs pass
+    through byte-identical, fully-covered docs become the empty string."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = dd.duplicate_spans(docs, "doc_id", "text", k=8, min_df=2)
+    return dd.trim_duplicate_spans(docs, spans, "doc_id", "text").orderBy(
+        "doc_id"
+    )

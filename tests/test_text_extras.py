@@ -133,3 +133,28 @@ def test_duplicate_spans_envelope_guard(spark):
     )
     with pytest.raises(ValueError, match="envelope"):
         duplicate_spans(docs, "doc_id", "text", k=4, min_df=2, max_hot_grams=1)
+
+
+def test_trim_duplicate_spans_semantics(spark):
+    from chainweb_data_spark.operators.dedup import (
+        duplicate_spans,
+        trim_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 w1 w2 w3 w4 x3"),    # shares w1..w4 with doc 2
+            (2, "w1 w2 w3 w4"),             # fully covered → empty
+            (3, "untouched text stays whole"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, "doc_id", "text", k=4, min_df=2)
+    got = {
+        r["doc_id"]: r["trimmed"]
+        for r in trim_duplicate_spans(docs, spans, "doc_id", "text").collect()
+    }
+    assert got[1] == "x1 x2 x3"
+    assert got[2] == ""
+    assert got[3] == "untouched text stays whole"
+    assert len(got) == 3

@@ -46,6 +46,9 @@ QUERIES = [
     "simhash_near_pairs",
     "ann_lsh_topk",
     "embed_cosine_topk",  # exact tier: FLOPs grow N² but BLAS amortizes
+    "minhash_verified_pairs",  # LSH candidates + exact-Jaccard verify
+    "dup_spans_docs",     # positional grams + hot-gram broadcast + merge
+    "tfidf_top_terms",    # tf/df aggregations + vocabulary join
 ]
 
 

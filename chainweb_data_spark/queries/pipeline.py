@@ -1895,3 +1895,72 @@ def trim_dup_spans_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.trim_duplicate_spans(docs, spans, "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+def _doc_features_oracle() -> str:
+    langs = sorted(tx.LANG_STOPWORDS)
+    score_cols = ",\n".join(
+        f"{_stop_hits_sql(tx.LANG_STOPWORDS[lang])} AS score_{lang}"
+        for lang in langs
+    )
+    case = (
+        "CASE WHEN " + " + ".join(f"score_{l}" for l in langs) + " = 0 THEN 'und'"
+    )
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        case += f" WHEN {cond} THEN '{lang}'"
+    case += " END"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, concat(' ', text, ' ') AS p,
+             length(text) AS nc,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS nsp
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, text, nc, nsp,
+             CASE WHEN nc = 0 THEN 0 ELSE nsp + 1 END AS nt,
+             {_stop_hits_sql(tx.LANG_STOPWORDS["en"])} AS stop_hits,
+             {score_cols}
+      FROM base
+    )
+    SELECT doc_id,
+           nt AS n_tokens,
+           CAST((nc - nsp) / greatest(nt, 1) AS DOUBLE) AS mean_token_len,
+           CAST((least(nt / 100.0, 1.0)
+                 + (CASE WHEN (nc - nsp) / greatest(nt, 1) >= 3
+                          AND (nc - nsp) / greatest(nt, 1) <= 10
+                         THEN 1.0 ELSE 0.5 END)
+                 + least(stop_hits / greatest(nt, 1) * 4, 1.0)) / 3.0
+                AS DOUBLE) AS quality_score,
+           {case} AS lang_pred,
+           list_aggregate(
+             list_transform(range(1, greatest(nc - 7, 1) + 1),
+                            i -> md5(substr(text, CAST(i AS INT), 8))),
+             'min') AS fp
+    FROM feat ORDER BY doc_id
+    """
+
+
+@register("doc_features", oracle=_doc_features_oracle())
+def doc_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SINGLE-SCAN feature assembly: token counts, quality score, language
+    prediction, and rolling-hash fingerprint — every row-local text signal
+    in ONE projection pipeline (zero shuffles before the output sort).
+    This is how a production feature pass should run: one read of the
+    corpus populates every per-doc column, instead of the one-scan-per-
+    signal shape the individual gated queries (text_quality, text_langid,
+    doc_fingerprint) use for isolation."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.quality_features(docs, "text")
+    out = tx.lang_id(out, "text")
+    out = tx.fingerprint(out, "text", k=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "quality_score",
+        "lang_pred",
+        "fp",
+    ).orderBy("doc_id")

@@ -56,6 +56,7 @@ HEADLINE = [
     "range_join_orders",    # interval join as binned equi-join
     "dup_spans_docs",       # repeated-substring span flagging (C4 trim)
     "tfidf_top_terms",      # per-doc term salience (tf × N/df)
+    "doc_features",         # SINGLE-SCAN fused feature assembly
 ]
 
 

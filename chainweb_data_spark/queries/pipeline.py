@@ -1964,3 +1964,32 @@ def doc_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         "fp",
     ).orderBy("doc_id")
+
+
+@register(
+    "source_profile",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM({_TOKCOUNT_SQL}) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def source_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (docs, token/char volume, language
+    spread) — the provenance-level view mixing decisions read; exact
+    integer aggregates only, one map-side-combined groupBy plus a
+    count-distinct expansion on the (tiny) lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tx.token_count(F.col("text"))).cast("long").alias("n_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("source")
+    )

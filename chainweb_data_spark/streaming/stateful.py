@@ -244,6 +244,7 @@ def windowed_counts_sink(
 def advance_asof(
     last_dim: tuple[int, float] | None,
     rows: list[tuple[int, int, int, float]],
+    tolerance_us: int | None = None,
 ) -> tuple[list[tuple[int, int, tuple[int, float] | None]], tuple[int, float] | None]:
     """The as-of enrichment state transition, as a pure function (property-
     tested without Spark): fold one batch of per-key rows
@@ -266,6 +267,12 @@ def advance_asof(
                 last_dim = (us, dv)
         else:
             match = last_dim if last_dim is not None and last_dim[0] <= us else None
+            if (
+                match is not None
+                and tolerance_us is not None
+                and us - match[0] > tolerance_us
+            ):
+                match = None  # stale: older than the freshness horizon
             out.append((fid, us, match))
     return out, last_dim
 
@@ -281,6 +288,7 @@ def enrich_asof_stream(
     us_col: str = "us",
     fact_id_col: str = "fact_id",
     val_col: str = "dim_val",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Continuously enrich a fact stream with the latest dimension row per
     key — the streaming form of ``operators/timeseries.py asof_join`` and
@@ -334,7 +342,7 @@ def enrich_asof_stream(
                         float("nan") if pd.isna(dv) else float(dv),
                     )
                 )
-        out, last_dim = advance_asof(last_dim, rows)
+        out, last_dim = advance_asof(last_dim, rows, tolerance_us)
         if last_dim is not None:
             state.update(last_dim)
         if out:
@@ -352,6 +360,109 @@ def enrich_asof_stream(
         _fn,
         outputStructType=out_schema,
         stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark-bounded per-key reordering (the documented upstream fix for
+# feeds that are not per-key batch-monotonic)
+# ---------------------------------------------------------------------------
+
+
+def advance_reorder(
+    buf: list[tuple[int, int]],
+    arrivals: list[tuple[int, int]],
+    wm_us: int,
+) -> tuple[list[tuple[int, int]], list[tuple[int, int]], int]:
+    """The reorder state transition, pure: merge ``arrivals`` (us, val)
+    into the held buffer, DROP arrivals already behind the watermark (the
+    standard late-data contract — admitting them would break the emitted
+    stream's monotonicity), emit the buffered rows whose time has passed
+    the watermark in sorted order, hold the rest.  Returns (emitted,
+    new_buffer, n_dropped).  Emissions across successive calls with a
+    nondecreasing watermark are globally sorted per key: batch N emits
+    exactly the (wm_{N-1}, wm_N] window."""
+    dropped = 0
+    for us, val in arrivals:
+        if us <= wm_us:
+            dropped += 1
+        else:
+            buf.append((us, val))
+    emit = sorted(t for t in buf if t[0] <= wm_us)
+    keep = [t for t in buf if t[0] > wm_us]
+    return emit, keep, dropped
+
+
+_REORDER_OUT = "{key} long, us long, val long"
+_REORDER_STATE = "buf_us array<bigint>, buf_val array<bigint>"
+
+
+def reorder_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "k",
+    val_col: str = "val",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Turn an out-of-order feed into the per-key TIME-SORTED stream the
+    order-sensitive stateful operators (``sessionize_stream``,
+    ``enrich_asof_stream``) document as their input contract.
+
+    Rows buffer in per-key ``GroupState`` until the event-time watermark
+    passes them, then emit SORTED; a later batch can only emit strictly
+    newer rows (the (prev_wm, wm] window), so downstream sees a per-key
+    monotonic stream.  Rows arriving behind the watermark are DROPPED —
+    the same late-data contract as windowed aggregation; size
+    ``watermark`` to the feed's real disorder horizon.
+
+    State is O(rows inside the watermark horizon) per key — exactly the
+    buffer any reordering must hold; emission drains it continuously.
+    ``val_col`` carries one long payload column (join wider payloads back
+    by (key, us, val) or encode an id)."""
+    out_schema = _REORDER_OUT.format(key=key_col)
+
+    def _fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bus, bval = state.get
+            buf = list(zip(bus, bval))
+        else:
+            buf = []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        arrivals: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            arrivals.extend(
+                (int(u), int(v)) for u, v in zip(pdf["_us"], pdf["_val"])
+            )
+        emit, keep, _dropped = advance_reorder(buf, arrivals, wm_us)
+        state.update(([t[0] for t in keep], [t[1] for t in keep]))
+        if emit:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(emit),
+                    "us": [t[0] for t in emit],
+                    "val": [t[1] for t in emit],
+                }
+            )
+
+    # the watermarked TIMESTAMP column must SURVIVE the projection into the
+    # grouped relation — dropping it severs the event-time watermark and
+    # getCurrentWatermarkMs raises
+    prepared = stream.withWatermark(ts_col, watermark).select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(val_col).alias("_val"),
+    )
+    return prepared.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_REORDER_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -203,17 +203,25 @@ def update_dedup_index(
     # executors (no driver collect, flags can be any size)
     result = flagged.localCheckpoint(eager=True)
 
-    # fold the batch in (idempotent PK merges; replays are no-ops)
+    # fold the batch in (idempotent PK merges; replays are no-ops).
+    # coalesce(1): a micro-batch is small, but letting every shuffle task
+    # write its own part file per bucket dir multiplies the table's FILE
+    # count by the task count — and probe cost is O(index files) at the
+    # parquet-open layer, which the 10× streaming rehearsal measured as
+    # the dominant growth term.  One file per table per batch bounds file
+    # growth at 3/batch (per bucket dir touched); periodic
+    # sources/maintenance.py compaction remains the long-run bound.
     to_merge = {
         "minhash_bands": banded.withColumn(
             "key_bucket", F.substring("bucket", 1, 1)
-        ),
+        ).coalesce(1),
         "shingle_sets": sets_.withColumn(
             "key_bucket", F.pmod(F.col(id_col), F.lit(16)).cast("string")
-        ),
+        ).coalesce(1),
         "bucket_counts": banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("n"))
-        .withColumn("batch_id", F.lit(batch_id)),
+        .withColumn("batch_id", F.lit(batch_id))
+        .coalesce(1),
     }
     if atomic:
         publish_batch(spark, to_merge, out_dir, pks=_PKS)

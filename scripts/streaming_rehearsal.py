@@ -160,6 +160,73 @@ def time_stats_merge(spark, path: str, n_days: int, n: int) -> float:
     return round(best, 3)
 
 
+
+
+def build_dedup_history(spark, name: str, n_batches: int) -> str:
+    """Fold n_batches of synthetic near-dup-free doc batches into a dedup
+    index (500 docs per batch, disjoint id/vocab ranges so history growth
+    is pure index size, not candidate growth)."""
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.streaming.dedup_index import update_dedup_index
+
+    out = os.path.join(WORK, name)
+    for b in range(n_batches):
+        docs = (
+            spark.range(b * 500, (b + 1) * 500)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{b}_{i}_"), (F.col("id") * (i + 1)) % 9973)
+                        for i in range(40)
+                    ],
+                ).alias("text"),
+            )
+        )
+        update_dedup_index(spark, docs, out, batch_id=b)
+    return out
+
+
+def time_dedup_probe(spark, path: str, n: int) -> float:
+    """One NEW batch probed + folded against the existing index (the
+    steady-state per-arrival cost).  The fold is rolled back after each
+    timing (manifest reset) so every run probes the same history."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.streaming.dedup_index import update_dedup_index
+
+    probe_docs = (
+        spark.range(10_000_000, 10_000_500)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"probe_{i}_"), (F.col("id") * (i + 1)) % 9973)
+                    for i in range(40)
+                ],
+            ).alias("text"),
+        )
+    )
+    manifest_dir = os.path.join(path, "_manifest")
+    backup = os.path.join(path, "_manifest_backup")
+    _sh.copytree(manifest_dir, backup)
+    best = float("inf")
+    for _ in range(max(1, n)):
+        t0 = time.perf_counter()
+        update_dedup_index(spark, probe_docs, path, batch_id=999_999)
+        best = min(best, time.perf_counter() - t0)
+        # roll the manifest back so the next timing probes identical history
+        _sh.rmtree(manifest_dir)
+        _sh.copytree(backup, manifest_dir)
+    _sh.rmtree(backup)
+    return round(best, 3)
+
+
 def main() -> None:
     from chainweb_data_spark.session import get_spark
 
@@ -190,6 +257,14 @@ def main() -> None:
     w10 = time_stats_merge(spark, s10, 30 * mult, n)
     result["costs"]["windowed_stats_merge"] = {
         "base_s": w1, "scaled_s": w10, "growth": round(w10 / max(w1, 1e-9), 2)
+    }
+
+    d1 = build_dedup_history(spark, "dedup1x", 2)
+    d10 = build_dedup_history(spark, "dedup10x", 2 * mult)
+    di1 = time_dedup_probe(spark, d1, n)
+    di10 = time_dedup_probe(spark, d10, n)
+    result["costs"]["dedup_index_probe"] = {
+        "base_s": di1, "scaled_s": di10, "growth": round(di10 / max(di1, 1e-9), 2)
     }
 
     print(json.dumps(result))

@@ -182,3 +182,28 @@ def test_corpus_stats_accumulate_and_replay(spark, tmp_path):
     assert got["en"] == (2, 5, 22)   # 3+2 tokens, 13+9 chars
     assert got["fr"] == (1, 2, 7)
     assert got[None] == (1, 4, 7)    # NULL language is reported, not dropped
+
+
+def test_batch_writes_one_file_per_table(spark, tmp_path):
+    """The file-growth bound the streaming rehearsal motivated: each batch
+    adds at most ONE data file per TOUCHED BUCKET DIR per table (the
+    single coalesced task still splits across partitionBy dirs — ≤16
+    key_buckets — where the pre-fix writer multiplied that by the shuffle
+    task count).  Probe cost is O(index files) at the parquet-open layer,
+    so this discipline IS the scale property."""
+    out = str(tmp_path / "idx")
+    n_batches = 3
+    for b in range(n_batches):
+        docs = _docs(
+            spark, [(b * 10 + i, BASE_TEXT + f" uniq{b}_{i}") for i in range(5)]
+        )
+        update_dedup_index(spark, docs, out, batch_id=b)
+    caps = {"minhash_bands": 16, "shingle_sets": 16, "bucket_counts": 1}
+    for table, per_batch in caps.items():
+        n_files = sum(
+            1
+            for root, _d, files in os.walk(os.path.join(out, f"{table}.parquet"))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+        assert n_files <= per_batch * n_batches, (table, n_files)

@@ -73,7 +73,10 @@ def asof_join(
     ``tolerance_us`` — optional max age in microseconds: matches older than
     ``left_ts - tolerance_us`` are nulled out (still left-join semantics).
     NULL join keys never match anything (equality-join semantics): a
-    null-key left row survives with NULL right columns.
+    null-key left row survives with NULL right columns.  NULL timestamps
+    never match either (DuckDB ASOF / pandas ``merge_asof`` semantics): a
+    NULL ``right_ts`` row is never a fill source, and a NULL ``left_ts``
+    row gets NULL right columns.
 
     Right rows must be unique per (key, ts): among ties the fill picks an
     arbitrary one (Spark's window sort is not stable across runs), so
@@ -105,12 +108,15 @@ def asof_join(
         lstruct.alias("_l"),
         F.lit(None).cast(rtype).alias("_r"),
     )
+    # a NULL-right_ts row must never be a fill source (NULL timestamps
+    # never match under ASOF semantics): null its payload before the window
+    # so ignorenulls-last skips it
     r = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(ltype).alias("_l"),
-        rstruct.alias("_r"),
+        F.when(F.col(right_ts).isNotNull(), rstruct).alias("_r"),
     )
     w = (
         Window.partitionBy(*keys)
@@ -123,10 +129,12 @@ def asof_join(
     # never matches NULLs.  Nulling the fill for null keys restores join
     # semantics at zero cost (no second scan, no union of filtered legs).
     fill = F.last("_r", ignorenulls=True).over(w)
-    keys_not_null = None
+    # ... and a NULL-left_ts row must never READ a fill (it sorts to the
+    # partition head where a NULL-ts right row of the same key also lands):
+    # extend the null guard with _ts itself
+    keys_not_null = F.col("_ts").isNotNull()
     for k in keys:
-        c = F.col(k).isNotNull()
-        keys_not_null = c if keys_not_null is None else (keys_not_null & c)
+        keys_not_null = keys_not_null & F.col(k).isNotNull()
     filled = (
         l.unionByName(r)
         .withColumn(
@@ -187,9 +195,14 @@ def binned_range_join(
     # column that holds it: assert_true yields NULL on success, so folding
     # its (always-0) value into the sequence bound forces evaluation on
     # every interval row while changing nothing when the guard holds
+    # NULL-bounded intervals match nothing (inner-join semantics: the
+    # containment predicate is NULL) rather than failing the job: the guard
+    # passes them through and sequence(NULL, ...) explodes to zero rows
     guard = F.coalesce(
         F.assert_true(
-            (b1 >= b0) & (b1 - b0 < F.lit(max_bins)),
+            b0.isNull()
+            | b1.isNull()
+            | ((b1 >= b0) & (b1 - b0 < F.lit(max_bins))),
             F.concat(
                 F.lit(
                     "binned_range_join: interval spans too many bins "

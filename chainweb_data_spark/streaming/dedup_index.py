@@ -208,9 +208,11 @@ def update_dedup_index(
     # write its own part file per bucket dir multiplies the table's FILE
     # count by the task count — and probe cost is O(index files) at the
     # parquet-open layer, which the 10× streaming rehearsal measured as
-    # the dominant growth term.  One file per table per batch bounds file
-    # growth at 3/batch (per bucket dir touched); periodic
-    # sources/maintenance.py compaction remains the long-run bound.
+    # the dominant growth term.  coalesce(1) bounds growth at one file per
+    # partition directory touched per table per batch (at most 16 for the
+    # two bucketed tables, 1 for bucket_counts -- the bound the pinning
+    # test asserts); periodic sources/maintenance.py compaction remains
+    # the long-run bound.
     to_merge = {
         "minhash_bands": banded.withColumn(
             "key_bucket", F.substring("bucket", 1, 1)

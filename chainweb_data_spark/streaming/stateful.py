@@ -375,18 +375,24 @@ def advance_reorder(
     buf: list[tuple[int, int]],
     arrivals: list[tuple[int, int]],
     wm_us: int,
+    prev_wm_us: int = -1,
 ) -> tuple[list[tuple[int, int]], list[tuple[int, int]], int]:
     """The reorder state transition, pure: merge ``arrivals`` (us, val)
-    into the held buffer, DROP arrivals already behind the watermark (the
-    standard late-data contract — admitting them would break the emitted
-    stream's monotonicity), emit the buffered rows whose time has passed
-    the watermark in sorted order, hold the rest.  Returns (emitted,
-    new_buffer, n_dropped).  Emissions across successive calls with a
-    nondecreasing watermark are globally sorted per key: batch N emits
-    exactly the (wm_{N-1}, wm_N] window."""
+    into the held buffer, DROP only arrivals at or behind the watermark a
+    PREVIOUS call already emitted through (``prev_wm_us``) — admitting
+    those would break the emitted stream's monotonicity.  Arrivals in
+    ``(prev_wm_us, wm_us]`` merge-sort into THIS call's emit: they are
+    still ahead of everything previously emitted, so order is preserved
+    and no row is discarded beyond what monotonic output strictly
+    requires (tighter than Spark's own late-data rule, which drops
+    anything behind the current watermark).  Emits the buffered rows whose
+    time has passed ``wm_us`` in sorted order, holds the rest.  Returns
+    (emitted, new_buffer, n_dropped).  Emissions across successive calls
+    with a nondecreasing watermark are globally sorted per key: batch N
+    emits exactly the (wm_{N-1}, wm_N] window."""
     dropped = 0
     for us, val in arrivals:
-        if us <= wm_us:
+        if us <= prev_wm_us:
             dropped += 1
         else:
             buf.append((us, val))
@@ -396,7 +402,7 @@ def advance_reorder(
 
 
 _REORDER_OUT = "{key} long, us long, val long"
-_REORDER_STATE = "buf_us array<bigint>, buf_val array<bigint>"
+_REORDER_STATE = "buf_us array<bigint>, buf_val array<bigint>, prev_wm_us long"
 
 
 def reorder_stream(
@@ -413,9 +419,19 @@ def reorder_stream(
     Rows buffer in per-key ``GroupState`` until the event-time watermark
     passes them, then emit SORTED; a later batch can only emit strictly
     newer rows (the (prev_wm, wm] window), so downstream sees a per-key
-    monotonic stream.  Rows arriving behind the watermark are DROPPED —
-    the same late-data contract as windowed aggregation; size
-    ``watermark`` to the feed's real disorder horizon.
+    monotonic stream.  A row is dropped only when it arrives at or behind
+    a watermark this key has already EMITTED through (prev_wm, held in
+    state) — the minimum monotonic output requires; size ``watermark`` to
+    the feed's real disorder horizon.
+
+    Idle keys flush via ``EventTimeTimeout``: every batch that leaves rows
+    buffered registers a timeout just past the newest of them, so when the
+    GLOBAL watermark (advanced by any key's data) passes the buffer, Spark
+    invokes this key with ``hasTimedOut`` and the buffer drains — a key
+    that stops receiving data does not strand its tail.  Residual: at
+    absolute end-of-stream the watermark stops advancing, so rows newer
+    than (final watermark) stay buffered — the same final-window caveat as
+    any watermarked operator (send a closing heartbeat to flush).
 
     State is O(rows inside the watermark horizon) per key — exactly the
     buffer any reordering must hold; emission drains it continuously.
@@ -429,18 +445,26 @@ def reorder_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            bus, bval = state.get
+            bus, bval, prev_wm = state.get
             buf = list(zip(bus, bval))
         else:
-            buf = []
+            buf, prev_wm = [], -1
         wm_us = state.getCurrentWatermarkMs() * 1000
         arrivals: list[tuple[int, int]] = []
-        for pdf in pdfs:
-            arrivals.extend(
-                (int(u), int(v)) for u, v in zip(pdf["_us"], pdf["_val"])
-            )
-        emit, keep, _dropped = advance_reorder(buf, arrivals, wm_us)
-        state.update(([t[0] for t in keep], [t[1] for t in keep]))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                arrivals.extend(
+                    (int(u), int(v)) for u, v in zip(pdf["_us"], pdf["_val"])
+                )
+        emit, keep, _dropped = advance_reorder(buf, arrivals, wm_us, prev_wm)
+        state.update(
+            ([t[0] for t in keep], [t[1] for t in keep], max(wm_us, prev_wm))
+        )
+        if keep:
+            # flush-when-idle: fire once the global watermark passes the
+            # newest buffered row (strictly > current wm by construction,
+            # which setTimeoutTimestamp requires)
+            state.setTimeoutTimestamp(max(t[0] for t in keep) // 1000 + 1)
         if emit:
             yield pd.DataFrame(
                 {
@@ -464,5 +488,5 @@ def reorder_stream(
         outputStructType=out_schema,
         stateStructType=_REORDER_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -390,30 +390,58 @@ def test_advance_reorder_emits_globally_sorted(rows, wms):
     wms = sorted(wms)  # watermark is nondecreasing by contract
     feed = [(BASE + m * US, v) for m, v in rows]
     per_batch = len(feed) // len(wms) + 1
-    buf, emitted = [], []
+    buf, emitted, prev_wm, dropped = [], [], -1, 0
     for i, wm in enumerate(wms):
         arr = feed[i * per_batch : (i + 1) * per_batch]
-        # keep only arrivals not already late at their arrival batch
-        emit, buf, _ = advance_reorder(buf, arr, BASE + wm * US)
+        emit, buf, d = advance_reorder(buf, arr, BASE + wm * US, prev_wm)
+        prev_wm = max(prev_wm, BASE + wm * US)
         emitted.extend(emit)
+        dropped += d
     assert emitted == sorted(emitted)  # global per-key order, across batches
+    # conservation: every arrival is emitted, still buffered, or dropped —
+    # and dropped ONLY when at-or-behind a previously emitted watermark
+    assert len(emitted) + len(buf) + dropped == len(feed)
+
+
+def test_advance_reorder_admits_boundary_window_rows():
+    """A row arriving in the same batch that emits its (prev_wm, wm] window
+    is MERGED into that emit, not dropped (the ADVICE boundary fix): only
+    rows at-or-behind a PREVIOUSLY emitted watermark are late."""
+    from chainweb_data_spark.streaming.stateful import advance_reorder
+
+    t = lambda m: BASE + m * US
+    # batch 0: wm=t(0) → nothing emits, rows held
+    emit, buf, d = advance_reorder([], [(t(5), 50), (t(9), 90)], t(0), -1)
+    assert emit == [] and d == 0
+    # batch 1: wm advances to t(8); an arrival at t(3) is ≤ wm but AHEAD of
+    # prev_wm=t(0) → merged into this emit in sorted position, not dropped
+    emit, buf, d = advance_reorder(buf, [(t(3), 30)], t(8), t(0))
+    assert emit == [(t(3), 30), (t(5), 50)] and d == 0
+    assert buf == [(t(9), 90)]
+    # batch 2: an arrival at t(4) is behind prev_wm=t(8) → dropped (it
+    # could never emit without breaking monotonic output)
+    emit, buf, d = advance_reorder(buf, [(t(4), 40)], t(8), t(8))
+    assert emit == [] and d == 1 and buf == [(t(9), 90)]
 
 
 def test_reorder_stream_sorts_and_drops_late(spark, tmp_path):
     from chainweb_data_spark.streaming.stateful import reorder_stream
 
     t = lambda m: BASE + m * MIN
-    # batch 0: out-of-order within the 10-min horizon; batch 1 advances the
-    # watermark to t(20) (wm = max-seen-through-prev-batch − 10 min); the
-    # t(1) arrival in batch 2 is then BEHIND the watermark → dropped
+    # batch 0: out-of-order within the 10-min horizon.  The t(1) arrival in
+    # batch 2 lands BEHIND the then-current watermark but AHEAD of
+    # everything this key has emitted so far (nothing) — the boundary rule
+    # admits it into that batch's sorted emit.  The t(3) arrival in batch 3
+    # comes AFTER batch 2 emitted through its watermark → truly late,
+    # dropped (emitting it would break monotonic output).
     feed = _write_asof_feed(
         str(tmp_path),
         "rfeed",
         [
             [(1, t(5), 50), (1, t(2), 20), (1, t(8), 80)],
             [(1, t(30), 300)],
-            [(1, t(60), 600), (1, t(1), 10)],   # late beyond horizon
-            [(1, t(99), 990)],
+            [(1, t(60), 600), (1, t(1), 10)],   # boundary: admitted
+            [(1, t(99), 990), (1, t(3), 31)],   # behind a prior emit: dropped
         ],
         ("k", "us", "val"),
     )
@@ -433,14 +461,55 @@ def test_reorder_stream_sorts_and_drops_late(spark, tmp_path):
         .orderBy("us")  # presentation only; emission order asserted below
         .collect()
     ]
-    # all in-horizon rows emitted sorted; the late t(1) arrival dropped;
-    # the final rows may still be buffered (no closing watermark) — so
-    # assert on the emitted prefix
+    # all in-horizon rows emitted sorted; the truly-late t(3) dropped; the
+    # final rows may still be buffered (no closing watermark) — so assert
+    # on the emitted prefix
     emitted_us = [u for u, _ in got]
     assert emitted_us == sorted(emitted_us)
-    assert (t(1), 10) not in got          # late beyond watermark → dropped
-    for expect in [(t(2), 20), (t(5), 50), (t(8), 80), (t(30), 300)]:
-        assert expect in got              # in-horizon rows all surface
+    assert (t(3), 31) not in got          # behind a previous emit → dropped
+    for expect in [(t(1), 10), (t(2), 20), (t(5), 50), (t(8), 80), (t(30), 300)]:
+        assert expect in got              # in-horizon + boundary rows surface
+
+
+def test_reorder_stream_flushes_idle_key_on_timeout(spark, tmp_path):
+    """A key that goes silent must still drain its buffer once the GLOBAL
+    watermark (advanced by other keys' data) passes it — the
+    EventTimeTimeout flush.  Without it, applyInPandasWithState only
+    invokes keys present in the current micro-batch and key 1's rows
+    strand in state forever."""
+    from chainweb_data_spark.streaming.stateful import reorder_stream
+
+    t = lambda m: BASE + m * MIN
+    feed = _write_asof_feed(
+        str(tmp_path),
+        "idlefeed",
+        [
+            [(1, t(5), 50), (1, t(2), 20), (1, t(8), 80)],  # then silent
+            [(2, t(60), 600)],
+            [(2, t(99), 990)],
+            [(2, t(130), 1300)],  # wm well past key-1's buffer → timeout
+        ],
+        ("k", "us", "val"),
+    )
+    raw = (
+        spark.readStream.schema("k long, us long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    stream = raw.select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "val"
+    )
+    out = reorder_stream(stream, ts_col="ts", key_col="k", watermark="10 minutes")
+    _run_to_memory(out, "reorder_idle_t")
+    got = {
+        (r["k"], r["us"], r["val"])
+        for r in spark.table("reorder_idle_t").collect()
+    }
+    # the idle key's entire buffer surfaced (sorted emission is covered by
+    # the property test; presence is what the timeout fix buys)
+    for expect in [(1, t(2), 20), (1, t(5), 50), (1, t(8), 80)]:
+        assert expect in got
+    assert (2, t(60), 600) in got  # the active key still drains normally
 
 
 def test_advance_asof_tolerance():

@@ -251,6 +251,51 @@ def test_asof_null_keys_never_match(spark):
     assert out == {"null-key": None, "real-key": 1.0}
 
 
+def test_asof_null_timestamps_never_match(spark):
+    """ASOF semantics (DuckDB / merge_asof): a NULL timestamp on either
+    side never participates in a match — a NULL-left_ts row gets NULL
+    right columns, and a NULL-right_ts row is never a fill source (both
+    would otherwise meet at the head of the NULLS-FIRST sort)."""
+    left = spark.createDataFrame(
+        [(1, None, "null-ts"), (1, _ts(10), "real-ts")],
+        "k long, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, None, 666.0), (1, _ts(5), 5.0)],
+        "k long, rts timestamp, rval double",
+    )
+    out = {
+        r["lval"]: r["rval"]
+        for r in asof_join(left, right, "k", "ts", "rts").collect()
+    }
+    # the NULL-ts left row survives (left join) but matches nothing; the
+    # real row matches the real right row, not the NULL-ts one
+    assert out == {"null-ts": None, "real-ts": 5.0}
+
+
+def test_range_join_null_bounds_match_nothing(spark):
+    """An interval with a NULL start or end produces NO matches (the
+    containment predicate is NULL → inner-join drops it) instead of
+    tripping the fan-out guard and failing the whole job."""
+    points = spark.createDataFrame(
+        [(1, _ts(10), "p")], "k long, pts timestamp, pval string"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts(5), _ts(15), "good"),
+            (1, None, _ts(15), "null-start"),
+            (1, _ts(5), None, "null-end"),
+            (1, None, None, "null-both"),
+        ],
+        "k long, istart timestamp, iend timestamp, iname string",
+    )
+    out = binned_range_join(
+        points, intervals, "k", "pts", "istart", "iend",
+        bin_width_us=10 * 60 * 1_000_000,
+    )
+    assert [r["iname"] for r in out.collect()] == ["good"]
+
+
 def test_asof_composite_key(spark):
     left = spark.createDataFrame(
         [(1, "x", _ts(10), "a"), (1, "y", _ts(10), "b"), (2, "x", _ts(10), "c")],

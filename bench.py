@@ -56,7 +56,10 @@ HEADLINE = [
     "range_join_orders",    # interval join as binned equi-join
     "dup_spans_docs",       # repeated-substring span flagging (C4 trim)
     "tfidf_top_terms",      # per-doc term salience (tf × N/df)
-    "doc_features",         # SINGLE-SCAN fused feature assembly
+    "doc_features",         # SINGLE-SCAN fused feature assembly (md5 fp —
+                            # the cross-engine-auditable form)
+    "doc_features_fast",    # same fused pass, rolling64 fp kernel — the
+                            # production configuration (also hash-gated)
 ]
 
 

@@ -9,8 +9,12 @@ arithmetic, reproducible in any SQL engine, no regex dialect drift.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # noqa: F401 — module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny deterministic stopword lists per language (public common words).
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -47,12 +51,22 @@ def bpe_token_estimate(col: Column) -> Column:
 
 
 def word_stopword_hits(col: Column, words: list[str]) -> Column:
-    """Whole-word stopword hits via padded-text occurrence counting."""
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
-    out = F.lit(0).cast("long")
-    for w in words:
-        out = out + occurrences(padded, f" {w} ")
-    return out
+    """Whole-word stopword hits: count of whitespace tokens exactly equal
+    to any listed word — ``size(filter(split(text), t -> t IN (...)))``.
+
+    This replaced a padded-text replace-and-measure formulation for two
+    reasons: (a) correctness — non-overlapping ``replace`` undercounts
+    consecutive stopwords ("the the" counted 1); (b) plan cost — one
+    length+replace pair PER WORD built an expression tree so large that
+    driver-side Catalyst analysis/optimization (not execution) dominated
+    every query embedding it (the fused feature pass spent ~3s planning,
+    0.16s running, at sf0.1).  The token-equality form is one split plus
+    an 8-literal IN — ~5× smaller per language."""
+    return (
+        F.size(
+            F.filter(F.split(col, " "), lambda t: t.isin(*words))
+        ).cast("long")
+    )
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
@@ -75,13 +89,20 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         F.lit(0.5)
     )
     score = (len_score + tok_score + F.least(stop_ratio * 4, F.lit(1.0))) / F.lit(3.0)
-    return (
-        df.withColumn("n_chars_calc", n_chars.cast("long"))
-        .withColumn("n_tokens", n_tokens.cast("long"))
-        .withColumn("mean_token_len", mean_tok.cast("double"))
-        .withColumn("space_ratio", space_ratio.cast("double"))
-        .withColumn("stopword_ratio", stop_ratio.cast("double"))
-        .withColumn("quality_score", score.cast("double"))
+    # ONE projection (withColumns), not six chained withColumn calls: each
+    # withColumn re-analyzes the whole (large, duplicated-subtree) plan,
+    # and driver-side analysis — not execution — was measured as the
+    # dominant cost of the fused feature pass (2.4s analyze vs 0.16s run
+    # at sf0.1)
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars.cast("long"),
+            "n_tokens": n_tokens.cast("long"),
+            "mean_token_len": mean_tok.cast("double"),
+            "space_ratio": space_ratio.cast("double"),
+            "stopword_ratio": stop_ratio.cast("double"),
+            "quality_score": score.cast("double"),
+        }
     )
 
 
@@ -93,19 +114,25 @@ def lang_id(df: DataFrame, text_col: str) -> DataFrame:
     scores = {
         lang: word_stopword_hits(c, words) for lang, words in LANG_STOPWORDS.items()
     }
+    # layer 1: one projection computes every score column; layer 2 builds
+    # the argmax from COLUMN REFERENCES, not re-inlined stop-hit trees —
+    # the withColumn-per-score form re-analyzed the whole duplicated plan
+    # per language and made driver analysis the pass's dominant cost
+    scored = df.withColumns(
+        {f"score_{lang}": scores[lang] for lang in sorted(scores)}
+    )
     # argmax via max over struct(score, neg-ordered lang) — pure expressions
     best = F.greatest(
         *[
             F.struct(
-                s.alias("score"), F.lit(-i).alias("prio"), F.lit(lang).alias("lang")
+                F.col(f"score_{lang}").alias("score"),
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
             )
-            for i, (lang, s) in enumerate(sorted(scores.items()))
+            for i, lang in enumerate(sorted(scores))
         ]
     )
-    out = df
-    for lang in sorted(scores):
-        out = out.withColumn(f"score_{lang}", scores[lang])
-    return out.withColumn(
+    return scored.withColumn(
         "lang_pred",
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
     )
@@ -269,18 +296,102 @@ def encode_tokens(
     )
 
 
-def fingerprint(df: DataFrame, text_col: str, k: int = 8) -> DataFrame:
-    """Append ``fp``: min md5 over all char k-grams (MinHash-style rolling
-    fingerprint / winnowing-lite).  Array built-ins only: sequence of start
-    positions → transform(md5(substr)) → array_min."""
+# Rolling-fingerprint polynomial base (odd, so multiplication mod 2^64 is
+# a bijection); chosen once and pinned — changing it changes every stored
+# fingerprint.
+_FP_BASE = 1000003
+
+
+def _fp_rolling64_weights(k: int) -> "np.ndarray":
+    """Positional weights B^(k-1-j) mod 2^64 for the k-gram polynomial."""
+    w = np.empty(k, dtype=np.uint64)
+    acc = 1
+    for j in range(k - 1, -1, -1):
+        w[j] = np.uint64(acc)
+        acc = (acc * _FP_BASE) % (1 << 64)
+    return w
+
+
+def rolling64_fp_kernel(texts: "pd.Series", k: int) -> "pd.Series":
+    """The rolling64 fingerprint kernel, pure and Spark-free (pytest pins
+    it against an independent per-character Python implementation): per
+    text, min over all byte k-grams of the polynomial hash
+    ``Σ byte_j · B^(k-1-j) mod 2^64`` (numpy uint64 wraparound — exact,
+    platform-independent), the hash reinterpreted as SIGNED int64 before
+    the min (so a SQL twin computing the same value as BIGINT picks the
+    identical window).  Texts shorter than ``k`` bytes are zero-padded to
+    one window; NULL in → NULL out."""
+    weights = _fp_rolling64_weights(k)
+    out = np.empty(len(texts), dtype=object)
+    for i, t in enumerate(texts):
+        if t is None:
+            out[i] = None
+            continue
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(b) < k:
+            b = np.pad(b, (0, k - len(b)))
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is the hash
+            h = (win * weights).sum(axis=1, dtype=np.uint64)
+        out[i] = int(h.view(np.int64).min())
+    return pd.Series(out)
+
+
+def fingerprint(
+    df: DataFrame, text_col: str, k: int = 8, mode: str = "md5"
+) -> DataFrame:
+    """Append ``fp``: min hash over all char k-grams (MinHash-style rolling
+    fingerprint / winnowing-lite).
+
+    Three parameter-selected hash modes, same selection shape (the min
+    over every k-gram window), different cost/portability trade-offs —
+    measured at sf0.1 (5k docs, ~300 chars avg, warm local[32]):
+
+    - ``"md5"`` (default) — ``fp string``, the cross-engine ORACLE form:
+      every SQL engine computes the same lowercase hex, so the driver's
+      DuckDB hash gate verifies it bit-for-bit.  Slowest (~2.0s): one
+      full MD5 digest + 32-char hex allocation per character position.
+    - ``"xxhash64"`` — ``fp bigint``, JVM-only production form: Spark's
+      native XXH64 (seed 42) per k-gram, folded to the min with
+      ``aggregate`` so no per-doc hash array materializes.  ~1.25× md5
+      (~1.6s): the per-element interpretation overhead of Spark's
+      higher-order-function lambdas, not the digest, is the floor — use
+      where Python workers are unavailable.
+    - ``"rolling64"`` — ``fp bigint``, the PRODUCTION form: Arrow-batched
+      pandas UDF running :func:`rolling64_fp_kernel` (vectorized numpy
+      polynomial hash over byte k-grams, mod 2^64).  ~3.6× md5 (~0.55s
+      including Python-worker transfer); per-byte cost is a C multiply-
+      add, and it only gets relatively faster as docs grow.  Grams are
+      BYTE k-grams (UTF-8), vs CHAR k-grams in the JVM modes — same
+      thing on ASCII corpora, documented drift on multibyte text.
+
+    Use md5 where a cross-engine audit must replay the value, rolling64
+    everywhere throughput matters.
+    """
     c = F.col(text_col)
     npos = F.greatest(F.length(c) - (k - 1), F.lit(1))
-    fp = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), npos),
-            lambda i: F.md5(c.substr(i, F.lit(k))),
+    if mode == "md5":
+        fp = F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), npos),
+                lambda i: F.md5(c.substr(i, F.lit(k))),
+            )
         )
-    )
+    elif mode == "xxhash64":
+        fp = F.aggregate(
+            F.sequence(F.lit(1), npos),
+            F.lit(9223372036854775807),  # long max: identity for least()
+            lambda acc, i: F.least(acc, F.xxhash64(c.substr(i, F.lit(k)))),
+        )
+    elif mode == "rolling64":
+
+        @F.pandas_udf(T.LongType())
+        def _fp(texts: pd.Series) -> pd.Series:
+            return rolling64_fp_kernel(texts, k)
+
+        fp = _fp(c)
+    else:
+        raise ValueError(f"fingerprint: unknown mode {mode!r}")
     return df.withColumn("fp", fp)
 
 

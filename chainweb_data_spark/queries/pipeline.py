@@ -414,11 +414,13 @@ def text_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stop_hits_sql(words: list[str]) -> str:
-    terms = [
-        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
-        for w in words
-    ]
-    return " + ".join(terms)
+    """DuckDB twin of tx.word_stopword_hits (token-equality counting —
+    see its docstring for why this replaced the padded-replace form)."""
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"t -> t IN ({inlist}))) AS BIGINT)"
+    )
 
 
 @register(
@@ -477,7 +479,7 @@ def _langid_sql() -> str:
         case += f" WHEN {cond} THEN '{lang}'"
     case += " END"
     return f"""
-    WITH base AS (SELECT doc_id, lang, concat(' ', text, ' ') AS p FROM documents),
+    WITH base AS (SELECT doc_id, lang, text FROM documents),
     scored AS (SELECT doc_id, lang, {score_cols} FROM base)
     SELECT doc_id, lang, {', '.join('score_' + l for l in langs)},
            {case} AS lang_pred
@@ -1897,7 +1899,37 @@ def trim_dup_spans_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _doc_features_oracle() -> str:
+def _fp_rolling64_sql(k: int = 8) -> str:
+    """DuckDB twin of the rolling64 fingerprint kernel: the identical
+    polynomial byte-gram hash computed with EXACT integer arithmetic —
+    HUGEINT intermediates (products < 2^72 never overflow), one
+    ``% 2^64`` to land on the numpy uint64-wraparound value, reinterpreted
+    to signed BIGINT before the min, matching the kernel's signed-min
+    selection bit-for-bit.  Valid on ASCII text (``ascii(substr)`` = the
+    UTF-8 byte there); the fixture corpus is all-ASCII, which the gate
+    itself would expose if it drifted."""
+    W = [int(x) for x in tx._fp_rolling64_weights(k)]
+    terms = " + ".join(
+        f"CAST(CASE WHEN i+{j} <= nc THEN ascii(substr(text, CAST(i+{j} AS INT), 1)) ELSE 0 END AS HUGEINT) * {W[j]}"
+        for j in range(k)
+    )
+    return f"""list_aggregate(
+      list_transform(
+        list_transform(range(1, greatest(nc - {k - 1}, 1) + 1),
+                       i -> ({terms}) % 18446744073709551616),
+        s -> CAST(CASE WHEN s >= 9223372036854775808
+                  THEN s - 18446744073709551616 ELSE s END AS BIGINT)
+      ), 'min')"""
+
+
+def _doc_features_oracle(fp_sql: str | None = None) -> str:
+    """Shared oracle body for the fused feature pass; ``fp_sql`` selects
+    the fingerprint leg (default: the md5 char-gram form)."""
+    if fp_sql is None:
+        fp_sql = """list_aggregate(
+             list_transform(range(1, greatest(nc - 7, 1) + 1),
+                            i -> md5(substr(text, CAST(i AS INT), 8))),
+             'min')"""
     langs = sorted(tx.LANG_STOPWORDS)
     score_cols = ",\n".join(
         f"{_stop_hits_sql(tx.LANG_STOPWORDS[lang])} AS score_{lang}"
@@ -1935,10 +1967,7 @@ def _doc_features_oracle() -> str:
                  + least(stop_hits / greatest(nt, 1) * 4, 1.0)) / 3.0
                 AS DOUBLE) AS quality_score,
            {case} AS lang_pred,
-           list_aggregate(
-             list_transform(range(1, greatest(nc - 7, 1) + 1),
-                            i -> md5(substr(text, CAST(i AS INT), 8))),
-             'min') AS fp
+           {fp_sql} AS fp
     FROM feat ORDER BY doc_id
     """
 
@@ -1956,6 +1985,31 @@ def doc_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tx.quality_features(docs, "text")
     out = tx.lang_id(out, "text")
     out = tx.fingerprint(out, "text", k=8)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "quality_score",
+        "lang_pred",
+        "fp",
+    ).orderBy("doc_id")
+
+
+@register("doc_features_fast", oracle=_doc_features_oracle(_fp_rolling64_sql()))
+def doc_features_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of ``doc_features``: identical single-scan
+    fused feature assembly, but the fingerprint leg runs the ``rolling64``
+    kernel (Arrow-batched numpy polynomial hash, ~3.6× the md5 leg that
+    made the md5 twin the slowest headliner) instead of
+    one-md5-per-character-position.  Still fully hash-gated: the oracle
+    recomputes the identical mod-2^64 polynomial in DuckDB with exact
+    HUGEINT arithmetic (``_fp_rolling64_sql``), so the cheap hash is
+    held to the same cross-engine bit-for-bit standard as the md5 form —
+    this is the configuration a 100 TB feature job should run."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.quality_features(docs, "text")
+    out = tx.lang_id(out, "text")
+    out = tx.fingerprint(out, "text", k=8, mode="rolling64")
     return out.select(
         "doc_id",
         "n_tokens",

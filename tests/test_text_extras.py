@@ -158,3 +158,89 @@ def test_trim_duplicate_spans_semantics(spark):
     assert got[2] == ""
     assert got[3] == "untouched text stays whole"
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# fingerprint modes (round-6: cheap-hash production fingerprint)
+# ---------------------------------------------------------------------------
+
+
+def _rolling64_reference(text: str, k: int = 8) -> int:
+    """Independent per-character Python implementation of the rolling64
+    fingerprint (no numpy, no vectorization): polynomial byte-gram hash
+    mod 2^64, signed-int64 min."""
+    B = 1000003
+    data = list(text.encode("utf-8"))
+    if len(data) < k:
+        data = data + [0] * (k - len(data))
+    best = None
+    for i in range(len(data) - k + 1):
+        h = 0
+        for c in data[i : i + k]:
+            h = (h * B + c) % (1 << 64)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        best = signed if best is None else min(best, signed)
+    return best
+
+
+def test_rolling64_kernel_matches_reference():
+    import pandas as pd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaa",
+        "short",          # < k: zero-padded to one window
+        "exactly8",       # == k: one window
+        "",               # empty: one all-zero window
+        "unicode: café 中文",  # multibyte UTF-8 bytes
+        None,             # NULL in → NULL out
+    ]
+    got = tx.rolling64_fp_kernel(pd.Series(texts), 8)
+    for t, g in zip(texts, got):
+        if t is None:
+            assert g is None
+        else:
+            assert g == _rolling64_reference(t, 8), t
+
+
+def test_fingerprint_modes_spark(spark):
+    import pandas as pd
+
+    rows = [(1, "the quick brown fox"), (2, "tiny"), (3, "")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    # rolling64: matches the independent reference through the Spark path
+    got = {
+        r["id"]: r["fp"]
+        for r in tx.fingerprint(df, "t", k=8, mode="rolling64").collect()
+    }
+    for i, t in rows:
+        assert got[i] == _rolling64_reference(t, 8)
+    # xxhash64: long-typed, deterministic, text-sensitive
+    x1 = {
+        r["id"]: r["fp"]
+        for r in tx.fingerprint(df, "t", k=8, mode="xxhash64").collect()
+    }
+    x2 = {
+        r["id"]: r["fp"]
+        for r in tx.fingerprint(df, "t", k=8, mode="xxhash64").collect()
+    }
+    assert x1 == x2
+    assert isinstance(x1[1], int) and x1[1] != x1[2]
+    # md5 stays the string oracle form
+    m = {
+        r["id"]: r["fp"]
+        for r in tx.fingerprint(df, "t", k=8, mode="md5").collect()
+    }
+    assert all(isinstance(v, str) and len(v) == 32 for v in m.values())
+    with pytest.raises(ValueError):
+        tx.fingerprint(df, "t", mode="nope")
+
+
+def test_stopword_hits_counts_consecutive_duplicates(spark):
+    """The token-equality formulation counts every stopword token — the
+    old padded-replace form undercounted consecutive duplicates."""
+    df = spark.createDataFrame([(1, "the the the end")], "id long, t string")
+    got = df.select(
+        tx.word_stopword_hits(F.col("t"), ["the", "a"]).alias("h")
+    ).collect()[0]["h"]
+    assert got == 3

@@ -356,6 +356,87 @@ def bucket_pair_cosines(
     return banded.groupBy("band", "key").applyInPandas(_pairs, schema)
 
 
+def _lsh_banded_units(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    bands: int,
+    dim: int,
+) -> DataFrame:
+    """(id, _unit, band, key): unit vectors with their exploded LSH band
+    keys — the shared candidate-generation front of ``lsh_ann_topk`` and
+    ``ann_near_dup_pairs``.  Sign of dot(unit, plane) equals sign of
+    dot(raw, plane) (norms are positive), so oracles computing signatures
+    on the RAW vectors agree."""
+    width = num_planes // bands
+    sigged = lsh_signature(
+        with_unit_vectors(df, vec_col), "_unit", num_planes, dim
+    )
+    return sigged.select(
+        F.col(id_col),
+        F.col("_unit"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[
+                                F.col("_sig")[i].cast("string")
+                                for i in range(b * width, (b + 1) * width)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "_unit", "bb.band", "bb.key")
+
+
+def ann_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    num_planes: int | None = None,
+    bands: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic near-duplicate pairs on the ANN path: hyperplane-LSH
+    bucket candidates verified with exact cosine ``>= threshold`` —
+    (id_a < id_b, cosine), the pair source semantic dedup should feed
+    ``duplicate_clusters`` at scale.
+
+    This is the 100 TB composition: pair work is Σ occupancy² over LSH
+    buckets, held ≈ constant per vector by ``auto_num_planes``
+    (``num_planes=None`` derives it from the corpus count) — never the
+    O(n²) matrix the exact tier (``near_dup_pairs_matmul``) computes
+    inside its enforced ≤2M-vector envelope.  Recall is the standard LSH
+    trade: a true pair surfaces iff it shares ≥1 band key; more bands
+    raise recall at linear replication cost.  The verification is exact
+    (bucket-local BLAS matmul, 6-dp rounding), so precision is 1 —
+    missed pairs are the only approximation."""
+    if num_planes is None:
+        num_planes = auto_num_planes(df.count(), bands)
+    banded = _lsh_banded_units(df, id_col, vec_col, num_planes, bands, dim)
+    scored = bucket_pair_cosines(banded, id_col, "_unit")
+    return (
+        scored.filter(
+            (F.col(id_col) < F.col("neighbor_id"))
+            & (F.col("cosine") >= threshold)
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def lsh_ann_topk(
     df: DataFrame,
     id_col: str,
@@ -379,29 +460,7 @@ def lsh_ann_topk(
     point."""
     if num_planes is None:
         num_planes = auto_num_planes(df.count(), bands)
-    width = num_planes // bands
-    sigged = lsh_signature(with_unit_vectors(df, vec_col), "_unit", num_planes, dim)
-    banded = sigged.select(
-        F.col(id_col),
-        F.col("_unit"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.col("_sig")[i].cast("string")
-                                for i in range(b * width, (b + 1) * width)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "_unit", "bb.band", "bb.key")
+    banded = _lsh_banded_units(df, id_col, vec_col, num_planes, bands, dim)
     scored = bucket_pair_cosines(banded, id_col, "_unit").dropDuplicates(
         [id_col, "neighbor_id"]
     )

@@ -1757,6 +1757,95 @@ def embed_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicate_clusters(vp.select("id_a", "id_b")).orderBy("id")
 
 
+def _ann_dedup_clusters_oracle(
+    num_planes: int, bands: int, dim: int = 64, threshold: float = 0.45
+) -> str:
+    """Oracle for the ANN-path semantic dedup: the SAME hyperplane-LSH
+    candidate generation as ``_ann_lsh_oracle`` (generated at registration
+    for the plane count the fixture's corpus size derives), verified with
+    exact cosine, then the connected-components RCTE of
+    ``embed_dedup_clusters`` — so the gated configuration is the
+    ANN composition itself, not the 2M-envelope exact tier."""
+    planes = sim.hyperplane_matrix(num_planes, dim)
+    sig_cols = ",\n".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(f'{s:.1f}' for s in planes[p])}]) >= 0 THEN 1 ELSE 0 END AS s{p}"
+        for p in range(num_planes)
+    )
+    width = num_planes // bands
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT vec_id, {b} AS band, concat({cols}) AS key FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(s{i} AS VARCHAR)" for i in range(b * width, (b + 1) * width)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH RECURSIVE
+    sig AS (SELECT vec_id, {sig_cols} FROM embeddings),
+    banded AS ({band_selects}),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+      WHERE a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    vp AS (
+      SELECT id_a, id_b FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 6)
+            >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION SELECT id_b, id_a FROM vp
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (
+      SELECT src AS id, least(src, MIN(dst)) AS cluster_rep
+      FROM reach GROUP BY src
+    ),
+    cs AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_rep)
+    SELECT l.id, l.cluster_rep, cs.cluster_size
+    FROM lab l JOIN cs USING (cluster_rep)
+    ORDER BY id
+    """
+
+
+@register(
+    "embed_dedup_clusters_ann",
+    oracle=_ann_dedup_clusters_oracle(_ANN_AUTO_PLANES, _ANN_AUTO_BANDS),
+)
+def embed_dedup_clusters_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup on the ANN PATH — the composition a 100 TB corpus
+    actually runs: ``ann_near_dup_pairs`` (corpus-adaptive hyperplane LSH
+    candidates, exact-cosine verify ≥ 0.45) → ``duplicate_clusters``
+    (convergence-checked min-label propagation).  The exact-tier twin
+    (``embed_dedup_clusters``) stays registered as the ≤2M-envelope
+    baseline; this query gates the scale path, plane count derived at
+    registration from the fixture's parquet footer exactly as
+    ``ann_lsh_auto_topk`` does."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vp = sim.ann_near_dup_pairs(
+        emb,
+        "vec_id",
+        "embedding",
+        threshold=0.45,
+        num_planes=None,
+        bands=_ANN_AUTO_BANDS,
+        dim=64,
+    )
+    return dd.duplicate_clusters(vp.select("id_a", "id_b")).orderBy("id")
+
+
 def _cluster_balanced_oracle() -> str:
     return f"""
     WITH {_ivf_cent_cte(_IVF_CELLS)},

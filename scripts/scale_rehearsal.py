@@ -118,6 +118,55 @@ def build_scaled(spark, mult: int, distinct: bool = False) -> str:
     return out
 
 
+def build_family_embeddings(spark, mult: int) -> str:
+    """mult× embeddings where each base vector's replicas are near-dups of
+    EACH OTHER but cross-family similarity is unchanged: v' = v + ε·jitter
+    with ε = 0.01 and a deterministic per-(vec, rep) jitter direction.
+    Within a family cosine ≈ 1 (true near-dup cliques of size mult);
+    across families the tiny perturbation moves cosines by < 0.01 — so
+    the TRUE pair set grows ≈ linearly with the corpus (n_base × mult²/2
+    family pairs dominate), unlike the shared-ramp perturbation of
+    ``build_scaled`` which adds one common direction to every vector and
+    collapses the whole corpus into a single dense cone (quadratic truth
+    — an output-bound regime that measures edge volume, not plan
+    shape).  This is the realistic semantic-dedup fixture: duplicates
+    cluster in small families, not one global blob."""
+    from pyspark.sql import functions as F
+
+    out = f"/tmp/cds_scale/sf0.1fam{mult}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
+    n_vecs = emb.count()
+    reps = spark.range(0, mult).select(F.col("id").alias("rep"))
+    # deterministic jitter in [-1,1] per (vec_id, rep, dim): xxhash64 of the
+    # triple, scaled — no RNG, replay-identical
+    jittered = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x, i: x
+        + F.lit(0.01)
+        * (
+            F.pmod(
+                F.xxhash64(F.col("vec_id"), F.col("rep"), i), F.lit(2001)
+            ).cast("double")
+            / F.lit(1000.0)
+            - F.lit(1.0)
+        ),
+    ).cast("array<float>")
+    scaled = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
+        F.when(F.col("rep") == 0, F.col("embedding"))
+        .otherwise(jittered)
+        .alias("embedding"),
+        "label",
+    )
+    scaled.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
+    open(marker, "w").close()
+    return out
+
+
 def build_skewed(spark, mult: int) -> str:
     """mult× embeddings where replicas collapse toward one anchor vector:
     v' = 0.7·anchor + 0.3·v (+ tiny per-replica jitter so rows stay
@@ -289,6 +338,33 @@ def main() -> None:
         "base_s": t_base,
         "scaled_s": t_scaled,
         "growth": round(t_scaled / max(t_base, 1e-9), 2),
+        "quadratic_would_be": mult * mult,
+    }
+
+    # ANN-path semantic dedup (embed_dedup_clusters_ann) rehearses on the
+    # FAMILY fixture (true pair set grows ~linearly — see
+    # build_family_embeddings; the shared-ramp fixture collapses into one
+    # cone and measures edge volume, not plan shape) and times FULL WALL:
+    # duplicate_clusters runs its iterative label-propagation rounds at
+    # DataFrame-construction time (localCheckpoint per round), so a
+    # collect-only timer would miss nearly all the work.
+    fam_dir = build_family_embeddings(spark, mult)
+    q = fns["embed_dedup_clusters_ann"]
+
+    def full_wall(sf_dir):
+        q(spark, sf_dir).collect()  # warm
+        t0 = time.perf_counter()
+        rows = q(spark, sf_dir).collect()
+        return round(time.perf_counter() - t0, 3), len(rows)
+
+    tb, nb = full_wall(BASE_SF)
+    ts, ns = full_wall(fam_dir)
+    result["queries"]["embed_dedup_clusters_ann_family"] = {
+        "base_s": tb,
+        "scaled_s": ts,
+        "growth": round(ts / max(tb, 1e-9), 2),
+        "base_rows": nb,
+        "scaled_rows": ns,
         "quadratic_would_be": mult * mult,
     }
     print(json.dumps(result))

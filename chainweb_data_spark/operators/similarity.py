@@ -547,26 +547,6 @@ def kmeans_centroids(
     return C
 
 
-def _train_kmeans_from_rows(
-    ids: np.ndarray, X: np.ndarray, n_cells: int, sample_size: int, iters: int
-) -> np.ndarray:
-    """Shared trainer core: md5-mod subsample (over STRINGIFIED ids — the
-    same bytes Spark's md5(CAST(id AS STRING)) hashes), sort by id, Lloyd."""
-    import hashlib
-
-    m = _md5_mod_keep(len(ids), sample_size)
-    if m > 1:
-        keep = np.array(
-            [
-                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % m == 0
-                for i in ids
-            ]
-        )
-        ids, X = ids[keep], X[keep]
-    order = np.argsort(ids)
-    return kmeans_centroids(X[order], n_cells, iters)
-
-
 def refine_hot_cells(
     sample: np.ndarray,
     C: np.ndarray,
@@ -637,12 +617,44 @@ def ivf_train_kmeans(
     default so callers pinning ``n_cells`` for a fixed oracle get exactly
     that many cells."""
     ids, X = _collect_train_sample(df, id_col, vec_col, sample_size)
-    C = _train_kmeans_from_rows(ids, X, n_cells, len(ids) + 1, iters)
+    # rows are already sampled (Spark-side md5-mod filter above);
+    # sample_size=len+1 makes the shared core's own sampler a no-op
+    return train_centroids_rows(
+        ids, X, n_cells, len(ids) + 1, iters, split_hot
+    )
+
+
+def train_centroids_rows(
+    ids: np.ndarray,
+    X: np.ndarray,
+    n_cells: int,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_TRAIN_ITERS,
+    split_hot: bool = False,
+) -> np.ndarray:
+    """Full trainer over in-memory rows: md5-mod sample → id-sorted Lloyd →
+    optional hot-cell split — the shared core behind ``ivf_train_kmeans``
+    (which samples Spark-side first) and the registration-time pyarrow
+    twins.  Step-for-step identical to the Spark path on the same rows, so
+    oracle-literal centroids and runtime-trained centroids agree
+    bit-for-bit."""
+    import hashlib
+
+    m = _md5_mod_keep(len(ids), sample_size)
+    if m > 1:
+        keep = np.array(
+            [
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % m == 0
+                for i in ids
+            ]
+        )
+        ids, X = ids[keep], X[keep]
+    order = np.argsort(ids)
+    Xs = X[order]
+    C = kmeans_centroids(Xs, n_cells, iters)
     if split_hot:
-        Xn = np.asarray(X, dtype=np.float64)
-        Xn = Xn / np.maximum(np.linalg.norm(Xn, axis=1, keepdims=True), 1e-300)
-        order = np.argsort(ids)
-        C = refine_hot_cells(Xn[order], C, max(1, len(ids) // n_cells), iters)
+        Xn = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-300)
+        C = refine_hot_cells(Xn, C, max(1, len(ids) // n_cells), iters)
     return C
 
 
@@ -653,6 +665,7 @@ def train_ivf_centroids_parquet(
     vec_col: str = "embedding",
     sample_size: int = IVF_TRAIN_SAMPLE,
     iters: int = IVF_TRAIN_ITERS,
+    split_hot: bool = False,
 ) -> np.ndarray:
     """Registration-time twin of ``ivf_train_kmeans``: the same sample rule
     and Lloyd loop over a pyarrow footer read — no SparkSession — so oracle
@@ -664,7 +677,9 @@ def train_ivf_centroids_parquet(
     t = pq.read_table(path, columns=[id_col, vec_col])
     ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
     X = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
-    return _train_kmeans_from_rows(ids, X, n_cells, sample_size, iters)
+    return train_centroids_rows(
+        ids, X, n_cells, sample_size, iters, split_hot
+    )
 
 
 def auto_n_cells(n_vectors: int) -> int:

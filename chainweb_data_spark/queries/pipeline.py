@@ -941,6 +941,161 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
 
 
+# --- skewed-corpus IVF: gate the split-hot quantizer -----------------------
+# The skew is CONSTRUCTED from the fixture's own embeddings, identically in
+# the Spark query and the oracle (no extra fixture dir): vectors whose id is
+# not a multiple of 10 collapse toward the anchor (vec_id 0's vector) as
+# ev = anchor*0.7 + v*0.3 — 9/10 of the corpus lands in one dense cone, the
+# clustered shape real text embeddings have.  Same regime as
+# scripts/scale_rehearsal.py --skew, but id-deterministic and SQL-exact.
+_SKEW_MOD, _SKEW_W_ANCHOR, _SKEW_W_SELF = 10, 0.7, 0.3
+
+
+def _skewed_fixture_rows(sf_dir: str = "/root/testdata/sf0.01"):
+    """(ids, skewed float64 matrix, dim) for the gate fixture via pyarrow —
+    numpy computes a*0.7 + x*0.3 in float64, the same two multiplies and
+    add the Spark zip_with lambda performs per element, so the
+    registration-trained centroids equal the runtime-trained ones."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    a = X[ids == 0][0]
+    Xs = X.copy()
+    mask = ids % _SKEW_MOD != 0
+    Xs[mask] = a * _SKEW_W_ANCHOR + X[mask] * _SKEW_W_SELF
+    return ids, Xs, X.shape[1]
+
+
+def _trained_ivf_skew_centroids():
+    """split_hot centroids for the skewed fixture, trained at registration
+    (None without testdata — the query then trains at runtime and the
+    weaker rows-only check applies)."""
+    try:
+        ids, Xs, _dim = _skewed_fixture_rows()
+        return sim.train_centroids_rows(ids, Xs, _IVF_CELLS, split_hot=True)
+    except Exception:
+        return None
+
+
+_IVF_SKEW_CENTROIDS = _trained_ivf_skew_centroids()
+
+
+def _cent_cte_from(C) -> str:
+    """Centroid matrix → literal-VALUES ``cent`` CTE (repr round-trips
+    float64 bit-identically — same move as ``_ivf_cent_cte``)."""
+    rows = ",\n      ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in C[i])}])"
+        for i in range(len(C))
+    )
+    return f"""
+    cent AS (
+      SELECT CAST(v.cell AS INT) AS cell, CAST(v.cv AS DOUBLE[]) AS cv
+      FROM (VALUES
+      {rows}
+      ) AS v(cell, cv)
+    )"""
+
+
+def _ann_ivf_skew_oracle(nprobe: int = _IVF_NPROBE, k: int = _IVF_K) -> str:
+    _ids, _Xs, dim = _skewed_fixture_rows()
+    return f"""
+    WITH anchor AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id = 0
+    ),
+    emb2 AS (
+      SELECT e.vec_id,
+             CASE WHEN e.vec_id % {_SKEW_MOD} = 0 THEN CAST(e.embedding AS DOUBLE[])
+                  ELSE list_transform(range(1, {dim + 1}),
+                         i -> an.av[i] * {_SKEW_W_ANCHOR}
+                              + CAST(e.embedding AS DOUBLE[])[i] * {_SKEW_W_SELF})
+             END AS ev
+      FROM embeddings e CROSS JOIN anchor an
+    ),
+    {_cent_cte_from(_IVF_SKEW_CENTROIDS)},
+    sims AS (
+      SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(e.ev, c.cv), 6) AS s
+      FROM emb2 e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+      FROM sims
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+    probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT DISTINCT p.vec_id, a.neighbor_id
+      FROM probe p JOIN assign a USING (cell)
+      WHERE p.vec_id <> a.neighbor_id
+    )
+    SELECT vec_id, neighbor_id, cosine FROM (
+      SELECT c.vec_id, c.neighbor_id,
+             round(list_cosine_similarity(ea.ev, eb.ev), 6) AS cosine
+      FROM cand c
+      JOIN emb2 ea ON ea.vec_id = c.vec_id
+      JOIN emb2 eb ON eb.vec_id = c.neighbor_id
+    )
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) <= {k}
+    ORDER BY vec_id, cosine DESC, neighbor_id
+    """
+
+
+@register(
+    "ann_ivf_skew_topk",
+    oracle=(
+        _ann_ivf_skew_oracle() if _IVF_SKEW_CENTROIDS is not None else None
+    ),
+)
+def ann_ivf_skew_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN on a CLUSTERED corpus with the split-hot quantizer —
+    the configuration the --skew rehearsal showed is the difference
+    between a runnable plan and the Σocc² quadratic wall (README quantizer
+    table: trained-unsplit unrunnable, split_hot 41s at 20k vectors).
+    The skewed corpus is derived deterministically from the fixture's own
+    embeddings (see ``_SKEW_MOD``), the quantizer is
+    ``ivf_train_kmeans(split_hot=True)`` re-derived at runtime, and the
+    oracle carries the registration-trained centroids as literals — so
+    the hot-cell SPLIT path itself is now under the driver's hash gate,
+    not just measured in a script."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchor = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("a"))
+        .first()["a"]
+    )
+    anchor_arr = F.array(*[F.lit(float(x)) for x in anchor])
+    ev = F.when(
+        F.col("vec_id") % _SKEW_MOD == 0,
+        F.col("embedding").cast("array<double>"),
+    ).otherwise(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            anchor_arr,
+            lambda x, a: a * F.lit(_SKEW_W_ANCHOR) + x * F.lit(_SKEW_W_SELF),
+        )
+    )
+    skewed = emb.select("vec_id", ev.alias("ev"))
+    C = sim.ivf_train_kmeans(skewed, "vec_id", "ev", _IVF_CELLS, split_hot=True)
+    return sim.ivf_topk(
+        skewed,
+        "vec_id",
+        "ev",
+        k=_IVF_K,
+        n_cells=len(C),
+        nprobe=_IVF_NPROBE,
+        centroids=C,
+    ).orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (stubbed decode; Spark plumbing real)
 # ---------------------------------------------------------------------------

@@ -155,3 +155,61 @@ def test_ivf_kmeans_subsample_rule():
         if int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % m == 0
     ]
     assert 800 <= len(kept) <= 1200  # ≈ n/m, hash-uniform
+
+
+def test_skew_gate_split_trainer_twins(spark):
+    """The round-6 skew gate's two trainer paths agree bit-for-bit: the
+    registration-time pyarrow twin (train_centroids_rows over the skewed
+    fixture matrix) and the runtime Spark path (ivf_train_kmeans with
+    split_hot=True over the in-query skewed relation) — and the split
+    actually fires on the skewed corpus (more cells than requested,
+    strictly less Sum-occ-squared probe work than unsplit)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.queries.pipeline import (
+        _IVF_CELLS,
+        _SKEW_MOD,
+        _SKEW_W_ANCHOR,
+        _SKEW_W_SELF,
+        _skewed_fixture_rows,
+        _t,
+    )
+
+    ids, Xs, _dim = _skewed_fixture_rows()
+    C_reg = sim.train_centroids_rows(ids, Xs, _IVF_CELLS, split_hot=True)
+
+    emb = _t(spark, "/root/testdata/sf0.01", "embeddings")
+    anchor = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("a"))
+        .first()["a"]
+    )
+    anchor_arr = F.array(*[F.lit(float(x)) for x in anchor])
+    ev = F.when(
+        F.col("vec_id") % _SKEW_MOD == 0,
+        F.col("embedding").cast("array<double>"),
+    ).otherwise(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            anchor_arr,
+            lambda x, a: a * F.lit(_SKEW_W_ANCHOR) + x * F.lit(_SKEW_W_SELF),
+        )
+    )
+    skewed = emb.select("vec_id", ev.alias("ev"))
+    C_rt = sim.ivf_train_kmeans(skewed, "vec_id", "ev", _IVF_CELLS, split_hot=True)
+    assert C_reg.shape == C_rt.shape
+    assert np.array_equal(C_reg, C_rt)
+
+    # the split fired: more cells than requested, and probe work dropped
+    C_unsplit = sim.train_centroids_rows(ids, Xs, _IVF_CELLS, split_hot=False)
+    assert len(C_reg) > _IVF_CELLS == len(C_unsplit)
+    Xn = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-300)
+
+    def occ_sq(C):
+        occ = np.bincount(
+            np.argmax(np.round(Xn @ C.T, 6), axis=1), minlength=len(C)
+        )
+        return int((occ.astype(np.int64) ** 2).sum())
+
+    assert occ_sq(C_reg) < occ_sq(C_unsplit)

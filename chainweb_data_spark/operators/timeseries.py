@@ -12,12 +12,12 @@ over (key, ts) carrying the last-seen right payload forward; left rows then
 read their fill.  Cost is a single shuffle on the key plus a per-key sort —
 the same cost class as the sort-merge ASOF implementations in DuckDB /
 Pandas ``merge_asof``, but executed as an ordinary Spark window so it
-scales horizontally across keys.  (A salted rail is impossible for windows;
-for the one-hot-key case, split the time axis into buckets, window inside
-(key, bucket), and cascade each bucket's last right row into the next
-bucket via a second, tiny window over the per-bucket summaries.  Not built
-here — at the reference's shapes keys are plentiful — but the plan shape is
-documented because it is the known answer to as-of skew.)
+scales horizontally across keys.  A salted rail is impossible for windows;
+for the one-hot-key case ``bucket_width_us`` splits the time axis into
+buckets, windows inside (key, bucket), and cascades each bucket's last
+right row forward via a second, tiny window over the per-bucket summaries
+— the known answer to as-of skew, property-tested equivalent to the
+single-window form.
 
 **Binned range join** (``binned_range_join``): point-in-interval joins
 (``start <= ts <= end``) naively force Spark into a broadcast-nested-loop
@@ -64,6 +64,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     tolerance_us: int | None = None,
+    bucket_width_us: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains the payload of the newest
     ``right`` row with the same ``on`` key(s) and ``right_ts <= left_ts``
@@ -86,6 +87,24 @@ def asof_join(
     per-key sort, zero joins.  The window's frame is rows-unbounded-
     preceding with ``ignorenulls`` last() — an O(1)-state running fill, not
     a re-scan per row.
+
+    ``bucket_width_us`` — the SKEW RAIL.  A window must hold a partition's
+    rows on one task, so a single hot key (the realistic pathological
+    feed: one instrument carrying most of the volume) serializes the whole
+    join through one sort.  With a bucket width set, the fill computes in
+    two bounded phases instead: (1) the same running fill WITHIN each
+    (key, time-bucket) partition — hot keys now split across
+    ``span/width`` tasks; (2) a cascade over the tiny per-(key, bucket)
+    summary relation (one row per bucket: the bucket's last right
+    payload), where a second window — O(n_buckets) per key, never
+    O(n_rows) — carries the latest payload of every EARLIER bucket into
+    each bucket; a row's match is its in-bucket fill, else its bucket's
+    carry-in.  Output is row-for-row identical to the unbucketed form
+    (property-tested); cost adds one aggregation and one (key, bucket)
+    join, both on the partitioning the main shuffle already produced.
+    Pick a width that puts ≫ 1 bucket across the hot key's time span; a
+    width wider than the whole span degenerates gracefully to the
+    single-window plan's behavior (one bucket).
     """
     keys = [on] if isinstance(on, str) else list(on)
     rpay = [c for c in right.columns if c not in keys]
@@ -118,30 +137,80 @@ def asof_join(
         F.lit(None).cast(ltype).alias("_l"),
         F.when(F.col(right_ts).isNotNull(), rstruct).alias("_r"),
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     # NULL-key semantics: Window.partitionBy groups NULL keys into ONE
     # partition, which would let null-key left rows take null-key right
     # payloads — but an equality join (DuckDB ASOF, pandas merge_asof)
     # never matches NULLs.  Nulling the fill for null keys restores join
     # semantics at zero cost (no second scan, no union of filtered legs).
-    fill = F.last("_r", ignorenulls=True).over(w)
     # ... and a NULL-left_ts row must never READ a fill (it sorts to the
     # partition head where a NULL-ts right row of the same key also lands):
     # extend the null guard with _ts itself
     keys_not_null = F.col("_ts").isNotNull()
     for k in keys:
         keys_not_null = keys_not_null & F.col(k).isNotNull()
-    filled = (
-        l.unionByName(r)
-        .withColumn(
-            "_rf", F.when(keys_not_null, fill)  # else NULL struct
+    unioned = l.unionByName(r)
+    if bucket_width_us is None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .filter(F.col("_side") == 1)
-    )
+        fill = F.last("_r", ignorenulls=True).over(w)
+        filled = unioned.withColumn(
+            "_rf", F.when(keys_not_null, fill)  # else NULL struct
+        ).filter(F.col("_side") == 1)
+    else:
+        wv = int(bucket_width_us)
+        if wv <= 0:
+            raise ValueError("asof_join: bucket_width_us must be positive")
+        unioned = unioned.withColumn(
+            "_b", F.floor(F.unix_micros(F.col("_ts")) / F.lit(wv))
+        )
+        # phase 1: the running fill WITHIN each (key, bucket) — the hot
+        # key's rows now sort on span/width tasks, not one
+        w_loc = (
+            Window.partitionBy(*keys, "_b")
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = unioned.withColumn(
+            "_rf_loc", F.last("_r", ignorenulls=True).over(w_loc)
+        )
+        # phase 2: per-(key, bucket) summary (ONE row per bucket: its last
+        # right payload — max_by ignores rows whose ordering key is NULL,
+        # i.e. left rows and null-ts rights), then the cascade window over
+        # the summaries carries every EARLIER bucket's latest payload in.
+        # The cascade partition is O(n_buckets) per key — never O(rows).
+        summary = unioned.groupBy(*keys, "_b").agg(
+            F.max_by(
+                "_r",
+                F.when(
+                    F.col("_r").isNotNull(), F.struct("_ts", "_side")
+                ),
+            ).alias("_last_r")
+        )
+        w_cascade = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_b").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = summary.withColumn(
+            "_carry", F.last("_last_r", ignorenulls=True).over(w_cascade)
+        ).select(*keys, "_b", "_carry")
+        # LEFT join: null-key / null-ts left rows match no carry row but
+        # must survive (left-join semantics); their fill is nulled by the
+        # guard anyway
+        filled = (
+            local.join(carry, [*keys, "_b"], "left")
+            .withColumn(
+                "_rf",
+                F.when(
+                    keys_not_null,
+                    F.coalesce(F.col("_rf_loc"), F.col("_carry")),
+                ),
+            )
+            .filter(F.col("_side") == 1)
+        )
     if tolerance_us is not None:
         fresh = F.unix_micros(F.col("_ts")) - F.unix_micros(
             F.col("_rf").getField(right_ts)

@@ -13,8 +13,15 @@ CONSTRUCTION (same methodology as scale_rehearsal.py):
   population is time-localized, so both should STILL grow ~linearly; a
   per-key quadratic (e.g. a naive as-of via inequality self-join) would
   show N².
+- hotkey (--hotkey): EVERY row collapses onto ONE key at N× depth — the
+  pathological feed (one instrument carrying all the volume).  A window
+  must hold a partition on one task, so the single-window as-of
+  serializes; this regime measures the ``bucket_width_us`` skew rail
+  (window inside (key, time-bucket) + per-bucket cascade) against the
+  unbucketed plan on the same data, and reports both walls plus the
+  bucketed plan's partition fan-out.
 
-Usage:  python scripts/timeseries_rehearsal.py [multiplier=10] [--deep]
+Usage:  python scripts/timeseries_rehearsal.py [multiplier=10] [--deep | --hotkey]
 Prints one JSON line.  (Idle machine, same caveat as bench.py.)
 """
 
@@ -86,6 +93,64 @@ def build_scaled(spark, mult: int, deep: bool = False) -> str:
     return out
 
 
+def hotkey_report(spark, mult: int) -> dict:
+    """Unbucketed vs bucketed as-of where the per-key window IS the whole
+    query: a synthetic ONE-KEY corpus (left = mult×100k facts at 1s
+    spacing, right = mult×10k dim updates at 10s spacing — unique
+    timestamps by construction, so no dedup stage dilutes the
+    measurement).  The single-window plan sorts the whole union on ONE
+    task; the rail (bucket width = 10k seconds → ~10·mult buckets)
+    spreads it across the cores.  Both plans are reduced through the same
+    checksum aggregate and the checksums are asserted equal — same
+    answer, different physical schedule."""
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.operators import timeseries as tsj
+
+    n_left, n_right = mult * 100_000, mult * 10_000
+    US = 1_000_000
+
+    def build(bucket_width):
+        left = spark.range(0, n_left, 1, 32).select(
+            F.lit(1).alias("k"),
+            F.timestamp_micros(F.col("id") * US).alias("ts"),
+            F.col("id").alias("lid"),
+        )
+        right = spark.range(0, n_right, 1, 32).select(
+            F.lit(1).alias("k"),
+            F.timestamp_micros(F.col("id") * 10 * US + 7).alias("rts"),
+            (F.col("id") * 3).cast("double").alias("rv"),
+        )
+        out = tsj.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            bucket_width_us=bucket_width,
+        )
+        return out.agg(
+            F.count("*").alias("n"),
+            F.sum("rv").alias("sum_rv"),
+            F.sum(F.hash("lid", "rv")).alias("chk"),
+        )
+
+    def wall(bucket_width):
+        build(bucket_width).collect()  # warm
+        t0 = time.perf_counter()
+        row = build(bucket_width).collect()[0]
+        return round(time.perf_counter() - t0, 3), tuple(row)
+
+    t_single, chk_single = wall(None)
+    t_rail, chk_rail = wall(10_000 * US)
+    assert chk_single == chk_rail, (chk_single, chk_rail)
+    return {
+        "multiplier": mult,
+        "n_left": n_left,
+        "n_right": n_right,
+        "single_window_s": t_single,
+        "bucketed_s": t_rail,
+        "speedup": round(t_single / max(t_rail, 1e-9), 2),
+        "n_buckets": n_left // 10_000,
+    }
+
+
 def timed(fn, spark, sf_dir) -> float:
     fn(spark, sf_dir).collect()  # warm: codegen + page cache
     df = fn(spark, sf_dir)
@@ -100,8 +165,15 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     deep = "--deep" in sys.argv[1:]
+    hotkey = "--hotkey" in sys.argv[1:]
     mult = int(args[0]) if args else 10
     spark = get_spark("cds-ts-rehearsal")
+    if hotkey:
+        print(json.dumps({
+            "regime": "hotkey",
+            "asof_hotkey": hotkey_report(spark, mult),
+        }))
+        return
     fns = query_fns()
     scaled_dir = build_scaled(spark, mult, deep)
 

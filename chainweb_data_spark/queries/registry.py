@@ -69,19 +69,33 @@ def register(name: str, oracle: str | None = None):
 #    range_join_orders — new operator FAMILIES, which is worth more gate
 #    information than a second gate on an already-gated family; they took
 #    the slots of global_max, redundant with cw_stats for A2, and
-#    dedup_exact_props, redundant with dedup_exact_docs for exact dedup).
+#    dedup_exact_props, redundant with dedup_exact_docs for exact dedup),
+# 5. (round 6) the five most production-shaped pipeline flagships —
+#    curation_pipeline (the end-to-end composition), doc_features (fused
+#    single-scan feature pass), trim_dup_spans_docs (span trim, the C4
+#    primitive), pack_sequences (scale-safe two-phase cumsum), and
+#    encode_token_ids (order-exact vocabulary encoding).  They took the
+#    slots of five redundant §2 analogs: filtered_count (A3 — the filter+
+#    count shape is inside cw_stats and cw_search_*), agg_ordered_string
+#    (A5 — ordered array_agg is load-bearing inside gated
+#    cw_continuation_history), coalesce_fallback (F2 — COALESCE is
+#    load-bearing inside gated cw_account_transfers' x-chain legs),
+#    anti_join (P9 — existence probes stay gated via semi_join_exists),
+#    and groupby_minmax (A1 — gated via cw_chain_minmax and
+#    pricing_summary).
 # Exactly 50.  The tail (registered after these, driver-ungated but
 # pytest-covered, each still oracle-hash-checked locally) holds redundant
 # analogs whose §2 IDs are gated elsewhere (O2 via cw_recent_txs, A4 via
-# cw_stats, A2 via cw_stats, exact dedup via dedup_exact_docs),
-# offset_page (O4 — compat-only and documented-discouraged; its keyset
-# twin stays gated), beyond-reference extras (recent_events, stats_counts,
-# distinct_users, rollup_pricing, pivot_event_counts, sessionization,
-# session_window_agg, doc_length_quantiles, doc_repetition,
-# text_gopher_quality, ann_ivf_topk, redact_pii_docs, tfidf_top_terms,
-# dup_spans_docs, embed_cluster_assign, dedup_normalized_docs,
-# embed_dedup_clusters), Spark-4-native twins of gated queries
-# (cw_continuation_history_rcte — native WITH RECURSIVE;
+# cw_stats, A2 via cw_stats, exact dedup via dedup_exact_docs, plus the
+# five round-6 demotions above), offset_page (O4 — compat-only and
+# documented-discouraged; its keyset twin stays gated), beyond-reference
+# extras (recent_events, stats_counts, distinct_users, rollup_pricing,
+# pivot_event_counts, sessionization, session_window_agg,
+# doc_length_quantiles, doc_repetition, text_gopher_quality, ann_ivf_topk,
+# ann_ivf_skew_topk, redact_pii_docs, tfidf_top_terms, dup_spans_docs,
+# embed_cluster_assign, dedup_normalized_docs, embed_dedup_clusters,
+# embed_dedup_clusters_ann, doc_features_fast), Spark-4-native twins of
+# gated queries (cw_continuation_history_rcte — native WITH RECURSIVE;
 # json_variant_extract — VariantType parse-once extraction), and the
 # multimodal resize/frame-sample/audio legs (the gate slot for the binary
 # pipeline is multimodal_image_features).
@@ -103,9 +117,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cw_events_page_after",
     # testdata §2 operators
     "pricing_summary",
-    "groupby_minmax",
-    "filtered_count",
-    "agg_ordered_string",
     "keyset_page",
     "topk_per_group",
     "range_filter",
@@ -113,8 +124,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_like_search",
     "region_revenue",
     "semi_join_exists",
-    "anti_join",
-    "coalesce_fallback",
     "latest_per_user",
     "gap_detection",
     "running_counters",
@@ -140,6 +149,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # time-series joins (round-5 operators: as-of + binned range join)
     "asof_join_orders",
     "range_join_orders",
+    # round-6 promotions: production-shaped pipeline flagships
+    "curation_pipeline",
+    "doc_features",
+    "trim_dup_spans_docs",
+    "pack_sequences",
+    "encode_token_ids",
 )
 
 

@@ -90,6 +90,7 @@ def update_dedup_index(
     min_jaccard: float = 0.2,
     max_bucket_size: int = 50,
     atomic: bool = True,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Flag near-dups of ``docs`` against the index AND within the batch,
     then fold the batch into the index.  Returns the flagged rows, eagerly
@@ -100,7 +101,17 @@ def update_dedup_index(
     flip (streaming/publish.py) — a crash mid-fold leaves the index
     exactly at the previous snapshot instead of bands-without-sets
     (sets-less candidates would silently verify against nothing).
-    ``atomic=False`` falls back to per-table merge_batch appends."""
+    ``atomic=False`` falls back to per-table merge_batch appends.
+
+    ``compact_every`` — the LONG-RUN file bound.  Per-batch growth is
+    bounded (coalesce(1): ≤16 files/table/batch) but cumulative growth is
+    O(batches), and probe cost is O(live files) at the parquet-open
+    layer; every ``compact_every`` batches the three tables compact to
+    one file per partition directory through a manifest flip
+    (``publish.compact_published`` — crash-atomic, row-preserving; plain
+    ``maintenance.compact_table`` on the non-atomic layout).  The
+    100-batch streaming rehearsal measures probe time FLAT with this on
+    and linearly degrading without."""
 
     sets_ = dd.shingle_set_arrays(docs, id_col, text_col, k).cache()
     sh = sets_.select(id_col, F.explode("_sh").alias("shingle"))
@@ -232,6 +243,17 @@ def update_dedup_index(
             merge_batch(
                 spark, df, os.path.join(out_dir, f"{name}.parquet"), _PKS[name]
             )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        if atomic:
+            from .publish import compact_published
+
+            for name in _PKS:
+                compact_published(spark, out_dir, name)
+        else:
+            from ..sources.maintenance import compact_table
+
+            for name in _PKS:
+                compact_table(spark, os.path.join(out_dir, f"{name}.parquet"))
     sets_.unpersist()
     if probe_banded is not banded:
         probe_banded.unpersist()
@@ -239,3 +261,59 @@ def update_dedup_index(
         verify_sets.unpersist()
     banded.unpersist()
     return result
+
+
+def dedup_index_sink(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    flags_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    compact_every: int | None = 16,
+    available_now: bool = True,
+    **index_kwargs,
+):
+    """The index as a SINK: ``writeStream.foreachBatch`` wrapper mirroring
+    ``listen_stream`` (checkpoint + engine-assigned batch_id plumbing), so
+    a caller points a document stream at a directory instead of
+    orchestrating ``update_dedup_index`` per batch by hand.
+
+    Exactly-once shape, same as the listen sink: the checkpoint replays an
+    uncommitted batch with the SAME batch_id after a crash, and
+    ``update_dedup_index`` is idempotent per (content, batch_id) — the
+    replay re-flags identical rows and merges nothing.  Flagged rows
+    optionally persist to ``flags_dir`` through the idempotent PK merge
+    (PK = (id, dup_of); a replayed batch's flags land as no-ops), with a
+    ``key_bucket`` so downstream probes prune.  Compaction runs inside the
+    batch callback every ``compact_every`` batches — serialized with the
+    writes, which the manifest protocol's single-writer assumption
+    requires.  Returns the StreamingQuery (caller awaits / stops)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        flags = update_dedup_index(
+            sp,
+            batch_df,
+            out_dir,
+            batch_id=batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            compact_every=compact_every,
+            **index_kwargs,
+        )
+        if flags_dir is not None:
+            out = flags.withColumn(
+                "key_bucket",
+                F.pmod(F.col(id_col), F.lit(16)).cast("string"),
+            )
+            merge_batch(sp, out, flags_dir, (id_col, "dup_of"))
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -216,6 +216,70 @@ def publish_batch(
     return committed
 
 
+def compact_published(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    min_files: int = 2,
+    target_files: int = 1,
+) -> dict[str, tuple[int, int]]:
+    """Manifest-aware compaction: rewrite each partition's many LIVE files
+    (the manifest's list, not the directory's) into ``target_files``, then
+    commit the swap as ONE manifest flip — a reader sees the old snapshot
+    or the compacted one, never a mix; rows are preserved exactly.  The
+    replaced files fall out of the manifest and are reclaimed by
+    :func:`vacuum` (called here — safe under the single-writer
+    assumption).  This is the append-only sink's autovacuum: per-batch
+    writes bound file growth per batch (coalesce(1) in the sinks), but
+    cumulative growth is O(batches) and probe cost is O(live files) at
+    the parquet-open layer — periodic compaction is the long-run bound.
+    Returns {partition: (files_before, files_after)}."""
+    from collections import defaultdict
+
+    manifest = read_manifest(out_dir)
+    files = manifest["tables"].get(table, [])
+    if not files:
+        return {}
+    tdir = os.path.join(out_dir, f"{table}.parquet")
+    by_part: dict[str, list[str]] = defaultdict(list)
+    for rel in files:
+        by_part[os.path.dirname(rel)].append(rel)
+    new_list: list[str] = []
+    done: dict[str, tuple[int, int]] = {}
+    for part in sorted(by_part):
+        rels = by_part[part]
+        if len(rels) <= max(min_files, target_files):
+            new_list.extend(rels)
+            continue
+        df = spark.read.parquet(*[os.path.join(tdir, r) for r in rels])
+        staging = os.path.join(
+            out_dir, "_staging", f"compact-{table}-{uuid.uuid4().hex}"
+        )
+        df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+        moved: list[str] = []
+        for fname in sorted(os.listdir(staging)):
+            if fname.startswith(("_", ".")):
+                continue
+            dest_rel = os.path.join(part, fname) if part else fname
+            dest = os.path.join(tdir, dest_rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(staging, fname), dest)
+            moved.append(dest_rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        new_list.extend(moved)
+        done[part or "."] = (len(rels), len(moved))
+    if done:
+        _write_manifest(
+            out_dir,
+            {
+                "version": manifest["version"] + 1,
+                "tables": {**manifest["tables"], table: sorted(new_list)},
+            },
+        )
+        vacuum(out_dir)
+    return done
+
+
 def vacuum(out_dir: str) -> list[str]:
     """Delete data files referenced by NO manifest snapshot (crash orphans
     from batches that staged but never committed) plus leftover staging

@@ -207,3 +207,146 @@ def test_batch_writes_one_file_per_table(spark, tmp_path):
             if not f.startswith(("_", "."))
         )
         assert n_files <= per_batch * n_batches, (table, n_files)
+
+
+# ---------------------------------------------------------------------------
+# round-6: the foreachBatch sink wrapper + manifest-aware compaction
+# ---------------------------------------------------------------------------
+
+
+def _write_doc_feed(tmp, name, batches):
+    import json as _json
+
+    feed = os.path.join(tmp, name)
+    os.makedirs(feed, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(feed, f"b{i:03d}.json")
+        with open(p, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        t = 1_700_000_000 + i * 10
+        os.utime(p, (t, t))
+    return feed
+
+
+def _run_sink(spark, feed, out, ckpt, flags_dir, **kw):
+    from chainweb_data_spark.streaming.dedup_index import dedup_index_sink
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    q = dedup_index_sink(stream, out, ckpt, flags_dir=flags_dir, **kw)
+    q.awaitTermination(300)
+    return q
+
+
+def test_sink_wrapper_end_to_end(spark, tmp_path):
+    """dedup_index_sink drives update_dedup_index through a real
+    foreachBatch stream: per-file micro-batches, engine batch ids,
+    flags merged idempotently into flags_dir."""
+    out, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    flags_dir = str(tmp_path / "flags")
+    feed = _write_doc_feed(
+        str(tmp_path),
+        "docfeed",
+        [
+            [(1, BASE_TEXT), (2, "one two three four five six seven eight")],
+            [(10, BASE_TEXT + " tail"), (11, BASE_TEXT + " tail extra")],
+        ],
+    )
+    _run_sink(spark, feed, out, ckpt, flags_dir)
+    got = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in spark.read.parquet(flags_dir).collect()
+    )
+    assert (10, 1) in got and (11, 10) in got
+    # restart the SAME checkpoint with one more file: only the new batch
+    # processes (batch ids continue), and prior flags are not duplicated
+    with open(os.path.join(feed, "b002.json"), "w") as f:
+        import json as _json
+
+        f.write(_json.dumps({"doc_id": 20, "text": BASE_TEXT + " tail two"}) + "\n")
+    _run_sink(spark, feed, out, ckpt, flags_dir)
+    flags2 = spark.read.parquet(flags_dir)
+    pairs = sorted((r["doc_id"], r["dup_of"]) for r in flags2.collect())
+    assert len(pairs) == len(set(pairs))  # PK merge: no duplicate flags
+    assert any(d == 20 for d, _ in pairs)  # the new batch was processed
+
+
+def test_sink_wrapper_replay_after_crash(spark, tmp_path):
+    """A batch whose foreachBatch ran but whose checkpoint commit did not
+    land is replayed with the SAME batch_id on restart — the index merges
+    nothing twice and the flags are byte-identical (the idempotence the
+    per-batch tests pin, here exercised through the wrapper's plumbing)."""
+    out, ckpt = str(tmp_path / "idx"), str(tmp_path / "ckpt")
+    flags_dir = str(tmp_path / "flags")
+    feed = _write_doc_feed(
+        str(tmp_path),
+        "crashfeed",
+        [
+            [(1, BASE_TEXT)],
+            [(10, BASE_TEXT + " tail")],
+        ],
+    )
+    _run_sink(spark, feed, out, ckpt, flags_dir)
+    n_bands = spark.read.parquet(os.path.join(out, BANDS_TABLE)).count()
+    flags_before = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in spark.read.parquet(flags_dir).collect()
+    )
+    # simulate the crash window: delete the LAST checkpoint commit marker so
+    # the engine replays the final batch with its original batch_id
+    commits = os.path.join(ckpt, "commits")
+    last = sorted(
+        f for f in os.listdir(commits) if not f.startswith(".")
+    )[-1]
+    os.remove(os.path.join(commits, last))
+    # the Hadoop local FS keeps a .N.crc sidecar; with it left behind, the
+    # replay's atomic rename of the re-written commit fails and Spark
+    # misreports it as concurrent checkpoint use
+    crc = os.path.join(commits, f".{last}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    _run_sink(spark, feed, out, ckpt, flags_dir)
+    assert spark.read.parquet(os.path.join(out, BANDS_TABLE)).count() == n_bands
+    flags_after = sorted(
+        (r["doc_id"], r["dup_of"])
+        for r in spark.read.parquet(flags_dir).collect()
+    )
+    assert flags_after == flags_before
+
+
+def test_compaction_preserves_rows_and_bounds_files(spark, tmp_path):
+    """compact_every folds the three tables' files down through a manifest
+    flip: rows identical before/after, live file count drops to one per
+    partition dir, and later probes still flag correctly."""
+    from chainweb_data_spark.streaming.publish import read_manifest
+
+    out = str(tmp_path / "idx")
+    texts = {}
+    for b in range(6):
+        docs = _docs(
+            spark,
+            [(b * 100 + i, f"{BASE_TEXT} batch{b} doc{i} filler") for i in range(4)],
+        )
+        update_dedup_index(spark, docs, out, batch_id=b, compact_every=4)
+    # batch 4 triggered compaction (4 % 4 == 0): live bands files ≤ one per
+    # partition dir touched + the two batches since
+    m = read_manifest(out)
+    rows = spark.read.parquet(os.path.join(out, BANDS_TABLE)).count()
+    live = m["tables"]["minhash_bands"]
+    import collections
+
+    per_dir = collections.Counter(os.path.dirname(f) for f in live)
+    # dirs compacted at batch 4 hold 1 file + ≤2 appended since (batches 5)
+    assert max(per_dir.values()) <= 3
+    # rows preserved exactly: the published view equals a fresh read
+    from chainweb_data_spark.streaming.publish import read_published
+
+    assert read_published(spark, out, "minhash_bands").count() == rows
+    # and the index still works: a near-dup of batch 0's doc 0 flags
+    probe = _docs(spark, [(999, f"{BASE_TEXT} batch0 doc0 filler tail")])
+    got = _flags(update_dedup_index(spark, probe, out, batch_id=6, compact_every=4))
+    assert (999, 0) in got

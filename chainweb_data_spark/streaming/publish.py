@@ -1,34 +1,61 @@
-"""Atomic multi-table publish — the parquet-native analog of the reference's
-single-transaction write of all six tables per block
-(``haskell-src/exec/Chainweb/Worker.hs:50-82``).
+"""Atomic multi-table publish on a parquet transaction log — the
+parquet-native analog of the reference's single-transaction write of all six
+tables per block (``haskell-src/exec/Chainweb/Worker.hs:50-82``).
 
 Plain ``merge_batch`` appends table-by-table, so a reader between a crash
 and its replay can observe a half-applied block (replay converges, but the
-window exists).  This module closes the window with a manifest commit:
+window exists).  This module closes the window with a commit log:
 
     out_dir/
       <table>.parquet/<bucket>=<v>/part-*.parquet   data files, append-only
-      _manifest/v<N>.json    snapshot: {"tables": {name: [relative files]}}
-      _manifest/CURRENT      name of the live snapshot file
+      _manifest/v<N>.json    commit N: full snapshot (checkpoint) or an
+                             incremental {add, remove} delta against N-1
+      _manifest/CURRENT      discovery hint naming the newest commit file
 
 A batch stages ALL tables' new files first (files on disk but referenced by
-no manifest ⇒ invisible to manifest readers), then publishes one new
-manifest and flips ``CURRENT`` via write-tmp + ``os.rename`` — atomic on
-POSIX — so a reader holding :func:`read_published` sees the previous
-snapshot or the complete new one, never a partial block set.  Crash at ANY
-point before the flip leaves orphan data files that no manifest references;
-:func:`vacuum` reclaims them, and the duplicate probe only consults
-published rows, so the replayed batch re-stages identical content.
+no commit ⇒ invisible to snapshot readers), then publishes ONE commit.  The
+commit point is the creation of ``v<N>.json`` itself via ``os.link`` —
+put-if-absent on POSIX — so (a) a reader holding :func:`read_published`
+sees the previous snapshot or the complete new one, never a partial block
+set, and (b) two writers racing for version N cannot both win: the loser
+gets :class:`ConcurrentWriteError` and rebases (optimistic concurrency,
+the Delta-log protocol on a filesystem with atomic link).  ``CURRENT`` is
+only a hint — readers probe forward from it, so a crash between the link
+and the hint update loses nothing.  Crash at ANY point before the link
+leaves orphan data files that no commit references; :func:`vacuum`
+reclaims them, and the duplicate probe only consults published rows, so
+the replayed batch re-stages identical content.
 
-Single-writer, like the reference's one ingest worker per database.  With
-Delta/Iceberg available this module disappears into their transaction log —
-same protocol (stage files, commit one metadata pointer), engine-grade
-implementation; the manifest keeps the repo dependency-free.
+Scale properties (the reasons a 100 TB table needs a log, not a listing):
 
-Scale: the manifest holds file NAMES, not data — O(files) JSON, and the
-probe reads published files through the same partition pruning as
-``merge_plan`` (the ``basePath`` option preserves bucket-directory
-partition columns for an explicit file list).
+- **O(delta) commits.**  A commit writes only its added/removed file names;
+  every ``CHECKPOINT_EVERY``-th commit also writes a full snapshot so a
+  reader replays at most ``CHECKPOINT_EVERY - 1`` tiny deltas.  The v5
+  manifest rewrote the entire O(live files) list on every batch — at
+  millions of files that rewrite IS the commit cost; here it is amortized
+  to O(delta + files/CHECKPOINT_EVERY).
+- **No directory listings.**  Readers get explicit file lists from the
+  snapshot (``basePath`` preserves bucket-partition columns), so the
+  object-store LIST that dominates partitioned-table reads at scale never
+  happens.
+- **File skipping.**  Staging records per-file min/max column stats from
+  the parquet footers into the commit; ``read_published(where=...)``
+  prunes files whose ranges are disjoint from the predicate — finer than
+  directory partition pruning, the same mechanism as Delta/Iceberg data
+  skipping.
+- **Time travel.**  ``read_manifest``/``read_published`` accept
+  ``version=`` — any retained commit resolves to its exact snapshot
+  (``vacuum`` bounds how far back the data files themselves survive).
+
+Concurrent writers must own disjoint key-spaces (the reference's shape:
+one ingest worker per chain range) — the rebase re-commits the staged
+files verbatim and does not re-run the PK anti-join against rows a racing
+writer published in between.  Single-writer deployments never rebase.
+
+With Delta/Iceberg available this module disappears into their transaction
+log — same protocol (stage files, commit one metadata delta, checkpoint,
+vacuum), engine-grade implementation; the log here keeps the repo
+dependency-free.
 """
 
 from __future__ import annotations
@@ -36,6 +63,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,9 +72,26 @@ from .listen import TABLE_PKS, _existing_layout_is_flat, prune_existing_to_batch
 
 _MANIFEST_DIR = "_manifest"
 
+#: every Nth commit is written as a full snapshot; readers replay at most
+#: N-1 incremental deltas on top of the nearest checkpoint at or below the
+#: requested version.
+CHECKPOINT_EVERY = 16
+
+#: per-file stats are kept for at most this many columns (footer order) to
+#: bound commit JSON size on wide tables.
+_MAX_STATS_COLUMNS = 24
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the version this writer was about to.
+
+    Raised from the put-if-absent commit; callers re-read the log and
+    rebase (``publish_batch`` retries automatically, ``compact_published``
+    rebases once or abandons — compaction is an optimization)."""
+
 
 # ---------------------------------------------------------------------------
-# manifest I/O
+# commit-log I/O
 # ---------------------------------------------------------------------------
 
 
@@ -54,55 +99,262 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, _MANIFEST_DIR)
 
 
-def read_manifest(out_dir: str) -> dict:
-    """The live snapshot: {"version": N, "tables": {name: [relative files]}}
-    — or an empty v0 when nothing is published."""
-    cur = os.path.join(_manifest_path(out_dir), "CURRENT")
-    if not os.path.exists(cur):
-        return {"version": 0, "tables": {}}
-    with open(cur) as f:
-        name = f.read().strip()
-    with open(os.path.join(_manifest_path(out_dir), name)) as f:
+def _commit_name(version: int) -> str:
+    return f"v{version:09d}.json"
+
+
+def _load_commit(out_dir: str, version: int) -> dict:
+    with open(os.path.join(_manifest_path(out_dir), _commit_name(version))) as f:
         return json.load(f)
 
 
+def _latest_version(out_dir: str) -> int:
+    """Newest committed version: start from the CURRENT hint and probe
+    forward (a crash between the commit link and the hint update, or a
+    racing writer, can leave commits newer than the hint).  Falls back to
+    a directory scan when the hint is missing."""
+    mdir = _manifest_path(out_dir)
+    cur = os.path.join(mdir, "CURRENT")
+    v = 0
+    if os.path.exists(cur):
+        with open(cur) as f:
+            name = f.read().strip()
+        try:
+            v = int(name[1:].split(".")[0])
+        except ValueError:
+            v = 0
+    if v == 0:
+        if not os.path.isdir(mdir):
+            return 0
+        for name in os.listdir(mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    v = max(v, int(name[1:-5]))
+                except ValueError:
+                    continue
+        if v == 0:
+            return 0
+    while os.path.exists(os.path.join(mdir, _commit_name(v + 1))):
+        v += 1
+    return v
+
+
+#: resolved snapshots keyed by (abspath, version).  A committed version is
+#: immutable (put-if-absent commit files are never rewritten), so entries
+#: never go stale; the cache turns the single-writer hot loop's resolve
+#: into O(deltas since last read) instead of O(live files) JSON parsing.
+#: Cached structures are shared — consumers treat snapshots as read-only
+#: (all in-module consumers copy before mutating).
+_SNAP_CACHE: dict[tuple, dict] = {}
+_SNAP_CACHE_MAX = 32
+
+
+def _cache_put(key: tuple, snap: dict) -> None:
+    while len(_SNAP_CACHE) >= _SNAP_CACHE_MAX:
+        _SNAP_CACHE.pop(next(iter(_SNAP_CACHE)))
+    _SNAP_CACHE[key] = snap
+
+
+def _resolve(out_dir: str, version: int) -> dict:
+    """Reconstruct the full snapshot at ``version``: walk back to the
+    nearest full-form commit (checkpoint, any pre-log legacy manifest —
+    those are full snapshots too — or a cached resolved ancestor), then
+    replay the deltas forward."""
+    root = os.path.abspath(out_dir)
+    hit = _SNAP_CACHE.get((root, version))
+    if hit is not None:
+        return {
+            "version": version,
+            "tables": dict(hit["tables"]),
+            "stats": dict(hit["stats"]),
+        }
+    deltas: list[dict] = []
+    v = version
+    while True:
+        cached = _SNAP_CACHE.get((root, v))
+        if cached is not None:
+            base_tables = {t: list(fs) for t, fs in cached["tables"].items()}
+            base_stats = {t: dict(s) for t, s in cached["stats"].items()}
+            break
+        commit = _load_commit(out_dir, v)
+        if "tables" in commit:  # full snapshot / checkpoint / legacy form
+            base_tables = {t: list(fs) for t, fs in commit["tables"].items()}
+            base_stats = {
+                t: dict(s) for t, s in commit.get("stats", {}).items()
+            }
+            break
+        deltas.append(commit)
+        v = commit.get("parent", v - 1)
+        if v < 1:
+            raise RuntimeError(
+                f"commit chain for version {version} in {out_dir} has no "
+                "checkpoint ancestor — log is corrupt"
+            )
+    for delta in reversed(deltas):
+        for t, rels in delta.get("remove", {}).items():
+            gone = set(rels)
+            base_tables[t] = [f for f in base_tables.get(t, []) if f not in gone]
+            if t in base_stats:
+                for rel in rels:
+                    base_stats[t].pop(rel, None)
+        for t, rels in delta.get("add", {}).items():
+            base_tables.setdefault(t, []).extend(rels)
+        for t, per_file in delta.get("stats_add", {}).items():
+            base_stats.setdefault(t, {}).update(per_file)
+    snap = {
+        "tables": {t: sorted(fs) for t, fs in base_tables.items() if fs},
+        "stats": {t: s for t, s in base_stats.items() if s},
+    }
+    _cache_put((root, version), snap)
+    return {
+        "version": version,
+        "tables": dict(snap["tables"]),
+        "stats": dict(snap["stats"]),
+    }
+
+
+def read_manifest(out_dir: str, version: int | None = None) -> dict:
+    """The snapshot at ``version`` (default: newest): ``{"version": N,
+    "tables": {name: [relative files]}, "stats": {name: {file: {col:
+    [min, max]}}}}`` — or an empty v0 when nothing is published.  Any
+    retained version time-travels (data-file survival is bounded by
+    :func:`vacuum`)."""
+    latest = _latest_version(out_dir)
+    if version is None:
+        version = latest
+    if version == 0:
+        return {"version": 0, "tables": {}, "stats": {}}
+    if version > latest:
+        raise ValueError(f"version {version} > latest committed {latest}")
+    return _resolve(out_dir, version)
+
+
 def _write_manifest(out_dir: str, manifest: dict) -> None:
-    """Write v<N>.json then atomically flip CURRENT to it."""
+    """Commit ``manifest`` (a full target snapshot, optionally carrying
+    ``stats`` and an ``op`` tag) as version N.
+
+    The durable form is chosen here: checkpoints (v1 and every
+    ``CHECKPOINT_EVERY``-th version) store the snapshot verbatim; other
+    versions store only the delta against N-1 — O(changed files), not
+    O(live files).  The commit point is ``os.link`` of the fsync'd temp
+    file to ``v<N>.json``: put-if-absent, so a concurrent committer of the
+    same version raises :class:`ConcurrentWriteError` instead of silently
+    clobbering.  ``CURRENT`` is updated after, as a discovery hint only."""
     mdir = _manifest_path(out_dir)
     os.makedirs(mdir, exist_ok=True)
-    name = f"v{manifest['version']:09d}.json"
+    version = manifest["version"]
+    op = manifest.get("op", "write")
+    tables = {t: sorted(fs) for t, fs in manifest["tables"].items() if fs}
+    stats = {t: s for t, s in manifest.get("stats", {}).items() if s}
+
+    if version == 1 or version % CHECKPOINT_EVERY == 0:
+        commit = {
+            "version": version,
+            "ts": round(time.time(), 3),
+            "op": op,
+            "tables": tables,
+        }
+        if stats:
+            commit["stats"] = stats
+    else:
+        base = _resolve(out_dir, version - 1)
+        add: dict[str, list[str]] = {}
+        remove: dict[str, list[str]] = {}
+        stats_add: dict[str, dict] = {}
+        names = set(tables) | set(base["tables"])
+        for t in sorted(names):
+            old = set(base["tables"].get(t, []))
+            new = set(tables.get(t, []))
+            if new - old:
+                add[t] = sorted(new - old)
+                per_file = {
+                    rel: stats.get(t, {})[rel]
+                    for rel in add[t]
+                    if rel in stats.get(t, {})
+                }
+                if per_file:
+                    stats_add[t] = per_file
+            if old - new:
+                remove[t] = sorted(old - new)
+        commit = {
+            "version": version,
+            "parent": version - 1,
+            "ts": round(time.time(), 3),
+            "op": op,
+        }
+        if add:
+            commit["add"] = add
+        if remove:
+            commit["remove"] = remove
+        if stats_add:
+            commit["stats_add"] = stats_add
+
+    name = _commit_name(version)
     tmp = os.path.join(mdir, f".{name}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
-        json.dump(manifest, f, separators=(",", ":"))
+        json.dump(commit, f, separators=(",", ":"))
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(mdir, name))
+    try:
+        os.link(tmp, os.path.join(mdir, name))  # the commit point
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {version} already committed in {out_dir}"
+        ) from None
+    finally:
+        os.unlink(tmp)
     cur_tmp = os.path.join(mdir, f".CURRENT.{uuid.uuid4().hex}.tmp")
     with open(cur_tmp, "w") as f:
         f.write(name)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(cur_tmp, os.path.join(mdir, "CURRENT"))  # the commit point
+    os.rename(cur_tmp, os.path.join(mdir, "CURRENT"))  # hint, not the commit
+
+
+def history(out_dir: str) -> list[dict]:
+    """The commit log, oldest first: ``[{version, op, ts, kind, added,
+    removed}]`` — the DESCRIBE HISTORY analog."""
+    out: list[dict] = []
+    for v in range(1, _latest_version(out_dir) + 1):
+        c = _load_commit(out_dir, v)
+        if "tables" in c:
+            kind = "checkpoint" if "ts" in c else "legacy"
+            added = sum(len(fs) for fs in c["tables"].values())
+            removed = 0
+        else:
+            kind = "delta"
+            added = sum(len(fs) for fs in c.get("add", {}).values())
+            removed = sum(len(fs) for fs in c.get("remove", {}).values())
+        out.append(
+            {
+                "version": v,
+                "op": c.get("op", "write"),
+                "ts": c.get("ts"),
+                "kind": kind,
+                "added": added,
+                "removed": removed,
+            }
+        )
+    return out
 
 
 def ensure_manifest(out_dir: str) -> dict:
-    """Adopt an unmanaged directory into the manifest protocol — the
+    """Adopt an unmanaged directory into the commit-log protocol — the
     rewrite-compat shim that lets ``atomic=True`` be the DEFAULT sink over
     tables previously written by the plain table-by-table ``merge_batch``
     path.
 
-    When no ``CURRENT`` exists, every data file already under a
+    When no commit exists, every data file already under a
     ``<table>.parquet`` directory is committed as snapshot v1 (legacy rows
     stay visible to ``read_published`` and to the duplicate probe, so the
     switch appends nothing twice).  On a FRESH directory this commits an
-    EMPTY v1 — deliberately, and before any staging: once ``CURRENT``
+    EMPTY v1 — deliberately, and before any staging: once a commit
     exists, a crash mid-stage can never be mistaken for adoptable legacy
-    data on replay (files outside the manifest are orphans, reclaimed by
+    data on replay (files outside the log are orphans, reclaimed by
     :func:`vacuum`).  The only unsupported shape is a directory holding
-    half-staged files from a crashed manifest-LESS writer — don't mix
-    writers mid-crash.  Idempotent; returns the live manifest."""
-    cur = os.path.join(_manifest_path(out_dir), "CURRENT")
-    if os.path.exists(cur):
+    half-staged files from a crashed log-LESS writer — don't mix writers
+    mid-crash.  Idempotent; returns the live snapshot."""
+    if _latest_version(out_dir) > 0:
         return read_manifest(out_dir)
     tables: dict[str, list[str]] = {}
     if os.path.isdir(out_dir):
@@ -120,21 +372,73 @@ def ensure_manifest(out_dir: str) -> dict:
             ]
             if rels:
                 tables[entry[: -len(".parquet")]] = sorted(rels)
-    manifest = {"version": 1, "tables": tables}
+    manifest = {"version": 1, "tables": tables, "op": "adopt"}
     _write_manifest(out_dir, manifest)
-    return manifest
+    return read_manifest(out_dir)
+
+
+def _file_may_match(
+    stats: dict | None, where: dict[str, tuple] | None
+) -> bool:
+    """Range-overlap test: False only when the file's recorded [min, max]
+    for some predicate column is provably disjoint from the requested
+    bounds.  Missing stats (column or file) keep the file — pruning is an
+    optimization, never a filter."""
+    if not where:
+        return True
+    if not stats:
+        return True
+    for col, (lo, hi) in where.items():
+        rng = stats.get(col)
+        if not rng:
+            continue
+        fmin, fmax = rng
+        if fmin is None or fmax is None:
+            continue
+        try:
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        except TypeError:
+            continue  # bound/stat type mismatch: never prune on it
+    return True
 
 
 def read_published(
-    spark: SparkSession, out_dir: str, table: str
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    version: int | None = None,
+    where: dict[str, tuple] | None = None,
 ) -> DataFrame | None:
-    """The committed view of ``table``: exactly the manifest's file list,
+    """The committed view of ``table``: exactly the snapshot's file list,
     with bucket partition columns preserved (``basePath``) so probe filters
-    still prune.  ``None`` when the table has no published rows."""
-    files = read_manifest(out_dir)["tables"].get(table, [])
-    if not files:
+    still prune.  ``None`` when the table has no published rows.
+
+    ``version`` time-travels to an older snapshot.  ``where`` ({col:
+    (lo, hi)}, either bound None for open) SKIPS files whose footer stats
+    are disjoint from the bounds — the result may still contain
+    non-matching rows (callers apply the row filter; this prunes I/O,
+    like Delta data skipping, it does not implement the predicate)."""
+    manifest = read_manifest(out_dir, version=version)
+    all_files = manifest["tables"].get(table, [])
+    if not all_files:
         return None
     tdir = os.path.join(out_dir, f"{table}.parquet")
+    files = all_files
+    if where:
+        per_file = manifest.get("stats", {}).get(table, {})
+        files = [f for f in files if _file_may_match(per_file.get(f), where)]
+        if not files:
+            # every file pruned: empty result with the table's full schema
+            # (one-file read keeps partition columns via basePath)
+            schema = (
+                spark.read.option("basePath", tdir)
+                .parquet(os.path.join(tdir, all_files[0]))
+                .schema
+            )
+            return spark.createDataFrame([], schema)
     return spark.read.option("basePath", tdir).parquet(
         *[os.path.join(tdir, f) for f in files]
     )
@@ -145,17 +449,69 @@ def read_published(
 # ---------------------------------------------------------------------------
 
 
+def _json_safe(v):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def _file_stats(path: str) -> dict[str, list]:
+    """Per-column [min, max] from the parquet footer (row-group stats
+    folded across groups) — free at stage time, and what lets
+    ``read_published(where=...)`` skip files without opening them.  Only
+    JSON-comparable scalar types are kept; anything else is skipped."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    acc: dict[str, list] = {}
+    skipped: set[str] = set()
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in skipped:
+                continue  # nested leaves don't map to predicate columns
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                skipped.add(name)
+                acc.pop(name, None)
+                continue
+            lo, hi = _json_safe(st.min), _json_safe(st.max)
+            if lo is None or hi is None:
+                skipped.add(name)
+                acc.pop(name, None)
+                continue
+            if name in acc:
+                acc[name] = [min(acc[name][0], lo), max(acc[name][1], hi)]
+            else:
+                acc[name] = [lo, hi]
+    if len(acc) > _MAX_STATS_COLUMNS:
+        acc = dict(sorted(acc.items())[:_MAX_STATS_COLUMNS])
+    return acc
+
+
 def _stage_table(
     spark: SparkSession,
     df: DataFrame,
     out_dir: str,
     table: str,
     pk: tuple[str, ...],
-) -> list[str]:
+) -> tuple[list[str], dict[str, dict]]:
     """Anti-join ``df`` against the PUBLISHED rows (bounded by the same
     bucket pruning as merge_plan), write the survivors partition-laid-out
-    into the table directory, and return the new files' relative paths —
-    on disk but in no manifest until the caller commits."""
+    into the table directory, and return the new files' relative paths and
+    footer stats — on disk but in no commit until the caller commits."""
     from pyspark.sql import functions as F  # noqa: F401
 
     batch = df.dropDuplicates(list(pk))
@@ -180,6 +536,7 @@ def _stage_table(
     # move data files into the table dir, preserving the partition-relative
     # path; part file names embed a UUID so collisions can't occur
     moved: list[str] = []
+    stats: dict[str, dict] = {}
     for root, _dirs, files in os.walk(staging):
         for fname in files:
             if fname.startswith(("_", ".")):
@@ -189,8 +546,11 @@ def _stage_table(
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.rename(os.path.join(root, fname), dest)
             moved.append(rel)
+            fs = _file_stats(dest)
+            if fs:
+                stats[rel] = fs
     shutil.rmtree(staging, ignore_errors=True)
-    return sorted(moved)
+    return sorted(moved), stats
 
 
 def publish_batch(
@@ -198,22 +558,44 @@ def publish_batch(
     tables: dict[str, DataFrame],
     out_dir: str,
     pks: dict[str, tuple[str, ...]] | None = None,
+    max_retries: int = 3,
 ) -> dict:
-    """Stage every table's merge, then commit ONE manifest covering all of
-    them — the Worker.hs:50-82 transaction boundary.  Returns the committed
-    manifest."""
+    """Stage every table's merge, then commit ONE log entry covering all of
+    them — the Worker.hs:50-82 transaction boundary.  On a version race
+    (another writer committed first) the staged files are rebased onto the
+    fresh snapshot and the commit retried — correct when concurrent
+    writers own disjoint key-spaces (the PK anti-join ran against the
+    pre-race snapshot).  Returns the committed snapshot."""
     pks = pks or TABLE_PKS
-    # adopt legacy (manifest-less) layouts and pin CURRENT before staging —
-    # see ensure_manifest for why this must precede the first staged file
+    # adopt legacy (log-less) layouts and pin v1 before staging — see
+    # ensure_manifest for why this must precede the first staged file
     manifest = ensure_manifest(out_dir)
-    new_tables = {t: list(fs) for t, fs in manifest["tables"].items()}
+    staged: dict[str, tuple[list[str], dict]] = {}
     for name, df in tables.items():
-        new_files = _stage_table(spark, df, out_dir, name, pks[name])
+        new_files, new_stats = _stage_table(spark, df, out_dir, name, pks[name])
         if new_files:
-            new_tables.setdefault(name, []).extend(new_files)
-    committed = {"version": manifest["version"] + 1, "tables": new_tables}
-    _write_manifest(out_dir, committed)
-    return committed
+            staged[name] = (new_files, new_stats)
+    for attempt in range(max_retries + 1):
+        new_tables = {t: list(fs) for t, fs in manifest["tables"].items()}
+        new_stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
+        for name, (files, fstats) in staged.items():
+            new_tables.setdefault(name, []).extend(files)
+            if fstats:
+                new_stats.setdefault(name, {}).update(fstats)
+        committed = {
+            "version": manifest["version"] + 1,
+            "tables": new_tables,
+            "stats": new_stats,
+            "op": "publish",
+        }
+        try:
+            _write_manifest(out_dir, committed)
+            return committed
+        except ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
+            manifest = read_manifest(out_dir)  # rebase and retry
+    raise AssertionError("unreachable")
 
 
 def compact_published(
@@ -223,16 +605,18 @@ def compact_published(
     min_files: int = 2,
     target_files: int = 1,
 ) -> dict[str, tuple[int, int]]:
-    """Manifest-aware compaction: rewrite each partition's many LIVE files
-    (the manifest's list, not the directory's) into ``target_files``, then
-    commit the swap as ONE manifest flip — a reader sees the old snapshot
+    """Log-aware compaction: rewrite each partition's many LIVE files
+    (the snapshot's list, not the directory's) into ``target_files``, then
+    commit the swap as ONE log entry — a reader sees the old snapshot
     or the compacted one, never a mix; rows are preserved exactly.  The
-    replaced files fall out of the manifest and are reclaimed by
-    :func:`vacuum` (called here — safe under the single-writer
-    assumption).  This is the append-only sink's autovacuum: per-batch
-    writes bound file growth per batch (coalesce(1) in the sinks), but
-    cumulative growth is O(batches) and probe cost is O(live files) at
-    the parquet-open layer — periodic compaction is the long-run bound.
+    replaced files fall out of the snapshot and are reclaimed by
+    :func:`vacuum` (called here).  This is the append-only sink's
+    autovacuum: per-batch writes bound file growth per batch (coalesce(1)
+    in the sinks), but cumulative growth is O(batches) and probe cost is
+    O(live files) at the parquet-open layer — periodic compaction is the
+    long-run bound.  On a version race the swap is rebased if every
+    replaced file is still live in the fresh snapshot, else abandoned
+    (compaction is an optimization; the orphaned rewrite is vacuumed).
     Returns {partition: (files_before, files_after)}."""
     from collections import defaultdict
 
@@ -244,12 +628,13 @@ def compact_published(
     by_part: dict[str, list[str]] = defaultdict(list)
     for rel in files:
         by_part[os.path.dirname(rel)].append(rel)
-    new_list: list[str] = []
+    replaced: list[str] = []
+    added: list[str] = []
+    added_stats: dict[str, dict] = {}
     done: dict[str, tuple[int, int]] = {}
     for part in sorted(by_part):
         rels = by_part[part]
         if len(rels) <= max(min_files, target_files):
-            new_list.extend(rels)
             continue
         df = spark.read.parquet(*[os.path.join(tdir, r) for r in rels])
         staging = os.path.join(
@@ -265,27 +650,65 @@ def compact_published(
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.rename(os.path.join(staging, fname), dest)
             moved.append(dest_rel)
+            fs = _file_stats(dest)
+            if fs:
+                added_stats[dest_rel] = fs
         shutil.rmtree(staging, ignore_errors=True)
-        new_list.extend(moved)
+        replaced.extend(rels)
+        added.extend(moved)
         done[part or "."] = (len(rels), len(moved))
-    if done:
-        _write_manifest(
-            out_dir,
-            {
-                "version": manifest["version"] + 1,
-                "tables": {**manifest["tables"], table: sorted(new_list)},
-            },
-        )
-        vacuum(out_dir)
-    return done
+    if not done:
+        return {}
+    for rebase in (False, True):
+        gone = set(replaced)
+        new_list = [f for f in manifest["tables"][table] if f not in gone]
+        new_list.extend(added)
+        stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
+        tstats = stats.setdefault(table, {})
+        for rel in replaced:
+            tstats.pop(rel, None)
+        tstats.update(added_stats)
+        try:
+            _write_manifest(
+                out_dir,
+                {
+                    "version": manifest["version"] + 1,
+                    "tables": {**manifest["tables"], table: sorted(new_list)},
+                    "stats": stats,
+                    "op": "compact",
+                },
+            )
+            vacuum(out_dir)
+            return done
+        except ConcurrentWriteError:
+            if rebase:
+                raise
+            manifest = read_manifest(out_dir)
+            live = set(manifest["tables"].get(table, []))
+            if not gone <= live:
+                # a racing commit already dropped some input file — the
+                # rewrite no longer describes the live table; abandon it
+                vacuum(out_dir)
+                return {}
+    raise AssertionError("unreachable")
 
 
-def vacuum(out_dir: str) -> list[str]:
-    """Delete data files referenced by NO manifest snapshot (crash orphans
-    from batches that staged but never committed) plus leftover staging
-    dirs.  Safe under the single-writer assumption: a file outside every
-    manifest can never be read via read_published."""
-    manifest = read_manifest(out_dir)
+def vacuum(out_dir: str, keep_versions: int = 0) -> list[str]:
+    """Delete data files referenced by NO retained snapshot (crash orphans
+    from batches that staged but never committed, and files compacted
+    away) plus leftover staging dirs.  ``keep_versions`` retains the files
+    of that many snapshots BEFORE the newest as well, preserving time
+    travel to them; the default keeps only the live snapshot (time-travel
+    reads older than the horizon fail on missing data files, like Delta's
+    VACUUM).  Commit-log JSON is never deleted — history stays readable.
+    Safe under the committed-log protocol: a file outside every retained
+    snapshot can never be read via read_published at those versions."""
+    latest = _latest_version(out_dir)
+    live: dict[str, set] = {}
+    for v in range(max(1, latest - keep_versions), latest + 1):
+        snap = _resolve(out_dir, v)
+        for t, fs in snap["tables"].items():
+            live.setdefault(t, set()).update(fs)
     removed: list[str] = []
     shutil.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
     if not os.path.isdir(out_dir):
@@ -294,7 +717,7 @@ def vacuum(out_dir: str) -> list[str]:
         if not entry.endswith(".parquet"):
             continue
         table = entry[: -len(".parquet")]
-        live = set(manifest["tables"].get(table, []))
+        keep = live.get(table, set())
         tdir = os.path.join(out_dir, entry)
         if not os.path.isdir(tdir):
             continue
@@ -303,7 +726,7 @@ def vacuum(out_dir: str) -> list[str]:
                 if fname.startswith(("_", ".")):
                     continue
                 rel = os.path.relpath(os.path.join(root, fname), tdir)
-                if rel not in live:
+                if rel not in keep:
                     os.remove(os.path.join(root, fname))
                     removed.append(os.path.join(entry, rel))
     return sorted(removed)

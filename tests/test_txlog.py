@@ -1,0 +1,221 @@
+"""Transaction-log semantics of streaming/publish.py — the Delta-log-shaped
+upgrade over the v5 full-rewrite manifest: O(delta) incremental commits with
+periodic checkpoints, put-if-absent commit (optimistic concurrency), time
+travel, per-file footer stats with file skipping, and bounded vacuum.
+
+The reference's transactional boundary is one Postgres transaction per
+block (``haskell-src/exec/Chainweb/Worker.hs:50-82``); these tests pin the
+parquet-native log that replaces it at 100 TB scale.
+"""
+
+import json
+import os
+
+import pytest
+
+import chainweb_data_spark.streaming.publish as pub
+from chainweb_data_spark.streaming.publish import (
+    CHECKPOINT_EVERY,
+    ConcurrentWriteError,
+    history,
+    publish_batch,
+    read_manifest,
+    read_published,
+    vacuum,
+)
+
+PK = {"t": ("id",)}
+
+
+def _batch(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id"), (F.col("id") * 2).alias("val"))
+        .coalesce(1)
+    )
+
+
+def test_incremental_commits_and_checkpoints(spark, tmp_path):
+    """Commits between checkpoints are O(delta) file lists; every
+    CHECKPOINT_EVERY-th version stores the full snapshot; resolution over
+    any mix equals naive accumulation."""
+    out = str(tmp_path / "t1")
+    n_commits = CHECKPOINT_EVERY + 4
+    for i in range(n_commits):
+        publish_batch(spark, {"t": _batch(spark, i * 10, i * 10 + 10)}, out, pks=PK)
+
+    m = read_manifest(out)
+    # v1 adopt + one commit per publish
+    assert m["version"] == n_commits + 1
+    assert len(m["tables"]["t"]) == n_commits  # one coalesced file per batch
+    got = read_published(spark, out, "t")
+    assert got.count() == n_commits * 10
+
+    kinds = {h["version"]: h["kind"] for h in history(out)}
+    assert kinds[1] == "checkpoint"
+    assert kinds[CHECKPOINT_EVERY] == "checkpoint"
+    assert kinds[2] == "delta" and kinds[CHECKPOINT_EVERY + 1] == "delta"
+
+    # the on-disk delta commits really are O(changed files), not O(live)
+    with open(os.path.join(out, "_manifest", "v%09d.json" % (n_commits + 1))) as f:
+        delta = json.load(f)
+    assert "tables" not in delta
+    assert sum(len(v) for v in delta["add"].values()) == 1
+
+
+def test_time_travel(spark, tmp_path):
+    out = str(tmp_path / "t2")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    publish_batch(spark, {"t": _batch(spark, 10, 30)}, out, pks=PK)
+    v_mid = read_manifest(out)["version"]
+    publish_batch(spark, {"t": _batch(spark, 30, 60)}, out, pks=PK)
+
+    assert read_published(spark, out, "t").count() == 60
+    assert read_published(spark, out, "t", version=v_mid).count() == 30
+    assert read_published(spark, out, "t", version=v_mid - 1).count() == 10
+    with pytest.raises(ValueError, match="latest"):
+        read_manifest(out, version=999)
+
+
+def test_current_is_only_a_hint(spark, tmp_path):
+    """Crash between the commit link and the CURRENT update: readers probe
+    forward from the hint and still see the newest commit."""
+    out = str(tmp_path / "t3")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    publish_batch(spark, {"t": _batch(spark, 10, 20)}, out, pks=PK)
+    v = read_manifest(out)["version"]
+    # wind the hint back one commit — as if the writer died post-link
+    with open(os.path.join(out, "_manifest", "CURRENT"), "w") as f:
+        f.write("v%09d.json" % (v - 1))
+    assert read_manifest(out)["version"] == v
+    assert read_published(spark, out, "t").count() == 20
+
+
+def test_optimistic_concurrency_rebases(spark, tmp_path):
+    """A racing writer that steals the version number forces a
+    ConcurrentWriteError; publish_batch rebases its staged files onto the
+    fresh snapshot and both writers' data survive."""
+    out = str(tmp_path / "t4")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+
+    real_write = pub._write_manifest
+    calls = {"n": 0}
+
+    def racing_write(out_dir, manifest):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the OTHER writer lands the same version first (disjoint table)
+            base = read_manifest(out_dir)
+            real_write(
+                out_dir,
+                {
+                    "version": base["version"] + 1,
+                    "tables": {**base["tables"], "raced": ["r.parquet"]},
+                    "op": "race",
+                },
+            )
+        real_write(out_dir, manifest)  # first call: raises ConcurrentWriteError
+
+    pub._write_manifest = racing_write
+    try:
+        publish_batch(spark, {"t": _batch(spark, 10, 20)}, out, pks=PK)
+    finally:
+        pub._write_manifest = real_write
+
+    m = read_manifest(out)
+    assert m["tables"]["raced"] == ["r.parquet"]  # the racer's commit held
+    assert read_published(spark, out, "t").count() == 20  # ours rebased in
+    assert calls["n"] >= 2
+
+    # direct double-commit of one version is refused, never clobbered
+    with pytest.raises(ConcurrentWriteError):
+        real_write(out, {"version": m["version"], "tables": m["tables"]})
+
+
+def test_file_skipping_by_footer_stats(spark, tmp_path):
+    """read_published(where=...) prunes files whose footer [min,max] is
+    disjoint from the predicate — fewer files opened, same matching rows."""
+    out = str(tmp_path / "t5")
+    for lo in (0, 100, 200):
+        publish_batch(spark, {"t": _batch(spark, lo, lo + 100)}, out, pks=PK)
+
+    stats = read_manifest(out)["stats"]["t"]
+    assert all("id" in s and "val" in s for s in stats.values())
+
+    full = read_published(spark, out, "t")
+    pruned = read_published(spark, out, "t", where={"id": (150, None)})
+    assert len(pruned.inputFiles()) == 2  # files [100,199] and [200,299]
+    assert len(full.inputFiles()) == 3
+    # pruning is I/O-only: after the row filter, results are identical
+    assert (
+        pruned.filter("id >= 150").count()
+        == full.filter("id >= 150").count()
+        == 150
+    )
+    # fully-disjoint predicate: every file skipped, schema-stable empty
+    none = read_published(spark, out, "t", where={"id": (1000, None)})
+    assert none.count() == 0
+    assert [f.name for f in none.schema.fields] == ["id", "val"]
+    # unknown column / unstatted bounds never prune
+    loose = read_published(spark, out, "t", where={"nope": (0, 1)})
+    assert loose.count() == 300
+
+
+def test_legacy_full_manifests_still_resolve(spark, tmp_path):
+    """A directory written by the v5 full-rewrite manifest (every v<N>.json
+    a complete snapshot, CURRENT authoritative) reads unchanged, and new
+    commits append deltas on top of it."""
+    out = str(tmp_path / "t6")
+    _batch(spark, 0, 10).write.parquet(os.path.join(out, "t.parquet"))
+    files = sorted(
+        f
+        for f in os.listdir(os.path.join(out, "t.parquet"))
+        if not f.startswith(("_", "."))
+    )
+    mdir = os.path.join(out, "_manifest")
+    os.makedirs(mdir)
+    for v in (1, 2):  # old format: full snapshot, no ts/op
+        with open(os.path.join(mdir, "v%09d.json" % v), "w") as f:
+            json.dump({"version": v, "tables": {"t": files if v == 2 else []}}, f)
+    with open(os.path.join(mdir, "CURRENT"), "w") as f:
+        f.write("v%09d.json" % 2)
+
+    assert read_published(spark, out, "t").count() == 10
+    assert history(out)[1]["kind"] == "legacy"
+    publish_batch(spark, {"t": _batch(spark, 10, 20)}, out, pks=PK)
+    assert read_manifest(out)["version"] == 3
+    assert read_published(spark, out, "t").count() == 20
+
+
+def test_vacuum_horizon_bounds_time_travel(spark, tmp_path):
+    out = str(tmp_path / "t7")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    publish_batch(spark, {"t": _batch(spark, 10, 20)}, out, pks=PK)
+    m = read_manifest(out)
+    v_both = m["version"]
+    old_files = [f for f in m["tables"]["t"]]
+    # a shrink commit drops the first batch's file from the live snapshot
+    keep = read_published(spark, out, "t").filter("id >= 10")
+    pub._write_manifest(
+        out,
+        {
+            "version": v_both + 1,
+            "tables": {"t": [old_files[-1]]},
+            "op": "shrink",
+        },
+    )
+
+    # keep_versions=1 retains the previous snapshot's files: time travel OK
+    vacuum(out, keep_versions=1)
+    assert read_published(spark, out, "t", version=v_both).count() == 20
+    assert keep.count() == 10
+
+    # default horizon: only the live snapshot's files survive
+    removed = vacuum(out)
+    assert removed, "shrunk-away file should be reclaimed"
+    assert read_published(spark, out, "t").count() == 10
+    # the old snapshot is no longer materializable (its data file is gone)
+    with pytest.raises(Exception):
+        read_published(spark, out, "t", version=v_both).count()

@@ -296,6 +296,127 @@ def encode_tokens(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding-window chunking — split each document's token sequence into
+    windows of ``chunk_size`` tokens starting every ``stride`` tokens
+    (default ``chunk_size``: disjoint chunks), the training-prep step that
+    turns long documents into context-window-sized examples.
+
+    Window rule (pinned, mirrored by the DuckDB gate): starts are 0,
+    stride, 2·stride, … while start < n_tokens; each chunk is
+    tokens[start : start+chunk_size], so the FINAL chunk may be short —
+    no token is ever silently dropped, and with stride < chunk_size the
+    tail overlap duplicates at most chunk_size-1 tokens, same as any
+    HF-style overflow tokenizer.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text), chunk_id 0-based
+    in document order.
+
+    Scale: one projection + explode — no shuffle, no window function, no
+    UDF; output size is input·(chunk_size/stride), the same fan-out any
+    overlap chunker pays, and it streams per-partition.  Pure codegen."""
+    if stride is None:
+        stride = chunk_size
+    if stride < 1 or chunk_size < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(
+        F.size("_t") > 0  # empty docs chunk to nothing (and sequence()
+        # with stop < start would refuse the bounds)
+    )
+    starts = F.sequence(F.lit(0), F.size("_t") - 1, F.lit(stride))
+    return (
+        base.select(
+            F.col(id_col),
+            F.col("_t"),
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.slice(F.col("_t"), F.col("_start") + 1, chunk_size).alias("_c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_c").alias("n_chunk_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )
+
+
+def unigram_model(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Laplace-smoothed unigram language model of the corpus itself:
+    (token, nll) with nll = -ln((c+1)/(N+V)), N total tokens, V distinct.
+    The CCNet-style quality-model step without an external LM: documents
+    are scored against the corpus distribution, so pathological docs
+    (rare-token soup) surface as high perplexity.
+
+    One explode + one map-combined groupBy builds the counts; N and V are
+    a 1-row aggregate broadcast (crossJoin of a singleton — no shuffle of
+    the counts relation).  At 100 TB the vocabulary is capped to the
+    heavy-hitter top-M with an OOV bucket holding the residual mass —
+    the model side stays broadcastable; here the corpus IS the model, so
+    the full observed vocabulary is exact and OOV cannot occur."""
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("_n"), F.count("*").alias("_v")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (
+            -F.log(
+                (F.col("c") + F.lit(1.0))
+                / (F.col("_n") + F.col("_v")).cast("double")
+            )
+        ).alias("nll"),
+    )
+
+
+def unigram_nll_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame | None = None,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document perplexity-proxy quality score against a unigram model:
+    (id, n_tokens, avg_nll, ppl) with avg_nll = mean(-ln p(token)) and
+    ppl = exp(avg_nll) — the filter CCNet/Gopher pipelines apply with a
+    real LM, here with the corpus's own unigram distribution
+    (:func:`unigram_model` by default).
+
+    The model joins broadcast (heavy-hitter-capped models are small by
+    construction; pass ``broadcast_model=False`` for an uncapped external
+    model and let AQE pick) — the token stream itself never shuffles for
+    the lookup; the only shuffle is the per-doc mean, map-side combined.
+    Floats are rounded (6 / 2 decimals) so the score is stable across
+    engines and replays."""
+    if model is None:
+        model = unigram_model(df, id_col, text_col)
+    if broadcast_model:
+        model = F.broadcast(model)
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    scored = toks.join(model, "token", "inner")
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("nll")), 2).alias("ppl"),
+    )
+
+
 # Rolling-fingerprint polynomial base (odd, so multiplication mod 2^64 is
 # a bijection); chosen once and pinned — changing it changes every stored
 # fingerprint.

@@ -2291,3 +2291,76 @@ def source_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_CHUNK_SIZE = 24
+_CHUNK_STRIDE = 16
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), {_CHUNK_STRIDE})) AS start
+      FROM toks WHERE len(t) > 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+             list_slice(t, start + 1,
+                        least(start + {_CHUNK_SIZE}, len(t))) AS c
+      FROM starts
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(c) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (context-window training prep): 24-token
+    chunks every 16 tokens — overlapping windows, short final chunk, no
+    token dropped.  The gate hashes every chunk's text, so a drift in the
+    window rule, overlap, or token order anywhere flips a digest.  Pure
+    codegen: projection + explode, zero shuffles before the gate's sort."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.chunk_documents(docs, "doc_id", "text", _CHUNK_SIZE, _CHUNK_STRIDE)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "unigram_ppl_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    counts AS (SELECT token, COUNT(*) AS c FROM tok2 GROUP BY token),
+    tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts),
+    model AS (
+      SELECT token, -ln((c + 1.0) / (n + v)) AS nll FROM counts, tot
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(m.nll), 6) AS avg_nll,
+           ROUND(EXP(AVG(m.nll)), 2) AS ppl
+    FROM tok2 t JOIN model m USING (token)
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def unigram_ppl_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet-style LM filter with the
+    corpus's own Laplace-smoothed unigram distribution as the model):
+    per-doc mean negative log-likelihood and perplexity.  Model broadcast
+    (vocabulary ≪ corpus), token stream never shuffles for the lookup;
+    floats rounded (6/2 dp) so both engines agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.unigram_nll_scores(docs, "doc_id", "text").orderBy("doc_id")

@@ -131,3 +131,63 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     ok = duplicate_clusters(pairs, max_iters=10).collect()
     assert {r["cluster_rep"] for r in ok} == {0}
     assert {r["cluster_size"] for r in ok} == {7}
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Window rule invariants: disjoint mode (stride == size) partitions
+    the token sequence exactly; overlap mode covers every token at least
+    once; empty docs produce no chunks; short docs one short chunk."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "only three tokens"),
+        (3, ""),
+        (4, "   "),
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    disjoint = tx.chunk_documents(df, "doc_id", "text", 4).collect()
+    by_doc = {}
+    for r in sorted(disjoint, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens -> chunks of 4,4,2; rebuild == original
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [4, 4, 2]
+    assert " ".join(r["chunk_text"] for r in by_doc[1]) == rows[0][1]
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [3]
+    assert 3 not in by_doc and 4 not in by_doc  # empty/whitespace: nothing
+    assert by_doc[5][0]["chunk_text"] == "single"
+
+    overlap = [
+        r
+        for r in tx.chunk_documents(df, "doc_id", "text", 4, stride=2).collect()
+        if r["doc_id"] == 1
+    ]
+    toks = rows[0][1].split(" ")
+    covered = set()
+    for r in sorted(overlap, key=lambda r: r["chunk_id"]):
+        start = r["chunk_id"] * 2
+        assert r["chunk_text"] == " ".join(toks[start : start + 4])
+        covered.update(range(start, min(start + 4, len(toks))))
+    assert covered == set(range(len(toks)))  # every position appears
+
+
+def test_unigram_nll_matches_hand_computation(spark):
+    """Tiny corpus where the Laplace model is computable by hand: 5 'a',
+    3 'b', N=8, V=2 -> p(a)=6/10, p(b)=4/10."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a b b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in tx.unigram_nll_scores(df, "doc_id", "text").collect()
+    }
+    nll_a, nll_b = -math.log(6 / 10), -math.log(4 / 10)
+    exp1 = (3 * nll_a + nll_b) / 4
+    exp2 = (2 * nll_a + 2 * nll_b) / 4
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 4
+    assert abs(got[1]["avg_nll"] - round(exp1, 6)) < 1e-9
+    assert abs(got[2]["avg_nll"] - round(exp2, 6)) < 1e-9
+    assert abs(got[2]["ppl"] - round(math.exp(exp2), 2)) < 1e-9
+    # the rarer-token doc scores strictly worse (higher nll)
+    assert got[2]["avg_nll"] > got[1]["avg_nll"]

@@ -909,3 +909,292 @@ def cluster_assign(
             )
 
     return df.select(id_col, vec_col).mapInPandas(_assign, schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVFPQ) — the memory tier that makes ANN survive
+# 100 TB: vectors compress to m one-byte-ish codes (here m=8 × 16 codes =
+# 8 small ints vs 64 float32s, a 32× cut), queries scan codes with an
+# asymmetric-distance lookup table instead of touching raw vectors.  The
+# reference has no vector surface; this extends the beyond-reference ANN
+# family (lsh_ann_topk, ivf_topk) with the standard third tier:
+# IVF bounds WHO is scored, PQ bounds WHAT each score costs.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_l2(X: np.ndarray, k: int, iters: int = IVF_TRAIN_ITERS) -> np.ndarray:
+    """Deterministic Euclidean k-means over an id-ordered sample — the
+    subspace trainer for PQ codebooks.  Same determinism contract as
+    ``kmeans_centroids``: evenly-spaced init over the caller-sorted rows,
+    first-index argmin tie-break, numpy's fixed summation order, empty
+    cells keep their previous centroid — bit-identical codebooks from the
+    same sample, which is what lets them live in oracle SQL as literals."""
+    if len(X) == 0 or k < 1:
+        raise ValueError("kmeans_l2 needs a non-empty sample")
+    Xn = np.asarray(X, dtype=np.float64)
+    kk = min(k, len(Xn))
+    init_idx = np.unique(np.linspace(0, len(Xn) - 1, kk).astype(np.int64))
+    C = Xn[init_idx].copy()
+    for _ in range(iters):
+        d2 = ((Xn[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(C)):
+            members = Xn[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def train_pq_rows(
+    ids: np.ndarray,
+    X: np.ndarray,
+    m: int,
+    k: int,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_TRAIN_ITERS,
+) -> np.ndarray:
+    """PQ codebooks (m, k, dim/m) from in-memory rows: md5-mod sample →
+    id-sort → L2-normalize → per-subspace deterministic k-means.  The
+    shared core behind ``pq_train`` (Spark-side sampling) and the
+    registration-time pyarrow twin — step-for-step identical on the same
+    rows, so oracle-literal codebooks equal runtime-trained ones."""
+    import hashlib
+
+    mm = _md5_mod_keep(len(ids), sample_size)
+    if mm > 1:
+        keep = np.array(
+            [
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % mm == 0
+                for i in ids
+            ]
+        )
+        ids, X = ids[keep], X[keep]
+    order = np.argsort(ids)
+    Xs = np.asarray(X, dtype=np.float64)[order]
+    Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-300)
+    dim = Xs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            kmeans_l2(Xs[:, j * dsub : (j + 1) * dsub], k, iters)
+            for j in range(m)
+        ]
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int = 16,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_TRAIN_ITERS,
+) -> np.ndarray:
+    """Train PQ codebooks by sampled per-subspace k-means: the md5-mod
+    sample filter runs distributed (JVM md5 built-in), ≈ ``sample_size``
+    vectors reach the driver, training is O(sample × k × iters × dim)
+    driver-side numpy regardless of corpus size — the same scale shape as
+    ``ivf_train_kmeans``."""
+    ids, X = _collect_train_sample(df, id_col, vec_col, sample_size)
+    return train_pq_rows(ids, X, m, k, len(ids) + 1, iters)
+
+
+def train_pq_parquet(
+    path: str,
+    m: int,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_TRAIN_ITERS,
+) -> np.ndarray:
+    """Registration-time twin of ``pq_train`` over a pyarrow footer read —
+    no SparkSession — mirroring ``train_ivf_centroids_parquet``."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col])
+    ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+    X = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+    return train_pq_rows(ids, X, m, k, sample_size, iters)
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """Compress vectors to PQ codes: (id, codes array<int>), codes[j] =
+    argmin over the subspace-j codebook of ROUNDED (6 dp) squared L2
+    distance, lowest code on ties — the rounding makes the argmin
+    order-stable across engines, so the encoder has an exact SQL oracle.
+
+    One Arrow-batched pass, codebooks broadcast; per batch the work is m
+    small (n × k × dsub) distance matrices.  At 100 TB the codes table is
+    the ANN index you store: m ints per vector instead of the vector."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _k, dsub = cb.shape
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(cb)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _encode(batches):
+        CB = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - CB[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(np.round(d2, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_encode, schema)
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVFPQ approximate top-k: IVF cells bound WHICH members each query
+    scores (nprobe nearest cells), PQ codes bound WHAT each score costs —
+    an asymmetric-distance (ADC) estimate ``Σ_j lut_j[code_j]`` where the
+    query's per-subspace lookup table holds exact subvector·codebook dot
+    products.  Output (id, neighbor_id, adc) — adc approximates cosine;
+    callers wanting exact scores rerank the shortlist against raw vectors
+    (``ivf_topk`` is that exact-tier sibling).
+
+    Scale shape: the cell-local group ships each member's m-int CODES (not
+    its dim floats) plus each probing query's raw vector — Arrow traffic
+    is corpus × m ints + nprobe × corpus × dim doubles, and the per-cell
+    kernel is m tiny (nq × k) GEMMs plus integer gathers.  On a real
+    deployment the codes table is precomputed once (``pq_encode``) and
+    reused by every query batch; here it is derived in-plan so the whole
+    pipeline — train, encode, probe, ADC — stays one deterministic,
+    oracle-checkable DataFrame program.  ADC scores round to 6 dp so SQL
+    orders identically."""
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _kcodes, dsub = cb.shape
+    sc = df.sparkSession.sparkContext
+    bc_c = sc.broadcast(C)
+    bc_cb = sc.broadcast(cb)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("probe_cells", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _assign(batches):
+        CM = bc_c.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            S = np.round(Q @ CM.T, 6)
+            order = np.argsort(-S, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": order[:, 0].astype(np.int32),
+                    "probe_cells": list(order[:, :nprobe].astype(np.int32)),
+                }
+            )
+
+    assigned = (
+        df.select(id_col, vec_col).mapInPandas(_assign, assign_schema).cache()
+    )
+    codes = pq_encode(df, id_col, vec_col, cb)
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    member_rows = (
+        assigned.select(id_col, "cell")
+        .join(codes, id_col)
+        .select(
+            "cell",
+            F.lit(True).alias("_is_member"),
+            id_col,
+            "codes",
+            F.lit(None).cast("array<double>").alias("_v"),
+        )
+    )
+    probe_rows = (
+        assigned.select(id_col, F.explode("probe_cells").alias("cell"))
+        .join(vecs, id_col)
+        .select(
+            "cell",
+            F.lit(False).alias("_is_member"),
+            id_col,
+            F.lit(None).cast("array<int>").alias("codes"),
+            "_v",
+        )
+    )
+
+    pair_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def _adc(pdf: pd.DataFrame) -> pd.DataFrame:
+        CB = bc_cb.value
+        q = pdf[~pdf["_is_member"]]
+        mem = pdf[pdf["_is_member"]]
+        if len(q) == 0 or len(mem) == 0:
+            return pd.DataFrame(
+                {id_col: [], "neighbor_id": [], "adc": []}
+            ).astype({id_col: "int64", "neighbor_id": "int64", "adc": "float64"})
+        Q = np.asarray(q["_v"].tolist(), dtype=np.float64)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        codes_m = np.asarray(mem["codes"].tolist(), dtype=np.int64)
+        qids = q[id_col].to_numpy(dtype=np.int64)
+        mids = mem[id_col].to_numpy(dtype=np.int64)
+        S = np.zeros((len(Q), len(mids)), dtype=np.float64)
+        for j in range(m):
+            lut = Q[:, j * dsub : (j + 1) * dsub] @ CB[j].T  # (nq, k)
+            S += lut[:, codes_m[:, j]]
+        S = np.round(S, 6)
+        qi, mi = np.nonzero(qids[:, None] != mids[None, :])
+        return pd.DataFrame(
+            {id_col: qids[qi], "neighbor_id": mids[mi], "adc": S[qi, mi]}
+        )
+
+    scored = member_rows.unionByName(probe_rows).groupBy("cell").applyInPandas(
+        _adc, pair_schema
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -2364,3 +2364,170 @@ def unigram_ppl_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats rounded (6/2 dp) so both engines agree bit-for-bit."""
     docs = _t(spark, sf_dir, "documents")
     return tx.unigram_nll_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# --- IVFPQ: product-quantized ANN (the 100 TB memory tier) -----------------
+_PQ_M, _PQ_CODES = 8, 16  # 64-dim fixture -> 8 subspaces x 8 dims, 16 codes
+
+
+def _trained_pq_codebooks():
+    """PQ codebooks for the gate fixture, trained at registration via the
+    pyarrow twin (``train_pq_parquet``) — None without testdata (the PQ
+    gates are then not registered; there is no meaningful SQL fallback
+    for a trained codebook)."""
+    try:
+        return sim.train_pq_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet", _PQ_M, _PQ_CODES
+        )
+    except Exception:
+        return None
+
+
+_PQ_CB = _trained_pq_codebooks()
+
+
+def _pq_cb_cte(cb) -> str:
+    """Codebooks as SQL literals: one VALUES row per (subspace, code)."""
+    m, k, _dsub = cb.shape
+    rows = ",\n      ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in cb[j][c])}])"
+        for j in range(m)
+        for c in range(k)
+    )
+    return f"""
+    cb AS (
+      SELECT CAST(v.j AS INT) AS j, CAST(v.code AS INT) AS code,
+             CAST(v.cv AS DOUBLE[]) AS cv
+      FROM (VALUES
+      {rows}
+      ) AS v(j, code, cv)
+    )"""
+
+
+def _pq_common_ctes(cb) -> str:
+    """The shared encode pipeline: unit-normalize, slice subvectors, rank
+    codes by ROUNDED squared L2 (lowest code on ties — the same rounding
+    the Spark kernel applies before argmin, so both engines pick the same
+    code even for near-equidistant centroids)."""
+    m, _k, dsub = cb.shape
+    return f"""
+    e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    un AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS u
+      FROM e2
+    ),
+    {_pq_cb_cte(cb)},
+    subs AS (
+      SELECT vec_id, CAST(j AS INT) AS j,
+             list_slice(u, j * {dsub} + 1, (j + 1) * {dsub}) AS su
+      FROM un CROSS JOIN (SELECT unnest(range(0, {m})) AS j)
+    ),
+    dists AS (
+      SELECT s.vec_id, s.j, c.code,
+             round(list_sum(list_transform(range(1, {dsub + 1}),
+                     i -> (s.su[i] - c.cv[i]) * (s.su[i] - c.cv[i]))), 6) AS d2
+      FROM subs s JOIN cb c USING (j)
+    ),
+    codes AS (
+      SELECT vec_id, j, code FROM (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )"""
+
+
+def _pq_codes_oracle() -> str:
+    return f"""
+    WITH {_pq_common_ctes(_PQ_CB)}
+    SELECT vec_id,
+           md5(array_to_string(list(code ORDER BY j), ',')) AS codes_md5,
+           CAST(COUNT(*) AS INT) AS n_subspaces
+    FROM codes GROUP BY vec_id ORDER BY vec_id
+    """
+
+
+def _ann_ivfpq_oracle(nprobe: int = _IVF_NPROBE, k: int = _IVF_K) -> str:
+    return f"""
+    WITH {_pq_common_ctes(_PQ_CB)},
+    {_ivf_cent_cte()},
+    sims AS (
+      SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(e.v, c.cv), 6) AS s
+      FROM e2 e CROSS JOIN cent c
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+      FROM sims
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+    probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe}),
+    cand AS (
+      SELECT DISTINCT p.vec_id, a.neighbor_id
+      FROM probe p JOIN assign a USING (cell)
+      WHERE p.vec_id <> a.neighbor_id
+    ),
+    lut AS (
+      SELECT s.vec_id AS qid, s.j, c.code,
+             list_inner_product(s.su, c.cv) AS ip
+      FROM subs s JOIN cb c USING (j)
+    )
+    SELECT vec_id, neighbor_id, adc FROM (
+      SELECT cd.vec_id, cd.neighbor_id, round(SUM(l.ip), 6) AS adc
+      FROM cand cd
+      JOIN codes k2 ON k2.vec_id = cd.neighbor_id
+      JOIN lut l ON l.qid = cd.vec_id AND l.j = k2.j AND l.code = k2.code
+      GROUP BY cd.vec_id, cd.neighbor_id
+    )
+    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) <= {k}
+    ORDER BY vec_id, adc DESC, neighbor_id
+    """
+
+
+if _PQ_CB is not None and _IVF_CENTROIDS is not None:
+
+    @register("pq_codes", oracle=_pq_codes_oracle())
+    def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Product-quantization encoder gate: every vector compressed to 8
+        subspace codes (16-entry codebooks trained by deterministic
+        per-subspace k-means — no RNG, so the TRAINED codebooks sit in the
+        oracle as literals and the runtime trainer re-derives them).  The
+        gate hashes the ordered code sequence, so a drift in training,
+        normalization, distance rounding, or tie-break flips a digest."""
+        emb = _t(spark, sf_dir, "embeddings")
+        cb = sim.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES)
+        out = sim.pq_encode(emb, "vec_id", "embedding", cb)
+        return out.select(
+            "vec_id",
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("codes"), lambda x: x.cast("string")), ","
+                )
+            ).alias("codes_md5"),
+            F.size("codes").alias("n_subspaces"),
+        ).orderBy("vec_id")
+
+    @register("ann_ivfpq_topk", oracle=_ann_ivfpq_oracle())
+    def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVFPQ ANN — the third tier of the ANN family and the one that
+        holds at 100 TB: IVF cells bound the candidate set (same trained
+        quantizer as ann_ivf_topk), PQ codes replace raw vectors in the
+        scoring loop (asymmetric-distance lookup tables), so the scan
+        touches 8 ints per member instead of 64 floats.  The gate checks
+        the ADC scores themselves (rounded 6 dp) — training, encoding,
+        probing, and the LUT accumulation all have to agree with the SQL
+        oracle bit-for-bit."""
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = sim.ivf_train_kmeans(emb, "vec_id", "embedding", _IVF_CELLS)
+        cb = sim.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES)
+        return sim.ivfpq_topk(
+            emb,
+            "vec_id",
+            "embedding",
+            cents,
+            cb,
+            nprobe=_IVF_NPROBE,
+            k=_IVF_K,
+        ).orderBy("vec_id", F.col("adc").desc(), "neighbor_id")

@@ -213,3 +213,54 @@ def test_skew_gate_split_trainer_twins(spark):
         return int((occ.astype(np.int64) ** 2).sum())
 
     assert occ_sq(C_reg) < occ_sq(C_unsplit)
+
+
+def test_pq_roundtrip_properties(spark):
+    """PQ invariants the oracle hash doesn't state directly: identical
+    vectors share codes; a vector's own codeword reconstructs it better
+    than other codewords (training actually fit the data); codebooks are
+    deterministic across retrains."""
+    import numpy as np
+
+    from chainweb_data_spark.operators import similarity as sim
+
+    rng_rows = []
+    for i in range(64):
+        # deterministic "clustered" vectors: 4 archetypes + tiny id jitter
+        base = [(1.0 if (j // 4) % 4 == i % 4 else 0.1) for j in range(16)]
+        vec = [b + (i % 7) * 1e-3 * ((j % 3) - 1) for j, b in enumerate(base)]
+        rng_rows.append((i, vec))
+    # twins: 100+i duplicates vector i exactly
+    rows = rng_rows + [(100 + i, v) for i, v in rng_rows[:8]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cb1 = sim.pq_train(df, "vec_id", "embedding", m=4, k=8)
+    cb2 = sim.pq_train(df, "vec_id", "embedding", m=4, k=8)
+    assert (cb1 == cb2).all(), "training must be deterministic"
+    assert cb1.shape == (4, 8, 4)
+
+    codes = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in sim.pq_encode(df, "vec_id", "embedding", cb1).collect()
+    }
+    for i in range(8):
+        assert codes[i] == codes[100 + i], "identical vectors, same codes"
+
+    cents = sim.ivf_train_kmeans(df, "vec_id", "embedding", 4)
+    # k covers a whole archetype group: ~18 members tie at the same rounded
+    # ADC (identical codes), so a small k selects by id, not by score
+    top = sim.ivfpq_topk(df, "vec_id", "embedding", cents, cb1, nprobe=2, k=40)
+    by_q = {}
+    for r in top.collect():
+        by_q.setdefault(r["vec_id"], []).append(r)
+    # a twin pair shares cell and codes; ADC(q, twin) = q·codeword(q), so
+    # it must approximate the true cosine (1.0) within quantization error
+    # and sit within that error of the cell's max (another member's
+    # codeword CAN align with q slightly better than q's own — that is
+    # what makes ADC asymmetric — but never by more than the error band)
+    for i in range(8):
+        mine = sorted(by_q[i], key=lambda r: (-r["adc"], r["neighbor_id"]))
+        twin_adc = [r["adc"] for r in mine if r["neighbor_id"] == 100 + i]
+        assert twin_adc, f"twin of {i} not in top-k"
+        assert twin_adc[0] > 0.98, "twin ADC must approximate cosine 1.0"
+        assert mine[0]["adc"] - twin_adc[0] < 0.02

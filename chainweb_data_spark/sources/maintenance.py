@@ -121,3 +121,113 @@ def migrate_flat_to_bucketed(
     os.rename(tmp, path)
     shutil.rmtree(park, ignore_errors=True)
     return path
+
+
+def zorder_expr(col_ranges: dict[str, tuple[int, int]], bits: int = 16):
+    """Morton/Z-order key from N numeric columns: each value rank-scales to
+    ``bits`` bits inside its [lo, hi] range, then the bits interleave
+    round-robin — points close in EVERY dimension get close keys, so
+    range-sorting files on the key gives every file a narrow min/max box in
+    ALL dimensions at once.
+
+    That is exactly what makes it compose with the transaction log's
+    footer-stats file skipping (streaming/publish.py): a lexicographic
+    (chain, height) sort prunes height-only predicates not at all (every
+    file spans the full height range of some chain), while the Z-layout
+    prunes them as well as chain-only ones — the Delta OPTIMIZE ZORDER
+    rationale, built from plain shift/OR expressions (pure codegen, no
+    UDF).  NULLs scale to 0.  ``bits × len(cols)`` must fit a long."""
+    from pyspark.sql import functions as F
+
+    k = len(col_ranges)
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a long")
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, (c, (lo, hi)) in enumerate(col_ranges.items()):
+        span = max(int(hi) - int(lo), 1)
+        v = (
+            (F.coalesce(F.col(c), F.lit(lo)).cast("long") - F.lit(int(lo)))
+            * top
+            / F.lit(span)
+        ).cast("long")
+        v = F.least(F.greatest(v, F.lit(0)), F.lit(top))
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, i).bitwiseAND(F.lit(1)), i * k + j)
+            )
+    return z
+
+
+def rewrite_zordered(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    cols: list[str],
+    target_files: int = 16,
+    bits: int = 16,
+) -> dict:
+    """OPTIMIZE ZORDER for a log-published table: read the live snapshot,
+    range-partition + sort by the Z-key of ``cols``, and swap the layout in
+    as ONE transaction-log commit (readers see the old layout or the new
+    one, rows preserved exactly; replaced files are vacuumed).  The commit
+    records fresh per-file footer stats, so ``read_published(where=...)``
+    prunes on every Z-dimension immediately after.
+
+    Driver work is one min/max aggregate; the rewrite is a single
+    repartitionByRange job — on a real cluster, run it per partition-bucket
+    behind the ingest watermark like ``compact_table``."""
+    from pyspark.sql import functions as F
+
+    from ..streaming import publish as pub
+
+    manifest = pub.read_manifest(out_dir)
+    files = manifest["tables"].get(table, [])
+    if not files:
+        return {}
+    tdir = os.path.join(out_dir, f"{table}.parquet")
+    df = spark.read.option("basePath", tdir).parquet(
+        *[os.path.join(tdir, f) for f in files]
+    )
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).alias(f"_hi_{c}") for c in cols],
+    ).collect()[0]
+    ranges = {c: (bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]) for c in cols}
+    z = zorder_expr(ranges, bits)
+
+    staging = os.path.join(out_dir, "_staging", f"zorder-{table}-{uuid.uuid4().hex}")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(target_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    moved: list[str] = []
+    stats: dict[str, dict] = {}
+    for fname in sorted(os.listdir(staging)):
+        if fname.startswith(("_", ".")):
+            continue
+        dest = os.path.join(tdir, fname)
+        os.rename(os.path.join(staging, fname), dest)
+        moved.append(fname)
+        fs = pub._file_stats(dest)
+        if fs:
+            stats[fname] = fs
+    shutil.rmtree(staging, ignore_errors=True)
+
+    new_stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
+    new_stats[table] = stats
+    pub._write_manifest(
+        out_dir,
+        {
+            "version": manifest["version"] + 1,
+            "tables": {**manifest["tables"], table: sorted(moved)},
+            "stats": new_stats,
+            "op": "zorder",
+        },
+    )
+    pub.vacuum(out_dir)
+    return {"files": len(moved), "ranges": ranges}

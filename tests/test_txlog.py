@@ -219,3 +219,63 @@ def test_vacuum_horizon_bounds_time_travel(spark, tmp_path):
     # the old snapshot is no longer materializable (its data file is gone)
     with pytest.raises(Exception):
         read_published(spark, out, "t", version=v_both).count()
+
+
+def test_zorder_rewrite_improves_file_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER composed with footer-stats skipping: after the
+    rewrite, a height-only predicate prunes MORE files than under the
+    lexicographic (chain, height) layout, chain-only predicates still
+    prune, rows are preserved exactly, and the swap is one log commit."""
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.sources.maintenance import rewrite_zordered
+
+    out = str(tmp_path / "z")
+    grid = spark.range(8 * 1600).select(
+        F.col("id"),
+        (F.col("id") % 8).alias("chainid"),
+        (F.col("id") / 8).cast("long").alias("height"),
+    )
+    # lexicographic (chain, height) layout, one file per (chain, half):
+    # published slice-by-slice so the sink's dedup shuffle can't merge the
+    # layout away — each file's footer box is one chain × half the heights
+    for c in range(8):
+        for lo, hi in ((0, 799), (800, 1599)):
+            publish_batch(
+                spark,
+                {
+                    "t": grid.filter(
+                        f"chainid = {c} and height between {lo} and {hi}"
+                    ).coalesce(1)
+                },
+                out,
+                pks={"t": ("id",)},
+            )
+
+    total = len(read_published(spark, out, "t").inputFiles())
+    lex_h = len(
+        read_published(spark, out, "t", where={"height": (100, 149)}).inputFiles()
+    )
+    before_rows = read_published(spark, out, "t").count()
+
+    res = rewrite_zordered(spark, out, "t", ["chainid", "height"], target_files=16)
+    assert res["files"] == 16
+
+    after = read_published(spark, out, "t")
+    assert after.count() == before_rows
+    assert (
+        after.filter("chainid = 3 and height between 100 and 149").count() == 50
+    )
+
+    z_h = len(
+        read_published(spark, out, "t", where={"height": (100, 149)}).inputFiles()
+    )
+    z_c = len(
+        read_published(spark, out, "t", where={"chainid": (3, 3)}).inputFiles()
+    )
+    assert z_h < lex_h <= total, (z_h, lex_h, total)
+    assert z_c < total
+    # pruning never changes filtered results
+    pr = read_published(spark, out, "t", where={"height": (100, 149)})
+    assert pr.filter("height between 100 and 149").count() == 8 * 50
+    assert history(out)[-1]["op"] == "zorder"

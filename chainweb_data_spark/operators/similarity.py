@@ -1092,13 +1092,38 @@ def ivfpq_topk(
     pipeline — train, encode, probe, ADC — stays one deterministic,
     oracle-checkable DataFrame program.  ADC scores round to 6 dp so SQL
     orders identically."""
+    assigned = pq_assign_cells(df, id_col, vec_col, centroids, nprobe).cache()
+    codes = pq_encode(df, id_col, vec_col, codebooks)
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    members = assigned.select(id_col, "cell").join(codes, id_col).select(
+        "cell", id_col, "codes"
+    )
+    probes = (
+        assigned.select(id_col, F.explode("probe_cells").alias("cell"))
+        .join(vecs, id_col)
+        .select("cell", id_col, "_v")
+    )
+    return adc_topk(members, probes, codebooks, id_col, k)
+
+
+def pq_assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF assignment pass: (id, cell, probe_cells[nprobe]) by round-6
+    argmax cosine against the (broadcast) centroids — the shared front of
+    ``ivf_topk``-style search, ``ivfpq_topk``, and the streaming ANN index
+    sink.  One Arrow-batched pass; stable order so ties break toward the
+    lower cell id in every engine."""
     C = np.asarray(centroids, dtype=np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
-    cb = np.asarray(codebooks, dtype=np.float64)
-    m, _kcodes, dsub = cb.shape
-    sc = df.sparkSession.sparkContext
-    bc_c = sc.broadcast(C)
-    bc_cb = sc.broadcast(cb)
+    bc_c = df.sparkSession.sparkContext.broadcast(C)
 
     assign_schema = T.StructType(
         [
@@ -1125,35 +1150,40 @@ def ivfpq_topk(
                 }
             )
 
-    assigned = (
-        df.select(id_col, vec_col).mapInPandas(_assign, assign_schema).cache()
+    return df.select(id_col, vec_col).mapInPandas(_assign, assign_schema)
+
+
+def adc_topk(
+    members: DataFrame,
+    probes: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Cell-local ADC scoring + top-k: ``members`` is (cell, id, codes) —
+    the PQ index, whether derived in-plan (``ivfpq_topk``) or read from an
+    incrementally-maintained index table (``streaming/ann_index.py``);
+    ``probes`` is (cell, id, _v raw-or-unit vector), one row per probed
+    cell per query.  Each cell group builds per-query LUTs (m tiny GEMMs)
+    and gathers member codes — no raw member vectors move.  Self-pairs are
+    excluded; ADC rounds to 6 dp; ties rank toward the lower neighbor."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _kcodes, dsub = cb.shape
+    bc_cb = members.sparkSession.sparkContext.broadcast(cb)
+
+    member_rows = members.select(
+        "cell",
+        F.lit(True).alias("_is_member"),
+        id_col,
+        "codes",
+        F.lit(None).cast("array<double>").alias("_v"),
     )
-    codes = pq_encode(df, id_col, vec_col, cb)
-    vecs = df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
-    )
-    member_rows = (
-        assigned.select(id_col, "cell")
-        .join(codes, id_col)
-        .select(
-            "cell",
-            F.lit(True).alias("_is_member"),
-            id_col,
-            "codes",
-            F.lit(None).cast("array<double>").alias("_v"),
-        )
-    )
-    probe_rows = (
-        assigned.select(id_col, F.explode("probe_cells").alias("cell"))
-        .join(vecs, id_col)
-        .select(
-            "cell",
-            F.lit(False).alias("_is_member"),
-            id_col,
-            F.lit(None).cast("array<int>").alias("codes"),
-            "_v",
-        )
+    probe_rows = probes.select(
+        "cell",
+        F.lit(False).alias("_is_member"),
+        id_col,
+        F.lit(None).cast("array<int>").alias("codes"),
+        "_v",
     )
 
     pair_schema = T.StructType(

@@ -1,0 +1,166 @@
+"""Incremental streaming ANN index — IVFPQ as a SINK.
+
+``ivfpq_topk`` derives cells and codes in-plan, which is right for a
+one-shot query but wrong for a living corpus: at 100 TB you encode each
+vector ONCE, on arrival, and every later query batch searches the stored
+index.  This module maintains that index with the listen pipeline's
+merge/replay discipline (the vector analog of
+``streaming/dedup_index.py``):
+
+    ann_members table: (vec_id PK, key_bucket = IVF cell, codes m ints)
+
+- **Fold** (:func:`update_ann_index`): assign each arriving vector to its
+  IVF cell (broadcast centroids, one Arrow pass), PQ-encode it (broadcast
+  codebooks), and merge by PK through the transaction log
+  (``publish_batch``) — replayed batches anti-join to nothing, a crash
+  mid-fold leaves the previous snapshot.  The cell doubles as the
+  ``key_bucket`` partition column, so the table is physically clustered
+  by cell: probes read only the probed cells' files.
+- **Search** (:func:`ann_index_search`): queries assign to probe cells,
+  the index's (cell, codes) rows feed the shared cell-local ADC kernel
+  (``operators/similarity.adc_topk``) — member vectors never move, only
+  their m-int codes.
+- **Sink** (:func:`ann_index_sink`): ``foreachBatch`` wrapper mirroring
+  ``dedup_index_sink`` (checkpoint + engine batch-id), with the same
+  serialized ``compact_every`` long-run file bound.
+
+The quantizer (centroids + codebooks) is trained once on a sample and
+then FROZEN — the standard production contract (FAISS's train/add split):
+retraining would silently re-cell existing members, so it is an explicit
+rebuild, not a streaming concern.
+
+Reference anchor: extends the ingest discipline of
+``haskell-src/exec/Chainweb/Listen.hs:99-113`` (idempotent per-arrival
+fold) to the beyond-reference vector surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as sim
+from .publish import compact_published, publish_batch, read_published
+
+MEMBERS_TABLE = "ann_members"
+_PKS = {MEMBERS_TABLE: ("vec_id",)}
+
+
+def update_ann_index(
+    spark: SparkSession,
+    vecs: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+) -> int:
+    """Fold a vector batch into the index; returns rows newly encoded
+    (pre-merge — the PK anti-join drops replayed ids).  Assignment and
+    encoding are each one Arrow-batched pass over the BATCH only; the
+    existing index is touched solely by the merge probe, pruned to the
+    batch's key_buckets."""
+    assigned = sim.pq_assign_cells(vecs, id_col, vec_col, centroids, nprobe=1)
+    codes = sim.pq_encode(vecs, id_col, vec_col, codebooks)
+    members = (
+        assigned.select(id_col, "cell")
+        .join(codes, id_col)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col("cell").cast("string").alias("key_bucket"),
+            "codes",
+        )
+        .coalesce(1)
+    )
+    # eager: the count and the publish share one assignment+encode run
+    members = members.localCheckpoint(eager=True)
+    n = members.count()
+    publish_batch(spark, {MEMBERS_TABLE: members}, out_dir, pks=_PKS)
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_published(spark, out_dir, MEMBERS_TABLE)
+    return n
+
+
+def ann_index_search(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k of ``queries`` against the STORED index: (id, neighbor_id,
+    adc).  The index side ships codes only, read through the transaction
+    log's explicit file list with the cell as partition column — the scan
+    is pruned to the probed cells, and grows with the INDEX's size per
+    cell, not with history (merged snapshots hold one row per vector
+    regardless of how many batches built them)."""
+    members = read_published(spark, out_dir, MEMBERS_TABLE)
+    if members is None:
+        schema = "vec_id long, neighbor_id long, adc double"
+        return spark.createDataFrame([], schema)
+    members = members.select(
+        F.col("key_bucket").cast("int").alias("cell"),
+        F.col("vec_id").alias(id_col),
+        "codes",
+    )
+    probes = (
+        sim.pq_assign_cells(queries, id_col, vec_col, centroids, nprobe)
+        .select(id_col, F.explode("probe_cells").alias("cell"))
+        .join(
+            queries.select(
+                F.col(id_col),
+                F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                    "_v"
+                ),
+            ),
+            id_col,
+        )
+        .select("cell", id_col, "_v")
+    )
+    return sim.adc_topk(members, probes, codebooks, id_col, k)
+
+
+def ann_index_sink(
+    vec_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = 16,
+    available_now: bool = True,
+):
+    """The index as a sink: ``writeStream.foreachBatch`` with the listen
+    pipeline's exactly-once shape — a crash-replayed batch re-encodes
+    identical rows and the PK merge drops them all; compaction runs inside
+    the serialized batch callback.  Returns the StreamingQuery."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        update_ann_index(
+            batch_df.sparkSession,
+            batch_df,
+            out_dir,
+            batch_id=batch_id,
+            centroids=centroids,
+            codebooks=codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            compact_every=compact_every,
+        )
+
+    writer = (
+        vec_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

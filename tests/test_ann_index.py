@@ -1,0 +1,130 @@
+"""Incremental streaming ANN index (streaming/ann_index.py): the folded
+index must answer searches exactly like the one-shot in-plan IVFPQ over the
+same corpus, replays must merge to nothing, and the sink wrapper must build
+the same index through a real stream with checkpointed batch ids."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.operators import similarity as sim
+from chainweb_data_spark.streaming.ann_index import (
+    MEMBERS_TABLE,
+    ann_index_search,
+    ann_index_sink,
+    update_ann_index,
+)
+from chainweb_data_spark.streaming.publish import read_manifest, read_published
+
+NPROBE, K = 2, 4
+
+
+def _vec_rows(lo, hi):
+    rows = []
+    for i in range(lo, hi):
+        base = [(1.0 if (j // 4) % 4 == i % 4 else 0.1) for j in range(16)]
+        rows.append((i, [b + (i % 5) * 2e-3 * ((j % 3) - 1) for j, b in enumerate(base)]))
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _quantizer(spark, rows):
+    df = _df(spark, rows)
+    cents = sim.ivf_train_kmeans(df, "vec_id", "embedding", 4)
+    cb = sim.pq_train(df, "vec_id", "embedding", m=4, k=8)
+    return cents, cb
+
+
+def _pairs(df):
+    return sorted(
+        (r["vec_id"], r["neighbor_id"], r["adc"]) for r in df.collect()
+    )
+
+
+def test_incremental_index_equals_oneshot_ivfpq(spark, tmp_path):
+    out = str(tmp_path / "idx")
+    all_rows = _vec_rows(0, 60)
+    cents, cb = _quantizer(spark, all_rows)
+
+    for b, (lo, hi) in enumerate(((0, 20), (20, 40), (40, 60))):
+        n = update_ann_index(
+            spark, _df(spark, _vec_rows(lo, hi)), out, b, cents, cb
+        )
+        assert n == 20
+
+    full = _df(spark, all_rows)
+    got = ann_index_search(
+        spark, out, full, cents, cb, nprobe=NPROBE, k=K
+    )
+    want = sim.ivfpq_topk(
+        full, "vec_id", "embedding", cents, cb, nprobe=NPROBE, k=K
+    )
+    assert _pairs(got) == _pairs(want)
+
+    # the index is clustered by cell: one key_bucket dir per live cell
+    members = read_published(spark, out, MEMBERS_TABLE)
+    assert members.count() == 60
+    assert "key_bucket" in members.columns
+
+
+def test_replayed_batch_merges_to_nothing(spark, tmp_path):
+    out = str(tmp_path / "idx2")
+    rows = _vec_rows(0, 30)
+    cents, cb = _quantizer(spark, rows)
+    update_ann_index(spark, _df(spark, rows[:15]), out, 0, cents, cb)
+    update_ann_index(spark, _df(spark, rows[15:]), out, 1, cents, cb)
+    before = read_published(spark, out, MEMBERS_TABLE).count()
+    v_before = read_manifest(out)["version"]
+    # crash-replay of batch 1: identical content, PK anti-join drops it all
+    update_ann_index(spark, _df(spark, rows[15:]), out, 1, cents, cb)
+    after = read_published(spark, out, MEMBERS_TABLE)
+    assert after.count() == before == 30
+    assert after.select("vec_id").distinct().count() == 30
+    assert read_manifest(out)["version"] > v_before  # version moved, data didn't
+
+
+def test_sink_wrapper_builds_same_index(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "idx3")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    rows = _vec_rows(0, 40)
+    cents, cb = _quantizer(spark, rows)
+
+    _df(spark, rows[:20]).coalesce(1).write.mode("append").parquet(feed)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(feed)
+    q = ann_index_sink(stream, out, ckpt, cents, cb, compact_every=None)
+    q.awaitTermination(300)
+    assert read_published(spark, out, MEMBERS_TABLE).count() == 20
+
+    # second tranche through the SAME checkpoint: only new files process
+    _df(spark, rows[20:]).coalesce(1).write.mode("append").parquet(feed)
+    stream2 = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(feed)
+    q2 = ann_index_sink(stream2, out, ckpt, cents, cb, compact_every=None)
+    q2.awaitTermination(300)
+
+    members = read_published(spark, out, MEMBERS_TABLE)
+    assert members.count() == 40
+    # searches through the sink-built index match the one-shot plan
+    full = _df(spark, rows)
+    got = ann_index_search(spark, out, full, cents, cb, nprobe=NPROBE, k=K)
+    want = sim.ivfpq_topk(
+        full, "vec_id", "embedding", cents, cb, nprobe=NPROBE, k=K
+    )
+    assert _pairs(got) == _pairs(want)
+
+
+def test_search_empty_index_is_schema_stable(spark, tmp_path):
+    out = str(tmp_path / "idx4")
+    rows = _vec_rows(0, 8)
+    cents, cb = _quantizer(spark, rows)
+    res = ann_index_search(spark, out, _df(spark, rows), cents, cb)
+    assert res.count() == 0
+    assert [f.name for f in res.schema.fields] == ["vec_id", "neighbor_id", "adc"]

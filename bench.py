@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_lsh_topk",         # ANN, pinned planes (sparse-occupancy point)
     "ann_lsh_auto_topk",    # ANN scale path: corpus-adaptive planes (gated)
     "ann_ivf_topk",         # IVF-flat ANN, trained quantizer (north star)
+    "ann_ivfpq_topk",       # IVFPQ: PQ codes + ADC scan (the memory tier)
     "multimodal_image_features",  # binary media pipeline (mapInPandas)
     "curation_pipeline",    # END-TO-END: quality → dedup → clusters →
                             # decontaminate → sample, one composed plan
@@ -56,6 +57,7 @@ HEADLINE = [
     "range_join_orders",    # interval join as binned equi-join
     "dup_spans_docs",       # repeated-substring span flagging (C4 trim)
     "tfidf_top_terms",      # per-doc term salience (tf × N/df)
+    "unigram_ppl_docs",     # perplexity-proxy quality filter (CCNet-style)
     "doc_features",         # SINGLE-SCAN fused feature assembly (md5 fp —
                             # the cross-engine-auditable form)
     "doc_features_fast",    # same fused pass, rolling64 fp kernel — the

@@ -145,6 +145,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "embed_near_dup",
     "ann_lsh_topk",
     "ann_lsh_auto_topk",
+    "ann_ivfpq_topk",  # round 6: the PQ memory tier under the driver gate
     "multimodal_image_features",
     # time-series joins (round-5 operators: as-of + binned range join)
     "asof_join_orders",

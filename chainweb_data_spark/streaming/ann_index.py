@@ -94,22 +94,22 @@ def ann_index_search(
     vec_col: str = "embedding",
     nprobe: int = 2,
     k: int = 5,
+    prune_cells: bool = True,
 ) -> DataFrame:
     """ADC top-k of ``queries`` against the STORED index: (id, neighbor_id,
     adc).  The index side ships codes only, read through the transaction
-    log's explicit file list with the cell as partition column — the scan
-    is pruned to the probed cells, and grows with the INDEX's size per
-    cell, not with history (merged snapshots hold one row per vector
-    regardless of how many batches built them)."""
+    log's explicit file list with the cell as partition column; with
+    ``prune_cells`` (default) the distinct probed cells are collected
+    first (≤ nprobe × queries ids, bounded by n_cells) and pushed as a
+    partition filter, so the index SCAN touches only the probed cells'
+    files — search cost grows with the probed cells' occupancy, not with
+    the index (merged snapshots hold one row per vector regardless of how
+    many batches built them).  Disable for query batches that probe most
+    cells anyway (the extra collect buys nothing)."""
     members = read_published(spark, out_dir, MEMBERS_TABLE)
     if members is None:
         schema = "vec_id long, neighbor_id long, adc double"
         return spark.createDataFrame([], schema)
-    members = members.select(
-        F.col("key_bucket").cast("int").alias("cell"),
-        F.col("vec_id").alias(id_col),
-        "codes",
-    )
     probes = (
         sim.pq_assign_cells(queries, id_col, vec_col, centroids, nprobe)
         .select(id_col, F.explode("probe_cells").alias("cell"))
@@ -123,6 +123,17 @@ def ann_index_search(
             id_col,
         )
         .select("cell", id_col, "_v")
+        .localCheckpoint(eager=True)  # cells are collected AND re-scanned
+    )
+    if prune_cells:
+        cells = [
+            str(r["cell"]) for r in probes.select("cell").distinct().collect()
+        ]
+        members = members.filter(F.col("key_bucket").isin(cells))
+    members = members.select(
+        F.col("key_bucket").cast("int").alias("cell"),
+        F.col("vec_id").alias(id_col),
+        "codes",
     )
     return sim.adc_topk(members, probes, codebooks, id_col, k)
 

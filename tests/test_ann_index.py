@@ -128,3 +128,37 @@ def test_search_empty_index_is_schema_stable(spark, tmp_path):
     res = ann_index_search(spark, out, _df(spark, rows), cents, cb)
     assert res.count() == 0
     assert [f.name for f in res.schema.fields] == ["vec_id", "neighbor_id", "adc"]
+
+
+def test_search_prunes_to_probed_cells(spark, tmp_path):
+    """With prune_cells, a single-query search pushes the probed cells as a
+    partition filter — the index scan reads fewer files than the index
+    holds — and returns exactly the unpruned results."""
+    out = str(tmp_path / "idx5")
+    rows = _vec_rows(0, 60)
+    cents, cb = _quantizer(spark, rows)
+    update_ann_index(spark, _df(spark, rows), out, 0, cents, cb)
+
+    one = _df(spark, rows[:1])
+    pruned = ann_index_search(spark, out, one, cents, cb, nprobe=1, k=K)
+    loose = ann_index_search(
+        spark, out, one, cents, cb, nprobe=1, k=K, prune_cells=False
+    )
+    assert _pairs(pruned) == _pairs(loose)
+
+    probed = {
+        str(r["cell"])
+        for r in sim.pq_assign_cells(one, "vec_id", "embedding", cents, 1)
+        .select(F.explode("probe_cells").alias("cell"))
+        .collect()
+    }
+    assert len(probed) == 1
+    # the probed-cell filter reaches the scan as a PARTITION filter (split
+    # planning then skips the other cells' directories entirely)
+    filtered = read_published(spark, out, MEMBERS_TABLE).filter(
+        F.col("key_bucket").isin(list(probed))
+    )
+    filtered.collect()
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(key_bucket" in plan
+    assert f"= {next(iter(probed))}" in plan

@@ -135,7 +135,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
-    "simhash_docs",
+    # simhash_docs demoted r6 (still hash-checked by the local harness):
+    # simhash_near_pairs consumes the same signature relation, so signature
+    # drift breaks that gated query too — the slot funds ann_ivfpq_topk
     "simhash_near_pairs",
     "text_tokens",
     "text_quality",

@@ -1092,21 +1092,78 @@ def ivfpq_topk(
     pipeline — train, encode, probe, ADC — stays one deterministic,
     oracle-checkable DataFrame program.  ADC scores round to 6 dp so SQL
     orders identically."""
-    assigned = pq_assign_cells(df, id_col, vec_col, centroids, nprobe).cache()
-    codes = pq_encode(df, id_col, vec_col, codebooks)
+    # one fused Arrow pass yields cell + probe set + codes per vector —
+    # no second scan, no assign⋈codes join
+    indexed = pq_index_rows(
+        df, id_col, vec_col, centroids, codebooks, nprobe
+    ).cache()
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    members = assigned.select(id_col, "cell").join(codes, id_col).select(
-        "cell", id_col, "codes"
-    )
+    members = indexed.select("cell", id_col, "codes")
     probes = (
-        assigned.select(id_col, F.explode("probe_cells").alias("cell"))
+        indexed.select(id_col, F.explode("probe_cells").alias("cell"))
         .join(vecs, id_col)
         .select("cell", id_col, "_v")
     )
     return adc_topk(members, probes, codebooks, id_col, k)
+
+
+def pq_index_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Fused assignment + encoding: (id, cell, probe_cells, codes) in ONE
+    Arrow pass — the index-build row for ``streaming/ann_index.py`` and
+    the single-scan front of ``ivfpq_topk`` (separate assign and encode
+    passes would scan the vectors twice and join the results back
+    together; fusing removes a scan and the join).  Same determinism as
+    the unfused operators: round-6 argmax/argmin, stable tie-breaks."""
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m, _kcodes, dsub = cb.shape
+    sc = df.sparkSession.sparkContext
+    bc_c, bc_cb = sc.broadcast(C), sc.broadcast(cb)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("probe_cells", T.ArrayType(T.IntegerType())),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def _fused(batches):
+        CM, CB = bc_c.value, bc_cb.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+            S = np.round(Q @ CM.T, 6)
+            order = np.argsort(-S, axis=1, kind="stable")
+            codes = np.empty((len(Q), m), dtype=np.int32)
+            for j in range(m):
+                sub = Q[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - CB[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(np.round(d2, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": order[:, 0].astype(np.int32),
+                    "probe_cells": list(order[:, :nprobe].astype(np.int32)),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_fused, schema)
 
 
 def pq_assign_cells(

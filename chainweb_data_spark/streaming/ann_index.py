@@ -60,14 +60,11 @@ def update_ann_index(
 ) -> int:
     """Fold a vector batch into the index; returns rows newly encoded
     (pre-merge — the PK anti-join drops replayed ids).  Assignment and
-    encoding are each one Arrow-batched pass over the BATCH only; the
-    existing index is touched solely by the merge probe, pruned to the
-    batch's key_buckets."""
-    assigned = sim.pq_assign_cells(vecs, id_col, vec_col, centroids, nprobe=1)
-    codes = sim.pq_encode(vecs, id_col, vec_col, codebooks)
+    encoding run FUSED in one Arrow-batched pass over the BATCH only
+    (``pq_index_rows``); the existing index is touched solely by the
+    merge probe, pruned to the batch's key_buckets."""
     members = (
-        assigned.select(id_col, "cell")
-        .join(codes, id_col)
+        sim.pq_index_rows(vecs, id_col, vec_col, centroids, codebooks)
         .select(
             F.col(id_col).alias("vec_id"),
             F.col("cell").cast("string").alias("key_bucket"),

@@ -227,13 +227,67 @@ def time_dedup_probe(spark, path: str, n: int) -> float:
     return round(best, 3)
 
 
+def _doc_batch(spark, b: int):
+    from pyspark.sql import functions as F
+
+    return spark.range(b * 500, (b + 1) * 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{b}_{i}_"), (F.col("id") * (i + 1)) % 9973)
+                for i in range(40)
+            ],
+        ).alias("text"),
+    )
+
+
+def longrun_report(spark, n_batches: int = 100, compact_every: int = 16, n: int = 2) -> dict:
+    """The O(batches) file-growth question, answered empirically: fold
+    ``n_batches`` doc batches into two indexes — one with periodic
+    compaction (``compact_every``), one without — and measure the
+    steady-state probe cost and live-file count at checkpoints along the
+    way.  Probe cost is O(live files) at the parquet-open layer, so the
+    uncompacted curve should climb roughly linearly with batches while the
+    compacted one stays flat."""
+    from chainweb_data_spark.streaming.dedup_index import update_dedup_index
+    from chainweb_data_spark.streaming.publish import read_manifest
+
+    marks = sorted({20, max(21, n_batches // 2), n_batches})
+    report: dict = {"n_batches": n_batches, "compact_every": compact_every}
+    for label, ce in (("compacted", compact_every), ("uncompacted", None)):
+        out = os.path.join(WORK, f"dedup_long_{label}")
+        checkpoints = {}
+        for b in range(n_batches):
+            update_dedup_index(
+                spark, _doc_batch(spark, b), out, batch_id=b, compact_every=ce
+            )
+            if b + 1 in marks:
+                m = read_manifest(out)
+                checkpoints[str(b + 1)] = {
+                    "probe_s": time_dedup_probe(spark, out, n),
+                    "live_files": sum(len(v) for v in m["tables"].values()),
+                }
+        report[label] = checkpoints
+    return report
+
+
 def main() -> None:
     from chainweb_data_spark.session import get_spark
 
-    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    longrun = "--longrun" in sys.argv[1:]
+    mult = int(args[0]) if args else 10
+    n = int(args[1]) if len(args) > 1 else 3
     spark = get_spark("cds-streaming-rehearsal")
     shutil.rmtree(WORK, ignore_errors=True)
+
+    if longrun:
+        print(json.dumps({
+            "regime": "longrun",
+            "dedup_index": longrun_report(spark, n_batches=mult, n=n),
+        }))
+        return
 
     result = {"multiplier": mult, "costs": {}}
 

@@ -279,3 +279,50 @@ def test_zorder_rewrite_improves_file_skipping(spark, tmp_path):
     pr = read_published(spark, out, "t", where={"height": (100, 149)})
     assert pr.filter("height between 100 and 149").count() == 8 * 50
     assert history(out)[-1]["op"] == "zorder"
+
+
+def test_two_real_writers_interleave_safely(spark, tmp_path):
+    """Optimistic concurrency under REAL thread interleaving: two writers
+    publish disjoint id ranges to the same directory concurrently; every
+    row lands exactly once, versions are a contiguous chain, and at least
+    the total number of commits happened (rebases add none — they reuse
+    the staged files)."""
+    import threading
+
+    out = str(tmp_path / "race")
+    publish_batch(spark, {"t": _batch(spark, 0, 1)}, out, pks=PK)  # adopt v1
+    errors = []
+
+    def writer(base):
+        try:
+            for b in range(6):
+                lo = base + b * 100
+                publish_batch(
+                    spark,
+                    {"t": _batch(spark, lo, lo + 50)},
+                    out,
+                    pks=PK,
+                    max_retries=30,
+                )
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(10_000,)),
+        threading.Thread(target=writer, args=(20_000,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    got = read_published(spark, out, "t")
+    assert got.count() == 1 + 12 * 50
+    assert got.select("id").distinct().count() == 1 + 12 * 50
+    m = read_manifest(out)
+    assert m["version"] >= 13  # 2 adopt/first + 12 publishes, rebases reuse
+    # the log is a contiguous chain — every version loads
+    assert [h["version"] for h in history(out)] == list(
+        range(1, m["version"] + 1)
+    )

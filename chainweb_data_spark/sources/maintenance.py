@@ -231,3 +231,56 @@ def rewrite_zordered(
     )
     pub.vacuum(out_dir)
     return {"files": len(moved), "ranges": ranges}
+
+
+def expire_files(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    col: str,
+    cutoff,
+) -> dict:
+    """Metadata-only retention (TTL): drop every live file whose footer
+    ``max(col)`` is strictly below ``cutoff`` — one transaction-log commit,
+    ZERO data read or rewritten (the 100 TB retention job is a metadata
+    operation when the layout is time-clustered; ingestion order usually
+    is).  Boundary files that STRADDLE the cutoff are kept whole — readers
+    wanting an exact horizon apply the row filter on top; rerunning after
+    the next compaction/z-order tightens the boxes and expires more.
+    Files with no recorded stats for ``col`` are never dropped.  Returns
+    {"removed": n, "kept": n}."""
+    from ..streaming import publish as pub
+
+    manifest = pub.read_manifest(out_dir)
+    files = manifest["tables"].get(table, [])
+    if not files:
+        return {"removed": 0, "kept": 0}
+    per_file = manifest.get("stats", {}).get(table, {})
+    drop = set()
+    for rel in files:
+        rng = per_file.get(rel, {}).get(col)
+        if not rng or rng[1] is None:
+            continue
+        try:
+            if rng[1] < cutoff:
+                drop.add(rel)
+        except TypeError:
+            continue
+    if not drop:
+        return {"removed": 0, "kept": len(files)}
+    keep = [f for f in files if f not in drop]
+    stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
+    tstats = stats.get(table, {})
+    for rel in drop:
+        tstats.pop(rel, None)
+    pub._write_manifest(
+        out_dir,
+        {
+            "version": manifest["version"] + 1,
+            "tables": {**manifest["tables"], table: keep},
+            "stats": stats,
+            "op": "expire",
+        },
+    )
+    pub.vacuum(out_dir)
+    return {"removed": len(drop), "kept": len(keep)}

@@ -326,3 +326,26 @@ def test_two_real_writers_interleave_safely(spark, tmp_path):
     assert [h["version"] for h in history(out)] == list(
         range(1, m["version"] + 1)
     )
+
+
+def test_expire_files_is_metadata_only(spark, tmp_path):
+    """TTL retention drops fully-expired files in one commit without
+    reading data; straddling files survive whole; unstatted files are
+    never dropped."""
+    from chainweb_data_spark.sources.maintenance import expire_files
+
+    out = str(tmp_path / "ttl")
+    for lo in (0, 100, 200):  # files [0,99], [100,199], [200,299]
+        publish_batch(spark, {"t": _batch(spark, lo, lo + 100)}, out, pks=PK)
+
+    res = expire_files(spark, out, "t", "id", 150)
+    assert res == {"removed": 1, "kept": 2}  # [0,99] gone; [100,199] straddles
+    got = read_published(spark, out, "t")
+    assert got.count() == 200
+    assert got.agg({"id": "min"}).collect()[0][0] == 100
+    assert history(out)[-1]["op"] == "expire"
+
+    # nothing below the cutoff anymore except the straddler's tail
+    assert expire_files(spark, out, "t", "id", 150) == {"removed": 0, "kept": 2}
+    # a column with no stats never expires anything
+    assert expire_files(spark, out, "t", "nope", 150) == {"removed": 0, "kept": 2}

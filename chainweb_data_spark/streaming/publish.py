@@ -373,7 +373,10 @@ def ensure_manifest(out_dir: str) -> dict:
             if rels:
                 tables[entry[: -len(".parquet")]] = sorted(rels)
     manifest = {"version": 1, "tables": tables, "op": "adopt"}
-    _write_manifest(out_dir, manifest)
+    try:
+        _write_manifest(out_dir, manifest)
+    except ConcurrentWriteError:
+        pass  # another writer adopted first — their v1 serves
     return read_manifest(out_dir)
 
 

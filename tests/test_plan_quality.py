@@ -103,6 +103,22 @@ def test_pack_sequences_window_is_partitioned(spark):
     assert "windowspecdefinition(_pid" in p, "global-window cumsum detected"
 
 
+def test_chunking_is_shuffle_free(spark):
+    # chunk_documents is projection + explode: the only exchange in the
+    # gated plan is the final presentation sort's range partitioning
+    p = plan_of(spark, "chunk_documents")
+    # formatted plans list each node twice (tree + detail) — count tree nodes
+    assert p.count("Exchange (") <= 1, "chunking plan grew a shuffle"
+    assert "Generate explode" in p or "Generate posexplode" in p
+
+
+def test_unigram_model_broadcasts(spark):
+    # the unigram model joins broadcast: the token stream never shuffles
+    # for the logprob lookup (shuffles: vocab count + per-doc mean only)
+    p = plan_of(spark, "unigram_ppl_docs")
+    assert "BroadcastHashJoin" in p
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(

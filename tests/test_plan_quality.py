@@ -109,7 +109,7 @@ def test_chunking_is_shuffle_free(spark):
     p = plan_of(spark, "chunk_documents")
     # formatted plans list each node twice (tree + detail) — count tree nodes
     assert p.count("Exchange (") <= 1, "chunking plan grew a shuffle"
-    assert "Generate explode" in p or "Generate posexplode" in p
+    assert "Generate" in p and "posexplode" in p
 
 
 def test_unigram_model_broadcasts(spark):

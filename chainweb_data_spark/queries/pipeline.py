@@ -2531,3 +2531,103 @@ if _PQ_CB is not None and _IVF_CENTROIDS is not None:
             nprobe=_IVF_NPROBE,
             k=_IVF_K,
         ).orderBy("vec_id", F.col("adc").desc(), "neighbor_id")
+
+
+# --- BPE tokenizer: deterministic training + distributed encoding ----------
+from ..operators import bpe as bp  # noqa: E402
+
+_BPE_N_MERGES = 48
+_BPE_SEP = "\x1f"  # piece-join separator for hashing (never in corpus text)
+
+
+def _trained_bpe_merges():
+    """Merges for the gate fixture, trained at registration via the pyarrow
+    twin - None without testdata (BPE gates then not registered: trained
+    merges have no SQL fallback)."""
+    try:
+        return bp.bpe_train_parquet(
+            "/root/testdata/sf0.01/documents.parquet", "text", _BPE_N_MERGES
+        )
+    except Exception:
+        return None
+
+
+_BPE_MERGES = _trained_bpe_merges()
+
+
+def _bpe_merges_oracle() -> str:
+    rows = ",\n      ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(_BPE_MERGES)
+    )
+    return f"""
+    SELECT CAST(v.rank AS BIGINT) AS rank, v.left_sym, v.right_sym
+    FROM (VALUES
+      {rows}
+    ) AS v(rank, left_sym, right_sym)
+    ORDER BY rank
+    """
+
+
+def _bpe_encode_oracle() -> str:
+    """Literal-VALUES oracle computed by the SAME pure encoder at
+    registration (the multimodal-gate move): the distributed Arrow kernel
+    must reproduce every document's piece sequence bit-for-bit."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    ranks = {tuple(p): i for i, p in enumerate(_BPE_MERGES)}
+    cache: dict = {}
+    rows = []
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        pieces = bp.encode_text(text or "", ranks, cache)
+        digest = hashlib.md5(_BPE_SEP.join(pieces).encode()).hexdigest()
+        rows.append(f"({doc_id}, {len(pieces)}, '{digest}')")
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT CAST(v.doc_id AS BIGINT) AS doc_id,
+           CAST(v.n_pieces AS INT) AS n_pieces, v.pieces_md5
+    FROM (VALUES
+      {values}
+    ) AS v(doc_id, n_pieces, pieces_md5)
+    ORDER BY doc_id
+    """
+
+
+if _BPE_MERGES:
+
+    @register("bpe_merges", oracle=_bpe_merges_oracle())
+    def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BPE trainer gate: the runtime path (distributed word counts ->
+        driver merge loop) must re-derive the registration-trained merge
+        list exactly - rank for rank.  Determinism is the contract that
+        makes a tokenizer reproducible across reruns and engines: merge
+        choice is (count desc, pair lexicographic asc), never dict
+        order."""
+        docs = _t(spark, sf_dir, "documents")
+        merges = bp.bpe_train(docs, "text", _BPE_N_MERGES)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank long, left_sym string, right_sym string",
+        ).orderBy("rank")
+
+    @register("bpe_encode_docs", oracle=_bpe_encode_oracle())
+    def bpe_encode_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BPE encoding gate: every document segmented by the trained
+        merges (rank-ordered application, leftmost tie-break, </w> word
+        boundary), hashed piece sequence compared against the pure-Python
+        registration encoding - the Arrow kernel's word-memoized fast path
+        must change nothing."""
+        docs = _t(spark, sf_dir, "documents")
+        merges = bp.bpe_train(docs, "text", _BPE_N_MERGES)
+        enc = bp.bpe_encode(docs, "doc_id", "text", merges)
+        return enc.select(
+            "doc_id",
+            "n_pieces",
+            F.md5(F.array_join("pieces", _BPE_SEP)).alias("pieces_md5"),
+        ).orderBy("doc_id")

@@ -244,3 +244,37 @@ def test_stopword_hits_counts_consecutive_duplicates(spark):
         tx.word_stopword_hits(F.col("t"), ["the", "a"]).alias("h")
     ).collect()[0]["h"]
     assert got == 3
+
+
+def test_bpe_trains_the_classic_example(spark):
+    """Sennrich's worked example: with 'low'x5 + 'lowest'x2, the first
+    merges build 'low' ('l o' then 'lo w'), and encoding reuses them."""
+    from chainweb_data_spark.operators import bpe as bp
+
+    counts = {"low": 5, "lowest": 2}
+    merges = bp.train_merges_from_counts(counts, 4)
+    assert merges[0] == ("l", "o")  # count 7, lexicographically first
+    assert merges[1] == ("lo", "w")
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    seg = bp.segment_word("low", ranks)
+    assert seg[0] == "low" or seg == ["low" + bp.END] or "low" in seg[0]
+    # unseen word degrades to characters + boundary, never crashes
+    assert bp.segment_word("zzz", ranks) == ["z", "z", "z", bp.END]
+
+
+def test_bpe_spark_encode_matches_pure_python(spark):
+    from chainweb_data_spark.operators import bpe as bp
+
+    rows = [(i, f"low lower lowest stop w{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bp.bpe_train(df, "text", 16)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    got = {
+        r["doc_id"]: (list(r["pieces"]), r["n_pieces"])
+        for r in bp.bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    for i, text in rows:
+        want = bp.encode_text(text, ranks, {})
+        assert got[i] == (want, len(want)), i
+    # determinism across retrains
+    assert merges == bp.bpe_train(df, "text", 16)

@@ -2448,10 +2448,12 @@ def _pq_codes_oracle() -> str:
     """
 
 
-def _ann_ivfpq_oracle(nprobe: int = _IVF_NPROBE, k: int = _IVF_K) -> str:
+def _ann_ivfpq_oracle(
+    nprobe: int = _IVF_NPROBE, k: int = _IVF_K, cent_cte: str | None = None
+) -> str:
     return f"""
     WITH {_pq_common_ctes(_PQ_CB)},
-    {_ivf_cent_cte()},
+    {cent_cte if cent_cte is not None else _ivf_cent_cte()},
     sims AS (
       SELECT e.vec_id, c.cell,
              round(list_cosine_similarity(e.v, c.cv), 6) AS s
@@ -2631,3 +2633,52 @@ if _BPE_MERGES:
             "n_pieces",
             F.md5(F.array_join("pieces", _BPE_SEP)).alias("pieces_md5"),
         ).orderBy("doc_id")
+
+
+# --- auto-sized IVFPQ: the configuration that survives corpus growth -------
+
+
+def _trained_ivfpq_auto():
+    """sqrt-n-rule centroids for the fixture, trained at registration (the
+    ann_lsh_auto_topk move applied to IVFPQ): the GATED configuration is
+    the one whose cell count adapts to the corpus, because the 10x
+    rehearsal measured the pinned-16-cell config at 142x growth (cell
+    occupancy grows linearly when the cell count can't)."""
+    try:
+        n_cells = sim.auto_n_cells(_fixture_embeddings_count())
+        return sim.train_ivf_centroids_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet", n_cells
+        )
+    except Exception:
+        return None
+
+
+_IVFPQ_AUTO_CENTROIDS = _trained_ivfpq_auto()
+
+if _PQ_CB is not None and _IVFPQ_AUTO_CENTROIDS is not None:
+
+    @register(
+        "ann_ivfpq_auto_topk",
+        oracle=_ann_ivfpq_oracle(cent_cte=_cent_cte_from(_IVFPQ_AUTO_CENTROIDS)),
+    )
+    def ann_ivfpq_auto_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVFPQ with the sqrt-n cell rule (auto_n_cells) — the scale-safe
+        sibling of ann_ivfpq_topk: cell count grows with the corpus, so
+        per-cell occupancy (and with it probe cost and the ADC scan) grows
+        as sqrt(n) instead of linearly.  The oracle embeds the centroids
+        the sqrt-rule trains on the FIXTURE's footer count; at any other
+        corpus size the runtime re-derives both the cell count and the
+        centroids from the data."""
+        emb = _t(spark, sf_dir, "embeddings")
+        n_cells = sim.auto_n_cells(emb.count())
+        cents = sim.ivf_train_kmeans(emb, "vec_id", "embedding", n_cells)
+        cb = sim.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES)
+        return sim.ivfpq_topk(
+            emb,
+            "vec_id",
+            "embedding",
+            cents,
+            cb,
+            nprobe=_IVF_NPROBE,
+            k=_IVF_K,
+        ).orderBy("vec_id", F.col("adc").desc(), "neighbor_id")

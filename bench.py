@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_lsh_auto_topk",    # ANN scale path: corpus-adaptive planes (gated)
     "ann_ivf_topk",         # IVF-flat ANN, trained quantizer (north star)
     "ann_ivfpq_topk",       # IVFPQ: PQ codes + ADC scan (the memory tier)
+    "ann_ivfpq_auto_topk",  # IVFPQ, sqrt-n cells (the scale-safe config)
     "multimodal_image_features",  # binary media pipeline (mapInPandas)
     "curation_pipeline",    # END-TO-END: quality → dedup → clusters →
                             # decontaminate → sample, one composed plan

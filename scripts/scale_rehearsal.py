@@ -49,7 +49,8 @@ QUERIES = [
     "minhash_verified_pairs",  # LSH candidates + exact-Jaccard verify
     "dup_spans_docs",     # positional grams + hot-gram broadcast + merge
     "tfidf_top_terms",    # tf/df aggregations + vocabulary join
-    "ann_ivfpq_topk",     # PQ codes + cell-local ADC (r6 memory tier)
+    "ann_ivfpq_topk",     # PQ codes + cell-local ADC (pinned cells: the wall)
+    "ann_ivfpq_auto_topk",  # sqrt-n cells - the gated scale path
     "unigram_ppl_docs",   # corpus-model scoring: vocab agg + broadcast join
 ]
 

@@ -264,3 +264,35 @@ def test_pq_roundtrip_properties(spark):
         assert twin_adc, f"twin of {i} not in top-k"
         assert twin_adc[0] > 0.98, "twin ADC must approximate cosine 1.0"
         assert mine[0]["adc"] - twin_adc[0] < 0.02
+
+
+def test_adc_percell_truncation_is_lossless(spark):
+    """The r6 output bound: emitting only each cell's per-query top-k must
+    give the SAME global top-k as emitting every candidate pair (per-cell
+    truncation in the global (adc desc, neighbor asc) order is safe
+    because global rank within a cell never beats cell rank)."""
+    import numpy as np
+
+    from chainweb_data_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(48):
+        base = [(1.0 if (j // 4) % 3 == i % 3 else 0.2) for j in range(12)]
+        rows.append((i, [b + (i % 11) * 3e-3 * ((j % 5) - 2) for j, b in enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim.ivf_train_kmeans(df, "vec_id", "embedding", 3)
+    cb = sim.pq_train(df, "vec_id", "embedding", m=3, k=8)
+
+    small = sim.ivfpq_topk(df, "vec_id", "embedding", cents, cb, nprobe=2, k=3)
+    # k >= corpus: nothing truncated anywhere; trim globally in pandas
+    full = sim.ivfpq_topk(df, "vec_id", "embedding", cents, cb, nprobe=2, k=100)
+    by_q = {}
+    for r in full.collect():
+        by_q.setdefault(r["vec_id"], []).append((-r["adc"], r["neighbor_id"]))
+    want = {
+        (q, nid, -neg)
+        for q, lst in by_q.items()
+        for neg, nid in sorted(lst)[:3]
+    }
+    got = {(r["vec_id"], r["neighbor_id"], r["adc"]) for r in small.collect()}
+    assert got == want

@@ -1,5 +1,15 @@
+from .ann_index import ann_index_search, ann_index_sink, update_ann_index
+from .dedup_index import dedup_index_sink, update_dedup_index
 from .listen import TABLE_PKS, listen_stream, merge_batch
-from .publish import publish_batch, read_manifest, read_published, vacuum
+from .publish import (
+    ConcurrentWriteError,
+    compact_published,
+    history,
+    publish_batch,
+    read_manifest,
+    read_published,
+    vacuum,
+)
 from .silver import lookup_history, update_continuation_history
 from .sse import parse_sse_lines, sse_events_to_raw_rows
 from .stateful import (
@@ -11,6 +21,14 @@ from .stateful import (
 
 __all__ = [
     "TABLE_PKS",
+    "ann_index_search",
+    "ann_index_sink",
+    "update_ann_index",
+    "dedup_index_sink",
+    "update_dedup_index",
+    "ConcurrentWriteError",
+    "compact_published",
+    "history",
     "listen_stream",
     "merge_batch",
     "parse_sse_lines",

@@ -272,15 +272,93 @@ def longrun_report(spark, n_batches: int = 100, compact_every: int = 16, n: int 
     return report
 
 
+def _vec_batch(spark, b: int, n: int = 300, dim: int = 32):
+    from pyspark.sql import functions as F
+
+    # deterministic pseudo-vectors: component = scaled hash of (id, dim idx)
+    return spark.range(b * n, (b + 1) * n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(2001)).cast(
+                        "double"
+                    )
+                    / F.lit(1000.0)
+                    - F.lit(1.0)
+                )
+                for j in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+
+
+def ann_longrun_report(
+    spark, n_batches: int = 60, compact_every: int = 16
+) -> dict:
+    """The streaming ANN index's long-run question: search cost against the
+    folded index as batches accumulate, with and without compaction.  The
+    index holds one row per vector regardless of batch count, so search
+    growth should track CORPUS size (more members per probed cell), while
+    file count — the parquet-open term — is what compaction bounds."""
+    import time as _time
+
+    from chainweb_data_spark.operators import similarity as sim
+    from chainweb_data_spark.streaming.ann_index import (
+        MEMBERS_TABLE,
+        ann_index_search,
+        update_ann_index,
+    )
+    from chainweb_data_spark.streaming.publish import read_manifest
+
+    train = _vec_batch(spark, 0)
+    cents = sim.ivf_train_kmeans(train, "vec_id", "embedding", 16)
+    cb = sim.pq_train(train, "vec_id", "embedding", m=8, k=16)
+    queries = _vec_batch(spark, 10_000, n=100).localCheckpoint(eager=True)
+
+    marks = sorted({10, max(11, n_batches // 2), n_batches})
+    report: dict = {"n_batches": n_batches, "compact_every": compact_every}
+    for label, ce in (("compacted", compact_every), ("uncompacted", None)):
+        out = os.path.join(WORK, f"ann_long_{label}")
+        checkpoints = {}
+        for b in range(n_batches):
+            update_ann_index(
+                spark, _vec_batch(spark, b), out, b, cents, cb, compact_every=ce
+            )
+            if b + 1 in marks:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = _time.perf_counter()
+                    ann_index_search(
+                        spark, out, queries, cents, cb, nprobe=2, k=5
+                    ).collect()
+                    best = min(best, _time.perf_counter() - t0)
+                m = read_manifest(out)
+                checkpoints[str(b + 1)] = {
+                    "search_s": round(best, 3),
+                    "live_files": len(m["tables"].get(MEMBERS_TABLE, [])),
+                }
+        report[label] = checkpoints
+    return report
+
+
 def main() -> None:
     from chainweb_data_spark.session import get_spark
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     longrun = "--longrun" in sys.argv[1:]
+    ann_longrun = "--annlongrun" in sys.argv[1:]
     mult = int(args[0]) if args else 10
     n = int(args[1]) if len(args) > 1 else 3
     spark = get_spark("cds-streaming-rehearsal")
     shutil.rmtree(WORK, ignore_errors=True)
+
+    if ann_longrun:
+        print(json.dumps({
+            "regime": "ann_longrun",
+            "ann_index": ann_longrun_report(spark, n_batches=mult),
+        }))
+        return
 
     if longrun:
         print(json.dumps({

@@ -59,6 +59,7 @@ HEADLINE = [
     "dup_spans_docs",       # repeated-substring span flagging (C4 trim)
     "tfidf_top_terms",      # per-doc term salience (tf × N/df)
     "unigram_ppl_docs",     # perplexity-proxy quality filter (CCNet-style)
+    "bigram_ppl_docs",      # bigram backoff LM: open-vocab shuffle join
     "doc_features",         # SINGLE-SCAN fused feature assembly (md5 fp —
                             # the cross-engine-auditable form)
     "doc_features_fast",    # same fused pass, rolling64 fp kernel — the

@@ -596,3 +596,114 @@ def normalize_text(col: Column) -> Column:
     pipelines apply so trivially-reformatted copies (case, spacing) fall
     into the same exact-dedup bucket."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def bigram_backoff_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document NLL under a bigram model with absolute-discount backoff
+    trained on the corpus itself — the step up from
+    :func:`unigram_nll_scores` toward the real CCNet filter:
+
+        P(w2|w1) = (c(w1 w2) - d) / c(w1)        if the bigram was seen
+                 = lambda(w1) * P_uni(w2)          otherwise
+        lambda(w1) = d * distinct_followers(w1) / c(w1)
+        P_uni(w)   = (c(w) + 1) / (N + V)          (Laplace, as the unigram op)
+
+    First token of each document scores under P_uni; every following token
+    under the backoff bigram.  All probabilities are single IEEE ratios of
+    exact integer counts (one multiply for the backoff leg), so both
+    engines compute identical doubles; only ln's last ulp differs and the
+    6-dp rounding absorbs it.
+
+    Scale shape: bigram pairs come from an index-lambda transform over the
+    token array (pure codegen, no self-join); the bigram model is
+    corpus-vocabulary-sized and joins WITHOUT a forced broadcast (open
+    bigram vocabularies must stay a shuffle join — AQE broadcasts small
+    ones), while the unigram/lambda sides are vocab-sized broadcasts."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
+
+    uni = (
+        base.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    totals = uni.agg(F.sum("c1").alias("_n"), F.count("*").alias("_v"))
+    puni = uni.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            (F.col("c1") + F.lit(1.0))
+            / (F.col("_n") + F.col("_v")).cast("double")
+        ).alias("p_uni"),
+        "c1",
+    )
+
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(
+            # single-token docs have no bigrams (sequence(1, 0) would count
+            # DOWN through index 0 — guard, don't rely on it being empty)
+            F.when(
+                F.size("_t") > 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_t"), i).alias("w1"),
+                        F.element_at(F.col("_t"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_b"),
+    ).select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    lam = (
+        c2.groupBy("w1")
+        .agg(F.count("*").alias("_f"))
+        .join(F.broadcast(puni.select(F.col("w").alias("w1"), "c1")), "w1")
+        .select(
+            "w1",
+            (F.lit(discount) * F.col("_f") / F.col("c1").cast("double")).alias(
+                "_lam"
+            ),
+            F.col("c1").alias("_c1"),
+        )
+    )
+
+    first_nll = (
+        base.select(id_col, F.element_at("_t", 1).alias("w"))
+        .join(F.broadcast(puni.select("w", "p_uni")), "w")
+        .select(id_col, (-F.log("p_uni")).alias("nll"))
+    )
+    bg_nll = (
+        pairs.join(c2, ["w1", "w2"], "left")  # the open-vocab shuffle join
+        .join(F.broadcast(lam), "w1")
+        .join(
+            F.broadcast(puni.select(F.col("w").alias("w2"), "p_uni")), "w2"
+        )
+        .select(
+            id_col,
+            (
+                -F.log(
+                    F.when(
+                        F.col("c2").isNotNull(),
+                        (F.col("c2") - F.lit(discount))
+                        / F.col("_c1").cast("double"),
+                    ).otherwise(F.col("_lam") * F.col("p_uni"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        first_nll.unionByName(bg_nll)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg("nll")), 2).alias("ppl"),
+        )
+    )

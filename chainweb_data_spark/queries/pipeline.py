@@ -2682,3 +2682,65 @@ if _PQ_CB is not None and _IVFPQ_AUTO_CENTROIDS is not None:
             nprobe=_IVF_NPROBE,
             k=_IVF_K,
         ).orderBy("vec_id", F.col("adc").desc(), "neighbor_id")
+
+
+@register(
+    "bigram_ppl_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni),
+    puni AS (SELECT w, (c1 + 1.0) / (n + v) AS p_uni, c1 FROM uni, tot),
+    bg AS (
+      SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        FROM toks WHERE len(t) > 1
+      )
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    lam AS (
+      SELECT u.w AS w1, 0.75 * f.f / u.c1 AS l, u.c1 AS c1w1
+      FROM uni u JOIN (SELECT w1, COUNT(*) AS f FROM c2 GROUP BY w1) f
+        ON f.w1 = u.w
+    ),
+    first_nll AS (
+      SELECT x.doc_id, -ln(p.p_uni) AS nll
+      FROM (SELECT doc_id, t[1] AS w FROM toks WHERE len(t) > 0) x
+      JOIN puni p ON p.w = x.w
+    ),
+    bg_nll AS (
+      SELECT g.doc_id,
+             -ln(CASE WHEN m.c2 IS NOT NULL
+                      THEN (m.c2 - 0.75) / la.c1w1
+                      ELSE la.l * p2.p_uni END) AS nll
+      FROM bg g
+      LEFT JOIN c2 m ON m.w1 = g.w1 AND m.w2 = g.w2
+      JOIN lam la ON la.w1 = g.w1
+      JOIN puni p2 ON p2.w = g.w2
+    ),
+    all_nll AS (
+      SELECT doc_id, nll FROM first_nll
+      UNION ALL SELECT doc_id, nll FROM bg_nll
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(nll), 6) AS avg_nll,
+           ROUND(EXP(AVG(nll)), 2) AS ppl
+    FROM all_nll GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def bigram_ppl_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-backoff perplexity (absolute discounting d=0.75, Laplace
+    unigram fallback) — the step past unigram_ppl_docs toward a real LM
+    quality filter.  Every probability is a ratio of exact integer counts
+    (one multiply on the backoff leg), identical doubles in both engines;
+    the bigram model joins as an open-vocabulary shuffle join, the
+    unigram/lambda sides broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bigram_backoff_scores(docs, "doc_id", "text").orderBy("doc_id")

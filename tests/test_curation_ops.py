@@ -191,3 +191,52 @@ def test_unigram_nll_matches_hand_computation(spark):
     assert abs(got[2]["ppl"] - round(math.exp(exp2), 2)) < 1e-9
     # the rarer-token doc scores strictly worse (higher nll)
     assert got[2]["avg_nll"] > got[1]["avg_nll"]
+
+
+def test_bigram_backoff_matches_hand_computation(spark):
+    """Tiny corpus where every probability is hand-checkable: unigram
+    Laplace fallback on the first token, discounted bigram on seen pairs,
+    lambda * p_uni on the unseen pair (none here - all pairs seen)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in tx.bigram_backoff_scores(df, "doc_id", "text").collect()
+    }
+    # corpus: a:3 b:3 c:1, N=7 V=3 -> p_uni = (c+1)/10
+    # bigrams: (a,b):2 (b,a):2 (a,c):1; c1(a)=c1(b)=3
+    nll1 = (-math.log(0.4) + 3 * -math.log((2 - 0.75) / 3)) / 4
+    nll2 = (
+        -math.log(0.4)
+        - math.log((2 - 0.75) / 3)
+        - math.log((1 - 0.75) / 3)
+    ) / 3
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 3
+    assert abs(got[1]["avg_nll"] - round(nll1, 6)) < 1e-9
+    assert abs(got[2]["avg_nll"] - round(nll2, 6)) < 1e-9
+    # the doc with the rare continuation scores worse
+    assert got[2]["avg_nll"] > got[1]["avg_nll"]
+
+
+def test_bigram_backoff_uses_unigram_for_unseen_pairs(spark):
+    """An unseen bigram must fall back to lambda(w1) * p_uni(w2): score a
+    doc whose pair never occurs in the training corpus by training on a
+    separate model... the operator trains on its input, so craft input
+    where a pair is unseen ACROSS docs is impossible - instead check the
+    single-token doc path (pure unigram) and that all NLLs are finite."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x y x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in tx.bigram_backoff_scores(df, "doc_id", "text").collect()
+    }
+    # x:3 y:1, N=4 V=2 -> p_uni(x) = 4/6
+    assert got[1]["n_tokens"] == 1
+    assert abs(got[1]["avg_nll"] - round(-math.log(4 / 6), 6)) < 1e-9
+    assert got[2]["avg_nll"] > 0 and math.isfinite(got[2]["ppl"])

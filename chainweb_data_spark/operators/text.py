@@ -707,3 +707,85 @@ def bigram_backoff_scores(
             F.round(F.exp(F.avg("nll")), 2).alias("ppl"),
         )
     )
+
+
+def assign_splits(
+    df: DataFrame, id_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Deterministic dataset split assignment (train/val/test): the md5 of
+    the id, read as a 4-hex-digit fraction, lands in cumulative-weight
+    bins quantized to /65536 — same split for every row on every replay,
+    in any engine, with no rand() and no shuffle (pure codegen CASE).
+    Weights must sum to ≤ 1; any remainder falls to the LAST split."""
+    names = list(weights)
+    if not names:
+        raise ValueError("need at least one split")
+    cum, bounds = 0.0, []
+    for name in names[:-1]:
+        cum += weights[name]
+        bounds.append((name, format(min(int(cum * 65536), 65535), "04x")))
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    # first-match CASE chain over ascending cumulative bounds
+    chain = None
+    for name, bound in bounds:
+        cond = h < F.lit(bound)
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(
+            cond, F.lit(name)
+        )
+    split = chain.otherwise(F.lit(names[-1])) if chain is not None else F.lit(
+        names[-1]
+    )
+    return df.withColumn("split", split)
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    quantum: int = 65536,
+) -> DataFrame:
+    """Temperature-based source rebalancing: keep each source at a rate
+    making the SAMPLED shares ∝ n_s^alpha (alpha < 1 flattens the mix —
+    the multilingual/multi-domain pretraining move).  Rates are
+    r_s = C · n_s^(alpha-1) with C = min_s n_s^(1-alpha), so the smallest
+    source keeps everything and larger sources downsample — sampling
+    without replication can only remove.  The keep rule is the
+    md5-threshold predicate (replay- and engine-exact); rates quantize to
+    /``quantum``.  With alpha = 0.5 the powers are sqrt — correctly
+    rounded in IEEE, so both engines derive identical rates from identical
+    counts (avoid irrational alphas in gates: pow's rounding is
+    libm-specific).  One count aggregation + a broadcast of #sources rows;
+    the keep predicate is codegen."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha in (0, 1]")
+
+    def _pow(c):
+        return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
+
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_ns"))
+    c_min = counts.agg(
+        F.min(F.col("_ns") / _pow(F.col("_ns").cast("double"))).alias("_c")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(c_min))
+        .select(
+            source_col,
+            F.floor(
+                F.col("_c")
+                * _pow(F.col("_ns").cast("double"))
+                / F.col("_ns")
+                * F.lit(quantum)
+            )
+            .cast("long")
+            .alias("_keep_q"),
+        )
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(F.pmod(h, F.lit(quantum)) < F.col("_keep_q"))
+        .drop("_keep_q")
+    )

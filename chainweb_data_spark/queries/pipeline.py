@@ -2744,3 +2744,64 @@ def bigram_ppl_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram/lambda sides broadcast."""
     docs = _t(spark, sf_dir, "documents")
     return tx.bigram_backoff_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
+    "dataset_splits",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+                THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+)
+def dataset_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10): the md5 of the
+    id read as a 4-hex fraction lands in cumulative bins quantized to
+    /65536 ('cccc' = 0.8, 'e666' = 0.9) — replay- and engine-exact, no
+    rand(), pure codegen CASE, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tx.assign_splits(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "temperature_sample_docs",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS ns FROM documents GROUP BY source
+    ),
+    cmin AS (
+      SELECT MIN(ns / sqrt(CAST(ns AS DOUBLE))) AS c FROM counts
+    ),
+    rates AS (
+      SELECT source,
+             CAST(floor(c * sqrt(CAST(ns AS DOUBLE)) / ns * 65536) AS BIGINT)
+               AS keep_q
+      FROM counts, cmin
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    JOIN rates r USING (source)
+    WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) AS BIGINT) % 65536 < r.keep_q
+    ORDER BY d.doc_id
+    """,
+)
+def temperature_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) source rebalancing: sampled shares become
+    proportional to sqrt(n_s) — the smallest source survives whole, larger
+    sources downsample by the md5-threshold rule.  sqrt is correctly
+    rounded in IEEE, so both engines derive identical quantized rates from
+    identical counts; the keep predicate is replay-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tx.temperature_sample(docs, "doc_id", "source", alpha=0.5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

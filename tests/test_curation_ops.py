@@ -240,3 +240,41 @@ def test_bigram_backoff_uses_unigram_for_unseen_pairs(spark):
     assert got[1]["n_tokens"] == 1
     assert abs(got[1]["avg_nll"] - round(-math.log(4 / 6), 6)) < 1e-9
     assert got[2]["avg_nll"] > 0 and math.isfinite(got[2]["ppl"])
+
+
+def test_temperature_sample_flattens_and_keeps_smallest_whole(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "small"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = tx.temperature_sample(df, "doc_id", "source", alpha=0.5)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # smallest source: rate quantizes to 1.0 -> kept whole
+    assert got["small"] == 10
+    # target shares prop to sqrt(n): big/small = sqrt(900/10) = 9.49...,
+    # original ratio was 90 - the mix must flatten toward that band
+    ratio = got["big"] / got["small"]
+    assert 5 <= ratio <= 15, got
+    # deterministic
+    assert out.count() == tx.temperature_sample(
+        df, "doc_id", "source", alpha=0.5
+    ).count()
+
+
+def test_assign_splits_partitions_exactly(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = tx.assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # total partition, nothing dropped
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert abs(counts["train"] - 1600) < 120  # md5-uniform within tolerance
+    # replay-stable: same assignment again
+    again = tx.assign_splits(
+        df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    assert out.exceptAll(again).count() == 0

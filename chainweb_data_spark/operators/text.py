@@ -763,14 +763,18 @@ def temperature_sample(
     def _pow(c):
         return F.sqrt(c) if alpha == 0.5 else F.pow(c, F.lit(alpha))
 
-    counts = df.groupBy(source_col).agg(F.count("*").alias("_ns"))
+    # NULL sources form their own stratum (an equi-join would silently
+    # drop them — same contract as stratified_sample's NULL handling)
+    skey = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    df = df.withColumn("_src_key", skey)
+    counts = df.groupBy("_src_key").agg(F.count("*").alias("_ns"))
     c_min = counts.agg(
         F.min(F.col("_ns") / _pow(F.col("_ns").cast("double"))).alias("_c")
     )
     rates = (
         counts.crossJoin(F.broadcast(c_min))
         .select(
-            source_col,
+            "_src_key",
             F.floor(
                 F.col("_c")
                 * _pow(F.col("_ns").cast("double"))
@@ -785,7 +789,7 @@ def temperature_sample(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
     return (
-        df.join(F.broadcast(rates), source_col)
+        df.join(F.broadcast(rates), "_src_key")
         .filter(F.pmod(h, F.lit(quantum)) < F.col("_keep_q"))
-        .drop("_keep_q")
+        .drop("_keep_q", "_src_key")
     )

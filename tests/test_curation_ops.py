@@ -278,3 +278,12 @@ def test_assign_splits_partitions_exactly(spark):
         df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     assert out.exceptAll(again).count() == 0
+
+
+def test_temperature_sample_keeps_null_source_stratum(spark):
+    rows = [(i, None if i % 10 == 0 else "big") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = tx.temperature_sample(df, "doc_id", "source", alpha=0.5)
+    # NULL stratum (50 rows, the smallest) survives whole, never dropped
+    assert out.filter("source IS NULL").count() == 50
+    assert "_src_key" not in out.columns

@@ -388,6 +388,7 @@ def unigram_nll_scores(
     text_col: str,
     model: DataFrame | None = None,
     broadcast_model: bool = True,
+    oov_nll: float | None = None,
 ) -> DataFrame:
     """Per-document perplexity-proxy quality score against a unigram model:
     (id, n_tokens, avg_nll, ppl) with avg_nll = mean(-ln p(token)) and
@@ -409,7 +410,15 @@ def unigram_nll_scores(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).filter(F.col("token") != "")
-    scored = toks.join(model, "token", "inner")
+    if oov_nll is None:
+        # self-scoring: every token is in the corpus-trained model; with
+        # an EXTERNAL model, an inner join would silently drop unknown
+        # tokens (shrinking n_tokens) — pass oov_nll to score them instead
+        scored = toks.join(model, "token", "inner")
+    else:
+        scored = toks.join(model, "token", "left").withColumn(
+            "nll", F.coalesce(F.col("nll"), F.lit(float(oov_nll)))
+        )
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),

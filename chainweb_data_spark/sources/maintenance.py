@@ -176,7 +176,14 @@ def rewrite_zordered(
 
     Driver work is one min/max aggregate; the rewrite is a single
     repartitionByRange job — on a real cluster, run it per partition-bucket
-    behind the ingest watermark like ``compact_table``."""
+    behind the ingest watermark like ``compact_table``.
+
+    The rewritten layout is FLAT: a partition-directory column
+    (height_bucket/key_bucket) survives as a DATA column (the read
+    materializes it), but subsequent partition-DIRECTORY pruning no longer
+    applies — file skipping via the refreshed footer stats replaces it.
+    Z-order read-optimized ANALYTIC tables; the ingest merge path keeps
+    its bucketed layout (merge_batch refuses mixed layouts by design)."""
     from pyspark.sql import functions as F
 
     from ..streaming import publish as pub

@@ -287,3 +287,18 @@ def test_temperature_sample_keeps_null_source_stratum(spark):
     # NULL stratum (50 rows, the smallest) survives whole, never dropped
     assert out.filter("source IS NULL").count() == 50
     assert "_src_key" not in out.columns
+
+
+def test_unigram_external_model_oov_handling(spark):
+    """With an external model, unknown tokens either drop (inner join,
+    default) or score at oov_nll - n_tokens tells which happened."""
+    df = spark.createDataFrame([(1, "a b zzz")], "doc_id long, text string")
+    model = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "token string, nll double"
+    )
+    strict = tx.unigram_nll_scores(df, "doc_id", "text", model=model).collect()[0]
+    assert strict["n_tokens"] == 2 and strict["avg_nll"] == 1.5
+    loose = tx.unigram_nll_scores(
+        df, "doc_id", "text", model=model, oov_nll=9.0
+    ).collect()[0]
+    assert loose["n_tokens"] == 3 and loose["avg_nll"] == 4.0

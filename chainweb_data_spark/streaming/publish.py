@@ -55,7 +55,11 @@ writer published in between.  Single-writer deployments never rebase.
 With Delta/Iceberg available this module disappears into their transaction
 log — same protocol (stage files, commit one metadata delta, checkpoint,
 vacuum), engine-grade implementation; the log here keeps the repo
-dependency-free.
+dependency-free.  Known residual at extreme file counts: checkpoints are
+JSON and carry the per-file stats, so checkpoint bytes scale with
+live files × stat columns — the production answer is Delta's move
+(checkpoint as PARQUET, readable column-pruned); delta commits, which
+dominate the write path, are unaffected.
 """
 
 from __future__ import annotations

@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_ivfpq_topk",       # IVFPQ: PQ codes + ADC scan (the memory tier)
     "ann_ivfpq_auto_topk",  # IVFPQ, sqrt-n cells (the scale-safe config)
     "multimodal_image_features",  # binary media pipeline (mapInPandas)
+    "train_prep_pipeline",  # r6 capstone: mix → split → chunk, one plan
     "curation_pipeline",    # END-TO-END: quality → dedup → clusters →
                             # decontaminate → sample, one composed plan
     "asof_join_orders",     # as-of join (union–sort–fill, no join node)

@@ -2805,3 +2805,69 @@ def temperature_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "train_prep_pipeline",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS ns FROM documents GROUP BY source
+    ),
+    cmin AS (SELECT MIN(ns / sqrt(CAST(ns AS DOUBLE))) AS c FROM counts),
+    rates AS (
+      SELECT source,
+             CAST(floor(c * sqrt(CAST(ns AS DOUBLE)) / ns * 65536) AS BIGINT)
+               AS keep_q
+      FROM counts, cmin
+    ),
+    sampled AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN rates r USING (source)
+      WHERE CAST(CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS UBIGINT) AS BIGINT) % 65536 < r.keep_q
+    ),
+    train AS (
+      SELECT doc_id, text FROM sampled
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS t
+      FROM train
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, len(t), 16)) AS start
+      FROM toks WHERE len(t) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+             list_slice(t, start + 1, least(start + 24, len(t))) AS c
+      FROM starts
+    )
+    SELECT doc_id, chunk_id, CAST(len(c) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def train_prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 capstone composition, ONE plan end-to-end: temperature
+    source mixing (alpha=0.5) → deterministic split assignment → the TRAIN
+    slice → sliding-window chunking (24/16) → per-chunk hash.  Like
+    curation_pipeline, this gates the STAGE HANDOFF (sampling feeds
+    splitting feeds chunking, with every intermediate column threaded
+    correctly), not just each already-gated operator.  Every stage is
+    md5-deterministic, so the whole pipeline is replay- and engine-exact;
+    no stage adds a shuffle beyond the sampling count aggregation and the
+    gate's presentation sort."""
+    docs = _t(spark, sf_dir, "documents")
+    mixed = tx.temperature_sample(docs, "doc_id", "source", alpha=0.5)
+    split = tx.assign_splits(
+        mixed, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    out = tx.chunk_documents(train, "doc_id", "text", _CHUNK_SIZE, _CHUNK_STRIDE)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")

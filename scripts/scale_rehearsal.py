@@ -52,6 +52,7 @@ QUERIES = [
     "ann_ivfpq_topk",     # PQ codes + cell-local ADC (pinned cells: the wall)
     "ann_ivfpq_auto_topk",  # sqrt-n cells - the gated scale path
     "unigram_ppl_docs",   # corpus-model scoring: vocab agg + broadcast join
+    "train_prep_pipeline",  # r6 capstone: mix → split → chunk, one plan
 ]
 
 

@@ -811,3 +811,52 @@ def trim_duplicate_spans(
     return joined.select(
         F.col(id_col), F.array_join(kept, " ").alias("trimmed")
     )
+
+
+def select_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """The APPLY step of near-dup removal: given ``duplicate_clusters``
+    output, keep ONE canonical document per cluster — the highest
+    ``score_col`` (e.g. token count or a quality score), ties broken by
+    smallest id — plus every unclustered document untouched.  Returns the
+    surviving ``(id_col, score_col)`` corpus slice.
+
+    This is the half of dedup that ``duplicate_clusters`` deliberately
+    leaves to the caller: WHICH member survives is a curation policy
+    (keep-longest beats keep-min-id when near-dups are truncations of one
+    another), so it lives in its own operator with the policy as an
+    argument.
+
+    Scale shape: canonical selection is one ``max_by`` aggregation over
+    the CLUSTERED slice only (map-side combined, one row per cluster — no
+    window sort), and the survivors union is a left-anti join on the
+    cluster membership list, which is orders of magnitude smaller than
+    the corpus (only docs appearing in ≥1 verified pair) and typically
+    broadcastable; we leave the strategy to AQE rather than forcing
+    ``broadcast()`` because membership CAN be corpus-sized in a
+    pathological all-duplicate corpus.  Requires a numeric id (the
+    tie-break negates it inside the ``max_by`` ordering struct).
+
+    Reference parity note: the reference engine has no dedup surface;
+    this extends it for training-data curation (SURVEY.md north-star)."""
+    scored = docs.select(F.col(id_col), F.col(score_col))
+    memb = clusters.select(F.col("id").alias(id_col), "cluster_rep")
+    canon_ids = (
+        memb.join(scored, id_col)
+        .groupBy("cluster_rep")
+        .agg(
+            F.expr(
+                f"max_by({id_col}, struct({score_col}, -{id_col}))"
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    unclustered = docs.join(memb.select(id_col), id_col, "left_anti")
+    return (
+        unclustered.select(F.col(id_col), F.col(score_col))
+        .unionByName(canon_ids.join(scored, id_col))
+    )

@@ -15,6 +15,7 @@ import pandas as pd  # noqa: F401 — module-level so pandas_udf type hints reso
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 # Tiny deterministic stopword lists per language (public common words).
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -801,4 +802,126 @@ def temperature_sample(
         df.join(F.broadcast(rates), "_src_key")
         .filter(F.pmod(h, F.lit(quantum)) < F.col("_keep_q"))
         .drop("_keep_q", "_src_key")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global training shuffle, sharded: every row gets a
+    ``shuffle_key`` (md5 of seed:id — a seeded pseudorandom but
+    replay-exact permutation key), a ``shard`` (key mod ``n_shards``) and
+    a ``pos`` (rank of the key within its shard).  Reading shards in
+    order of (shard, pos) IS the shuffled epoch order; changing ``seed``
+    reshuffles without touching the data.
+
+    Scale shape: the only wide edge is the per-shard ``row_number``
+    window — an (n_shards)-way hash partition followed by an in-partition
+    sort, i.e. exactly the ``repartition(shard).sortWithinPartitions``
+    shape a sharded training-data write runs.  There is NO global-order
+    window at any size: pick ``n_shards`` ≥ cluster parallelism (tens of
+    thousands at 100 TB) and each sort handles corpus/n_shards rows.
+    The md5 key makes shard occupancy uniform, so no shard is skewed by
+    construction."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("shuffle_key", key).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("shuffle_key", 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return out.withColumn("pos", F.row_number().over(w))
+
+
+def mixture_oversample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    quantum: int = 65536,
+) -> DataFrame:
+    """Epoch construction toward TARGET mixture weights, with repeats:
+    where ``temperature_sample`` can only remove rows, this emits each
+    source's rows ``w_s·N/n_s`` times (N = corpus size) — integer part as
+    whole copies, fractional part as a deterministic md5-threshold extra
+    copy — so the epoch has ~N rows distributed per ``weights``.  Output
+    adds ``copy_id`` (1-based); downstream shuffling (``shuffle_shards``
+    keyed on (id, copy_id)) separates the copies across the epoch.
+
+    Weights should sum to ~1 and cover every source value; sources absent
+    from ``weights`` get weight 0 and drop out (loudly visible in the
+    output mix, deliberately — silently keeping them would break the
+    target distribution).  NULL sources key as the reserved NULL stratum
+    and may be weighted via the ``None`` key.
+
+    Scale shape: one count aggregation (map-combined, one row per
+    source), a broadcast of #sources rate rows, then a row-local
+    ``sequence``+``explode`` — no shuffle touches the corpus beyond the
+    count.  The fractional-copy rule is the same replay-exact
+    md5-threshold predicate as the samplers, salted with "+" so it is
+    independent of the plain keep-rule's coin."""
+    skey = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    df = df.withColumn("_src_key", skey)
+    counts = df.groupBy("_src_key").agg(F.count("*").alias("_ns"))
+    total = counts.agg(F.sum("_ns").alias("_n"))
+    wmap = F.create_map(
+        *[
+            x
+            for k, v in weights.items()
+            for x in (
+                F.lit("\x00null" if k is None else str(k)),
+                F.lit(float(v)),
+            )
+        ]
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "_src_key",
+            (
+                F.coalesce(wmap[F.col("_src_key")], F.lit(0.0))
+                * F.col("_n").cast("double")
+                / F.col("_ns").cast("double")
+            ).alias("_f"),
+        )
+        .select(
+            "_src_key",
+            F.floor("_f").cast("long").alias("_k_int"),
+            F.floor(
+                (F.col("_f") - F.floor("_f")) * F.lit(quantum)
+            ).cast("long").alias("_frac_q"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("+"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    copies = F.col("_k_int") + F.when(
+        F.pmod(h, F.lit(quantum)) < F.col("_frac_q"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.join(F.broadcast(rates), "_src_key")
+        .withColumn("_copies", copies)
+        .withColumn(
+            "copy_id",
+            F.explode(
+                F.when(
+                    F.col("_copies") > 0,
+                    F.sequence(F.lit(1).cast("long"), F.col("_copies")),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+        .drop("_src_key", "_k_int", "_frac_q", "_copies")
     )

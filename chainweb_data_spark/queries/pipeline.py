@@ -2871,3 +2871,189 @@ def train_prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunk_tokens",
         F.md5("chunk_text").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_cols_sql(16)} FROM sh GROUP BY doc_id),
+    banded AS ({_band_sql(16, 4)}),
+    kept AS (
+      SELECT banded.* FROM banded
+      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) k USING (band, bucket)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM cand p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    vp AS (
+      SELECT id_a, id_b FROM inter
+      JOIN szs sa ON sa.doc_id = id_a
+      JOIN szs sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION SELECT id_b, id_a FROM vp
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (
+      SELECT src AS id, least(src, MIN(dst)) AS cluster_rep
+      FROM reach GROUP BY src
+    ),
+    scores AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(text) - length(replace(text, ' ', ''))
+                            AS BIGINT) + 1
+             END AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT l.id, l.cluster_rep, s.n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY l.cluster_rep
+               ORDER BY s.n_tokens DESC, l.id ASC
+             ) AS rn
+      FROM lab l JOIN scores s ON s.doc_id = l.id
+    )
+    SELECT d.doc_id, s.n_tokens FROM documents d
+    JOIN scores s USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT id FROM lab)
+    UNION ALL
+    SELECT id AS doc_id, n_tokens FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLY step end-to-end: verified MinHash pairs → connected
+    components → ``select_canonical`` keeps the HIGHEST-token-count member
+    of each near-dup cluster (tie: min id) plus every unclustered doc —
+    the surviving corpus a curation pipeline actually writes out.  Where
+    ``dedup_clusters`` gates the min-id component labelling, this gates
+    the keep-policy half: argmax-by-quality selection and the survivors
+    union, with the policy (token count) computed identically in both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
+    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
+    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = dd.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    vp = dd.jaccard_for_pairs_sets(sets_, cand, "doc_id").filter(
+        F.col("jaccard") >= 0.2
+    )
+    clusters = dd.duplicate_clusters(vp.select("id_a", "id_b"))
+    scored = docs.select(
+        "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
+    )
+    return dd.select_canonical(
+        scored, clusters, "doc_id", "n_tokens"
+    ).orderBy("doc_id")
+
+
+@register(
+    "shuffle_shards_docs",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR)))
+               AS shuffle_key
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, shuffle_key,
+             CAST(CAST(concat('0x', substring(shuffle_key, 1, 8)) AS UBIGINT)
+                  AS BIGINT) % 8 AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY shuffle_key, doc_id
+           ) AS INT) AS pos
+    FROM sharded
+    ORDER BY shard, pos
+    """,
+)
+def shuffle_shards_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle into 8 shards, seeded
+    'epoch0': the seeded md5 permutation key assigns a uniform shard and
+    an intra-shard rank; reading (shard, pos) order is the shuffled epoch.
+    The only wide edge is the per-shard rank window — the
+    repartition+sortWithinPartitions shape of a sharded epoch write, with
+    no global-order window at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tx.shuffle_shards(docs, "doc_id", n_shards=8, seed="epoch0")
+        .select("doc_id", "shuffle_key", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+@register(
+    "mixture_epoch_docs",
+    oracle="""
+    WITH w(source, wt) AS (
+      VALUES ('src0', CAST(0.325 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+             ('src2', CAST(0.175 AS DOUBLE)), ('src3', CAST(0.0625 AS DOUBLE))
+    ),
+    counts AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    total AS (SELECT SUM(ns) AS n FROM counts),
+    rates AS (
+      SELECT c.source,
+             CAST(floor(w.wt * CAST(t.n AS DOUBLE) / CAST(c.ns AS DOUBLE))
+                  AS BIGINT) AS k_int,
+             CAST(floor((w.wt * CAST(t.n AS DOUBLE) / CAST(c.ns AS DOUBLE)
+                         - floor(w.wt * CAST(t.n AS DOUBLE)
+                                 / CAST(c.ns AS DOUBLE))) * 65536)
+                  AS BIGINT) AS frac_q
+      FROM counts c JOIN w USING (source), total t
+    ),
+    copies AS (
+      SELECT d.doc_id, d.source,
+             r.k_int + CASE WHEN
+               CAST(CAST(concat('0x', substring(
+                 md5(concat(CAST(d.doc_id AS VARCHAR), '+')), 1, 8))
+                 AS UBIGINT) AS BIGINT) % 65536 < r.frac_q
+               THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT doc_id, source, unnest(range(1, 1 + n_copies)) AS copy_id
+    FROM copies WHERE n_copies > 0
+    ORDER BY doc_id, copy_id
+    """,
+)
+def mixture_epoch_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch construction toward TARGET mixture weights with repeats:
+    sources src0–src3 are weighted 0.325/0.25/0.175/0.0625 of an
+    N-row epoch (the rest drop out), so each source's rows replicate
+    w·N/n_s times — whole copies plus a deterministic md5-coin fractional
+    copy.  Gates both arms of ``mixture_oversample``: the broadcast rate
+    derivation (identical double arithmetic in both engines) and the
+    row-local sequence-explode replication."""
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.mixture_oversample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 0.325, "src1": 0.25, "src2": 0.175, "src3": 0.0625},
+    )
+    return out.select("doc_id", "source", "copy_id").orderBy(
+        "doc_id", "copy_id"
+    )

@@ -302,3 +302,82 @@ def test_unigram_external_model_oov_handling(spark):
         df, "doc_id", "text", model=model, oov_nll=9.0
     ).collect()[0]
     assert loose["n_tokens"] == 3 and loose["avg_nll"] == 4.0
+
+
+def test_select_canonical_policy_and_survivors(spark):
+    # clusters: {1,2,3} rep=1, {10,11} rep=10; docs 20, 21 unclustered
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2), (20, 7), (21, 0)],
+        "doc_id long, n_tokens long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2)],
+        "id long, cluster_rep long, cluster_size long",
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in dd.select_canonical(
+            docs, clusters, "doc_id", "n_tokens"
+        ).collect()
+    }
+    # cluster 1: docs 2 and 3 tie at 9 tokens -> min id 2 survives;
+    # cluster 10: doc 10 (4 > 2); unclustered 20, 21 pass through
+    assert got == {2: 9, 10: 4, 20: 7, 21: 0}
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    out = tx.shuffle_shards(docs, "doc_id", n_shards=7, seed="s").collect()
+    assert len(out) == 300 and len({r["doc_id"] for r in out}) == 300
+    # pos is 1..k dense within each shard, keys strictly ordered
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["shuffle_key"]))
+    for shard, rows in by_shard.items():
+        rows.sort()
+        assert [p for p, _ in rows] == list(range(1, len(rows) + 1))
+        keys = [k for _, k in rows]
+        assert keys == sorted(keys)
+    # a different seed produces a different permutation (same membership)
+    out2 = tx.shuffle_shards(docs, "doc_id", n_shards=7, seed="t").collect()
+    k1 = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    k2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in out2}
+    assert k1 != k2 and set(k1) == set(k2)
+
+
+def test_mixture_oversample_hits_target_counts(spark):
+    # two sources, 100 rows each; weights 0.75 / 0.25 over N=200
+    # -> src a: 0.75*200/100 = 1.5 copies; src b: 0.25*200/100 = 0.5
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 100 else "b") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = tx.mixture_oversample(
+        docs, "doc_id", "source", {"a": 0.75, "b": 0.25}
+    ).collect()
+    per_src = {}
+    for r in out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    # every 'a' row appears 1 or 2 times (frac 0.5), every 'b' 0 or 1
+    assert 100 <= per_src["a"] <= 200 and 0 <= per_src["b"] <= 100
+    # md5 coin at frac_q=32768/65536 lands near half: loose 3-sigma band
+    assert 120 <= per_src["a"] <= 180 and 30 <= per_src["b"] <= 70
+    # copy_id is dense 1..k per doc
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["copy_id"])
+    for cids in per_doc.values():
+        assert sorted(cids) == list(range(1, len(cids) + 1))
+    # replay-exact
+    out2 = tx.mixture_oversample(
+        docs, "doc_id", "source", {"a": 0.75, "b": 0.25}
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_mixture_oversample_unweighted_sources_drop(spark):
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "doc_id long, source string"
+    )
+    out = tx.mixture_oversample(docs, "doc_id", "source", {"x": 1.0}).collect()
+    assert {r["source"] for r in out} == {"x"}

@@ -119,6 +119,28 @@ def test_unigram_model_broadcasts(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_shuffle_shards_window_is_per_shard(spark):
+    # the scale point of shuffle_shards: rank is a PER-SHARD window (hash
+    # partition on shard), never a global-order single-partition window
+    p = plan_of(spark, "shuffle_shards_docs").replace(" ", "")
+    assert "windowspecdefinition(shard" in p, "global-order window detected"
+
+
+def test_mixture_oversample_corpus_never_shuffles(spark):
+    # rate rows broadcast onto the corpus; replication is a row-local
+    # sequence-explode — no sort-merge join, no corpus-keyed exchange
+    p = plan_of(spark, "mixture_epoch_docs")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "Generate" in p and "explode" in p
+
+
+def test_select_canonical_has_no_window(spark):
+    # canonical selection is a map-combined max_by aggregation, not a
+    # per-cluster row_number window sort
+    p = plan_of(spark, "dedup_canonical_docs")
+    assert "Window" not in p, "canonical selection degenerated to a window"
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(

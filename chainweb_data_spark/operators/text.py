@@ -925,3 +925,96 @@ def mixture_oversample(
         )
         .drop("_src_key", "_k_int", "_frac_q", "_copies")
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): every document gets the
+    mean per-token log-likelihood RATIO between a target-domain unigram
+    model and the full-corpus background model —
+    ``logratio = avg(bg_nll - tgt_nll)``, positive = more target-like.
+    The published method scores hashed n-gram features; the unigram form
+    here keeps the score exactly SQL-expressible (the gate) while the
+    feature extractor stays swappable.
+
+    Tokens unseen by the TARGET model score its Laplace floor
+    ``ln(N_t + V_t)`` (the -ln(1/(N+V)) smoothing mass); the background
+    model is trained on the full corpus, so background OOV cannot occur.
+
+    Scale shape: both models are heavy-hitter-boundable (token, nll)
+    relations joined BROADCAST onto the exploded token stream — the
+    corpus never shuffles for the lookups; the only corpus-keyed shuffle
+    is the per-doc mean, map-side combined.  Scores round to 6 decimals
+    for engine-exact replay (the unigram-gate convention)."""
+    m_t = unigram_model(target, id_col, text_col).withColumnRenamed(
+        "nll", "_nll_t"
+    )
+    m_b = unigram_model(docs, id_col, text_col).withColumnRenamed(
+        "nll", "_nll_b"
+    )
+    tgt_toks = target.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    oov_t = tgt_toks.groupBy("token").count().agg(
+        F.log(
+            (F.sum("count") + F.count("*")).cast("double")
+        ).alias("_oov_t")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    scored = (
+        toks.join(F.broadcast(m_t), "token", "left")
+        .join(F.broadcast(m_b), "token", "inner")
+        .crossJoin(F.broadcast(oov_t))
+        .withColumn("_nll_t", F.coalesce(F.col("_nll_t"), F.col("_oov_t")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.col("_nll_b") - F.col("_nll_t")), 6).alias(
+            "logratio"
+        ),
+    )
+
+
+def dsir_gumbel_topk(
+    scores: DataFrame,
+    id_col: str,
+    k: int,
+    seed: str = "",
+    quantum: int = 65536,
+) -> DataFrame:
+    """The RESAMPLING half of DSIR: importance-weighted sampling without
+    replacement via the Gumbel-top-k trick — add an i.i.d. Gumbel noise
+    ``g = -ln(-ln(u))`` to each log-weight and take the top k, which
+    samples exactly proportionally to the weights.  The uniform u is the
+    seeded md5 coin quantized to (h+0.5)/quantum, so the "randomness" is
+    replay- and engine-exact like every sampler here; both the Gumbel and
+    the key round to 6 decimals so the ordering never hinges on a
+    last-ulp libm difference.  One TakeOrdered over row-local arithmetic
+    — no shuffle beyond the top-k reduction."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed), F.lit("~g"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (F.pmod(h, F.lit(quantum)) + F.lit(0.5)) / F.lit(float(quantum))
+    g = F.round(-F.log(-F.log(u)), 6)
+    keyed = scores.withColumn("gumbel_key", F.round(F.col("logratio") + g, 6))
+    return keyed.orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    ).limit(k)

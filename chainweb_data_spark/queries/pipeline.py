@@ -3057,3 +3057,78 @@ def mixture_epoch_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "copy_id").orderBy(
         "doc_id", "copy_id"
     )
+
+
+@register(
+    "dsir_sample_docs",
+    oracle="""
+    WITH tt AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        AS token
+      FROM documents WHERE lang = 'en'
+    ),
+    tc AS (SELECT token, COUNT(*) AS c FROM tt GROUP BY token),
+    ttot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM tc),
+    mt AS (
+      SELECT token, -ln((c + 1.0) / CAST(n + v AS DOUBLE)) AS nll_t
+      FROM tc, ttot
+    ),
+    oov AS (SELECT ln(CAST(n + v AS DOUBLE)) AS oov_t FROM ttot),
+    bt AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        AS token
+      FROM documents
+    ),
+    bc AS (SELECT token, COUNT(*) AS c FROM bt GROUP BY token),
+    btot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM bc),
+    mb AS (
+      SELECT token, -ln((c + 1.0) / CAST(n + v AS DOUBLE)) AS nll_b
+      FROM bc, btot
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS token
+      FROM documents
+    ),
+    sc AS (
+      SELECT t.doc_id, b.nll_b, COALESCE(m.nll_t, o.oov_t) AS nll_t
+      FROM toks t
+      JOIN mb b USING (token)
+      LEFT JOIN mt m USING (token), oov o
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             round(AVG(nll_b - nll_t), 6) AS logratio
+      FROM sc GROUP BY doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens, logratio,
+             round(logratio + round(-ln(-ln(
+               (CAST(CAST(concat('0x', substring(md5(concat(
+                  'dsir0', '~g', CAST(doc_id AS VARCHAR))), 1, 8))
+                  AS UBIGINT) AS BIGINT) % 65536 + 0.5) / 65536.0
+             )), 6), 6) AS gumbel_key
+      FROM agg
+    )
+    SELECT doc_id, n_tokens, logratio, gumbel_key
+    FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100
+    """,
+)
+def dsir_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection end-to-end (importance scores + Gumbel-top-k
+    resampling): documents scored by the mean per-token log-likelihood
+    ratio between the target-domain (lang='en') unigram model and the
+    full-corpus background model, then 100 sampled ∝ importance via the
+    seeded, replay-exact Gumbel-top-k.  Gates both halves —
+    ``dsir_scores`` (broadcast model joins, target-OOV Laplace floor) and
+    ``dsir_gumbel_topk`` (md5-uniform Gumbel noise, 6-decimal rounding so
+    the ordering never hinges on a libm ulp)."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = tx.dsir_scores(
+        docs, "doc_id", "text", docs.filter(F.col("lang") == "en")
+    )
+    out = tx.dsir_gumbel_topk(scores, "doc_id", k=100, seed="dsir0")
+    return out.select(
+        "doc_id", "n_tokens", "logratio", "gumbel_key"
+    ).orderBy(F.col("gumbel_key").desc(), "doc_id")

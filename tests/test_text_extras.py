@@ -278,3 +278,43 @@ def test_bpe_spark_encode_matches_pure_python(spark):
         assert got[i] == (want, len(want)), i
     # determinism across retrains
     assert merges == bp.bpe_train(df, "text", 16)
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    # target model trained on "a b"-ish docs; docs made of target tokens
+    # must out-score docs of background-only tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b", "t"),
+            (2, "a b b a a b", "t"),
+            (3, "x y z x y z", "b"),
+            (4, "a b x y a b", "m"),
+        ],
+        "doc_id long, text string, kind string",
+    )
+    from chainweb_data_spark.operators import text as tx
+
+    scores = {
+        r["doc_id"]: r["logratio"]
+        for r in tx.dsir_scores(
+            docs, "doc_id", "text", docs.filter(F.col("kind") == "t")
+        ).collect()
+    }
+    assert scores[1] > scores[4] > scores[3]
+    assert scores[2] > scores[3]
+
+
+def test_dsir_gumbel_topk_is_deterministic_and_weighted(spark):
+    from chainweb_data_spark.operators import text as tx
+
+    rows = [(i, float(5.0 if i < 20 else -5.0)) for i in range(200)]
+    scores = spark.createDataFrame(rows, "doc_id long, logratio double")
+    got = tx.dsir_gumbel_topk(scores, "doc_id", k=20, seed="s").collect()
+    got2 = tx.dsir_gumbel_topk(scores, "doc_id", k=20, seed="s").collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in got2]
+    # a +10-logit gap dwarfs Gumbel noise: the heavy docs dominate the top-20
+    heavy = sum(1 for r in got if r["doc_id"] < 20)
+    assert heavy >= 18
+    # different seed -> different noise -> (almost surely) different order
+    got3 = tx.dsir_gumbel_topk(scores, "doc_id", k=20, seed="u").collect()
+    assert [r["gumbel_key"] for r in got3] != [r["gumbel_key"] for r in got]

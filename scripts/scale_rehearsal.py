@@ -56,6 +56,7 @@ QUERIES = [
     "dedup_canonical_docs",  # pairs → components → keep-longest survivors
     "shuffle_shards_docs",  # seeded permutation, per-shard rank windows
     "mixture_epoch_docs",   # target-weight replication, row-local explode
+    "dsir_sample_docs",     # two broadcast models + per-doc mean + top-k
 ]
 
 # queries whose work happens at plan-construction time (iterative

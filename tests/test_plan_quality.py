@@ -141,6 +141,14 @@ def test_select_canonical_has_no_window(spark):
     assert "Window" not in p, "canonical selection degenerated to a window"
 
 
+def test_dsir_models_broadcast(spark):
+    # both unigram models and the OOV floor broadcast onto the token
+    # stream; the only corpus-keyed shuffle is the per-doc mean
+    p = plan_of(spark, "dsir_sample_docs")
+    assert p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p, "gumbel top-k must be TakeOrdered"
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(

@@ -69,6 +69,7 @@ HEADLINE = [
     "shuffle_shards_docs",  # seeded epoch shuffle, per-shard rank windows
     "mixture_epoch_docs",   # target-weight oversampling (epoch build)
     "dsir_sample_docs",     # DSIR: log-ratio scores + Gumbel top-k
+    "epoch_pipeline",       # r6 composition: oversample → sharded shuffle
 ]
 
 # queries whose work happens at plan-CONSTRUCTION time (iterative connected

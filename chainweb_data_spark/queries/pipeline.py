@@ -3132,3 +3132,89 @@ def dsir_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", "logratio", "gumbel_key"
     ).orderBy(F.col("gumbel_key").desc(), "doc_id")
+
+
+@register(
+    "epoch_pipeline",
+    oracle="""
+    WITH w(source, wt) AS (
+      VALUES ('src0', CAST(0.325 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+             ('src2', CAST(0.175 AS DOUBLE)), ('src3', CAST(0.0625 AS DOUBLE))
+    ),
+    counts AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    total AS (SELECT SUM(ns) AS n FROM counts),
+    rates AS (
+      SELECT c.source,
+             CAST(floor(w.wt * CAST(t.n AS DOUBLE) / CAST(c.ns AS DOUBLE))
+                  AS BIGINT) AS k_int,
+             CAST(floor((w.wt * CAST(t.n AS DOUBLE) / CAST(c.ns AS DOUBLE)
+                         - floor(w.wt * CAST(t.n AS DOUBLE)
+                                 / CAST(c.ns AS DOUBLE))) * 65536)
+                  AS BIGINT) AS frac_q
+      FROM counts c JOIN w USING (source), total t
+    ),
+    copies AS (
+      SELECT d.doc_id, d.source,
+             r.k_int + CASE WHEN
+               CAST(CAST(concat('0x', substring(
+                 md5(concat(CAST(d.doc_id AS VARCHAR), '+')), 1, 8))
+                 AS UBIGINT) AS BIGINT) % 65536 < r.frac_q
+               THEN 1 ELSE 0 END AS n_copies
+      FROM documents d JOIN rates r USING (source)
+    ),
+    epoch AS (
+      SELECT doc_id, source,
+             unnest(range(1, 1 + n_copies)) AS copy_id
+      FROM copies WHERE n_copies > 0
+    ),
+    keyed AS (
+      SELECT doc_id, copy_id,
+             md5(concat('ep1', ':',
+                        concat(CAST(doc_id AS VARCHAR), '#',
+                               CAST(copy_id AS VARCHAR))))
+               AS shuffle_key
+      FROM epoch
+    ),
+    sharded AS (
+      SELECT doc_id, copy_id, shuffle_key,
+             CAST(CAST(concat('0x', substring(shuffle_key, 1, 8)) AS UBIGINT)
+                  AS BIGINT) % 16 AS shard
+      FROM keyed
+    )
+    SELECT doc_id, copy_id, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard ORDER BY shuffle_key, doc_id, copy_id
+           ) AS INT) AS pos
+    FROM sharded
+    ORDER BY shard, pos
+    """,
+)
+def epoch_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 epoch-construction composition, ONE plan: mixture
+    oversampling toward target source weights → seeded sharded shuffle of
+    the REPLICATED stream, keyed on the composite (doc_id, copy_id)
+    identity — the handoff that can silently break (copies of one doc
+    colliding into one shuffle position) is exactly what the gate pins.
+    Output is the epoch read order: (doc_id, copy_id, shard, pos)."""
+    docs = _t(spark, sf_dir, "documents")
+    epoch = tx.mixture_oversample(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 0.325, "src1": 0.25, "src2": 0.175, "src3": 0.0625},
+    )
+    keyed = epoch.withColumn(
+        "_ekey",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("copy_id").cast("string"),
+        ),
+    )
+    out = tx.shuffle_shards(keyed, "_ekey", n_shards=16, seed="ep1")
+    # the md5 shuffle_key is unique per (doc, copy) here, so the
+    # operator's own per-shard rank (tie-break _ekey) equals the oracle's
+    # (tie-break doc_id, copy_id) — no second window needed
+    return out.select("doc_id", "copy_id", "shard", "pos").orderBy(
+        "shard", "pos"
+    )

@@ -57,6 +57,7 @@ QUERIES = [
     "shuffle_shards_docs",  # seeded permutation, per-shard rank windows
     "mixture_epoch_docs",   # target-weight replication, row-local explode
     "dsir_sample_docs",     # two broadcast models + per-doc mean + top-k
+    "epoch_pipeline",       # oversample → sharded shuffle, one plan
 ]
 
 # queries whose work happens at plan-construction time (iterative

@@ -149,6 +149,15 @@ def test_dsir_models_broadcast(spark):
     assert "TakeOrderedAndProject" in p, "gumbel top-k must be TakeOrdered"
 
 
+def test_epoch_pipeline_single_window(spark):
+    # the mixture -> shuffle handoff must not re-sort: exactly one Window
+    # node (the per-shard rank) in the whole composed plan
+    p = plan_of(spark, "epoch_pipeline")
+    detail = [l for l in p.splitlines() if l.startswith("(") and "Window" in l]
+    assert len(detail) == 1, detail
+    assert "SortMergeJoin" not in p
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(

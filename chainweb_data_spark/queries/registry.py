@@ -131,18 +131,21 @@ GATE_PRIORITY: tuple[str, ...] = (
     "json_amount_coercion",
     "union_legs",
     # training-data pipeline (north-star extensions)
-    "dedup_exact_docs",
-    "minhash_signatures",
+    # dedup_exact_docs + minhash_signatures demoted r6 (still hash-checked
+    # by the local harness): curation_pipeline embeds exact dedup and
+    # minhash_lsh_pairs consumes the signature relation, so drift in either
+    # breaks a gated query — the slots fund the round-6 flagships below
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     # simhash_docs demoted r6 (still hash-checked by the local harness):
     # simhash_near_pairs consumes the same signature relation, so signature
     # drift breaks that gated query too — the slot funds ann_ivfpq_topk
     "simhash_near_pairs",
-    "text_tokens",
+    # text_tokens + doc_fingerprint demoted r6 (still hash-checked by the
+    # local harness): doc_features — gated below — fuses both signals, so
+    # drift breaks it; the slots fund the round-6 flagships below
     "text_quality",
     "text_langid",
-    "doc_fingerprint",
     "embed_cosine_topk",
     "embed_near_dup",
     "ann_lsh_topk",
@@ -158,6 +161,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "trim_dup_spans_docs",
     "pack_sequences",
     "encode_token_ids",
+    "train_prep_pipeline",
+    "epoch_pipeline",
+    "dsir_sample_docs",
+    "dedup_canonical_docs",
 )
 
 

@@ -381,3 +381,53 @@ def test_mixture_oversample_unweighted_sources_drop(spark):
     )
     out = tx.mixture_oversample(docs, "doc_id", "source", {"x": 1.0}).collect()
     assert {r["source"] for r in out} == {"x"}
+
+
+def test_mixture_oversample_matches_python_reference(spark):
+    # exact cross-check of the full copy-count arithmetic (rate doubles,
+    # floor quantization, md5 coin) against an independent pure-Python
+    # computation — pins every bit of the replication rule
+    import hashlib
+    import math
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {}
+    for r in tx.mixture_oversample(docs, "doc_id", "source", weights).collect():
+        got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+
+    n = len(rows)
+    ns = {s: sum(1 for _, x in rows if x == s) for s in weights}
+    expected = {}
+    for i, s in rows:
+        f = weights[s] * float(n) / float(ns[s])
+        k = math.floor(f)
+        frac_q = math.floor((f - k) * 65536)
+        h = int(hashlib.md5(f"{i}+".encode()).hexdigest()[:8], 16) % 65536
+        c = int(k) + (1 if h < frac_q else 0)
+        if c > 0:
+            expected[i] = c
+    assert got == expected
+
+
+def test_shuffle_shards_matches_python_reference(spark):
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(120)], "doc_id long"
+    )
+    out = tx.shuffle_shards(docs, "doc_id", n_shards=5, seed="q").collect()
+    keys = {
+        i: hashlib.md5(f"q:{i}".encode()).hexdigest() for i in range(120)
+    }
+    shards = {i: int(k[:8], 16) % 5 for i, k in keys.items()}
+    pos = {}
+    for sh in range(5):
+        members = sorted(
+            (k, i) for i, k in keys.items() if shards[i] == sh
+        )
+        for p, (_, i) in enumerate(members, start=1):
+            pos[i] = (sh, p)
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    assert got == pos

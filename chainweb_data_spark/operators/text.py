@@ -1018,3 +1018,60 @@ def dsir_gumbel_topk(
     return keyed.orderBy(
         F.col("gumbel_key").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def length_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    bin_width: int,
+    batch_size: int,
+    n_salts: int = 1,
+    seed: str = "",
+) -> DataFrame:
+    """Length-bucketed batch assembly: group rows of similar ``len_col``
+    (token count) into fixed-size batches so per-batch padding-to-max is
+    small — the dynamic-batching step of every training/inference data
+    loader, as a deterministic DataFrame op.  Adds ``bucket``
+    (floor(len/bin_width)), ``salt``, ``batch_id`` (within (bucket,
+    salt)) and ``pos`` (1..batch_size within the batch); membership is
+    ordered by the seeded md5 key, so batches are replay-exact and
+    length-homogeneous but otherwise unbiased samples of their bucket.
+
+    Scale shape: the only wide edge is the per-(bucket, salt) rank
+    window.  Length distributions are HEAVILY skewed in real corpora
+    (most docs land in a few buckets), so the salt — md5-uniform,
+    batch-count-preserving — splits each bucket into ``n_salts``
+    independently-batched cells: window partitions are bounded by
+    corpus/(buckets·salts) at the cost of ≤ n_salts-1 partial batches
+    per bucket.  Set n_salts ~ thousands at 100 TB; 1 keeps exact
+    single-cell batching for small data."""
+    if bin_width <= 0 or batch_size <= 0 or n_salts <= 0:
+        raise ValueError("bin_width, batch_size, n_salts must be positive")
+    key = F.md5(
+        F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))
+    )
+    out = (
+        df.withColumn("_bkey", key)
+        .withColumn(
+            "bucket", F.floor(F.col(len_col) / F.lit(bin_width)).cast("long")
+        )
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.conv(F.substring("_bkey", 1, 8), 16, 10).cast("long"),
+                F.lit(n_salts),
+            ),
+        )
+    )
+    w = Window.partitionBy("bucket", "salt").orderBy("_bkey", id_col)
+    rank0 = F.row_number().over(w) - F.lit(1)
+    return (
+        out.withColumn(
+            "batch_id", F.floor(rank0 / F.lit(batch_size)).cast("long")
+        )
+        .withColumn(
+            "pos", (F.pmod(rank0, F.lit(batch_size)) + F.lit(1)).cast("int")
+        )
+        .drop("_bkey")
+    )

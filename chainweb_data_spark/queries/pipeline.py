@@ -3218,3 +3218,73 @@ def epoch_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "copy_id", "shard", "pos").orderBy(
         "shard", "pos"
     )
+
+
+@register(
+    "length_batches_docs",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(length(text) - length(replace(text, ' ', ''))
+                            AS BIGINT) + 1
+             END AS n_tokens,
+             md5(concat('lb', ':', CAST(doc_id AS VARCHAR))) AS bkey
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, n_tokens, bkey,
+             CAST(n_tokens // 32 AS BIGINT) AS bucket,
+             CAST(CAST(concat('0x', substring(bkey, 1, 8)) AS UBIGINT)
+                  AS BIGINT) % 2 AS salt
+      FROM lens
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, bucket, salt,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket, salt ORDER BY bkey, doc_id
+             ) - 1 AS rank0
+      FROM cells
+    ),
+    assigned AS (
+      SELECT doc_id, n_tokens, bucket, salt,
+             CAST(rank0 // 8 AS BIGINT) AS batch_id
+      FROM ranked
+    )
+    SELECT bucket, salt, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           SUM(n_tokens) AS sum_tokens,
+           COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS padding_waste
+    FROM assigned
+    GROUP BY bucket, salt, batch_id
+    ORDER BY bucket, salt, batch_id
+    """,
+)
+def length_batches_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching over documents (bin 32 tokens, batch 8,
+    2 salt cells) summarized per batch: docs of similar length batch
+    together, and ``padding_waste`` (Σ over batch of max_len − len) is
+    the metric the bucketing exists to minimize.  Gates the full
+    assignment arithmetic — bucket, salt, per-cell rank, batch id — via
+    the per-batch aggregate fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = tx.length_batches(
+        lens, "doc_id", "n_tokens", bin_width=32, batch_size=8,
+        n_salts=2, seed="lb",
+    )
+    return (
+        out.groupBy("bucket", "salt", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            (
+                F.count("*") * F.max("n_tokens") - F.sum("n_tokens")
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket", "salt", "batch_id")
+    )

@@ -431,3 +431,30 @@ def test_shuffle_shards_matches_python_reference(spark):
             pos[i] = (sh, p)
     got = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
     assert got == pos
+
+
+def test_length_batches_invariants(spark):
+    rows = [(i, 10 + (i * 37) % 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = tx.length_batches(
+        df, "doc_id", "n", bin_width=16, batch_size=8, n_salts=3, seed="x"
+    ).collect()
+    assert len(out) == 400
+    cells = {}
+    for r in out:
+        assert r["bucket"] == r["n"] // 16
+        cells.setdefault((r["bucket"], r["salt"]), []).append(
+            (r["batch_id"], r["pos"])
+        )
+    for cell, members in cells.items():
+        members.sort()
+        # batches fill densely: pos is 1..batch_size per batch, only the
+        # LAST batch of a cell may be partial
+        n = len(members)
+        for idx, (b, p) in enumerate(members):
+            assert b == idx // 8 and p == idx % 8 + 1
+    # n_salts=1 puts each bucket in one cell (exact single-cell batching)
+    out1 = tx.length_batches(
+        df, "doc_id", "n", bin_width=16, batch_size=8, n_salts=1, seed="x"
+    ).collect()
+    assert {r["salt"] for r in out1} == {0}

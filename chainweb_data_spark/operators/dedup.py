@@ -860,3 +860,55 @@ def select_canonical(
         unclustered.select(F.col(id_col), F.col(score_col))
         .unionByName(canon_ids.join(scored, id_col))
     )
+
+
+def contamination_scores(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_bench_shingles: int = BENCH_MAX_SHINGLES,
+) -> DataFrame:
+    """Graded decontamination: per-document OVERLAP FRACTION with the
+    benchmark set — (id, n_shingles, n_hits, contamination) with
+    contamination = n_hits / n_shingles over the doc's DISTINCT word
+    k-grams.  Production decontamination thresholds on the fraction
+    (e.g. drop > 0.8, audit 0.2–0.8) rather than the any-hit flag of
+    :func:`contaminated_docs`; every corpus doc appears, zero-overlap
+    docs score 0.0.
+
+    Same scale shape as the flag variant: the benchmark shingle set
+    broadcasts under the same loud envelope, the corpus stream joins
+    map-side, and the per-doc totals/hits are map-side-combined
+    aggregations on the doc id.  The fraction rounds to 6 decimals
+    (engine-exact replay)."""
+    corpus_sh = word_shingles(docs, id_col, text_col, k)
+    bench_sh = (
+        word_shingles(bench, id_col, text_col, k).select("shingle").distinct()
+    )
+    n_bench = bench_sh.count()
+    if n_bench > max_bench_shingles:
+        raise ValueError(
+            f"contamination_scores broadcasts the benchmark shingle set; "
+            f"{n_bench} distinct shingles exceeds the {max_bench_shingles} "
+            "broadcast envelope — shuffle-join the shingle streams instead"
+        )
+    totals = corpus_sh.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_shingles",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("contamination"),
+    )

@@ -3288,3 +3288,44 @@ def length_batches_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "salt", "batch_id")
     )
+
+
+@register(
+    "contamination_score_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t)-2,1)+1),
+                                   i -> array_to_string(t[i:i+2], ' '))) AS shingle
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM sh WHERE doc_id % {_BENCH_MOD} <> 0),
+    totals AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id
+    ),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_hits
+      FROM corpus c JOIN bench b USING (shingle)
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, t.n_shingles,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(COALESCE(h.n_hits, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+             AS contamination
+    FROM totals t LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def contamination_score_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded benchmark decontamination: the per-doc overlap FRACTION
+    (hits / distinct 3-grams) against the benchmark slice — the quantity
+    production pipelines threshold on, with zero-overlap docs present at
+    0.0.  Same broadcast-benchmark plan as ``decontaminate_docs``."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    return dd.contamination_scores(
+        corpus, bench, "doc_id", "text", k=3
+    ).orderBy("doc_id")

@@ -58,6 +58,7 @@ QUERIES = [
     "mixture_epoch_docs",   # target-weight replication, row-local explode
     "dsir_sample_docs",     # two broadcast models + per-doc mean + top-k
     "epoch_pipeline",       # oversample → sharded shuffle, one plan
+    "length_batches_docs",  # per-cell rank windows, salt-bounded
 ]
 
 # queries whose work happens at plan-construction time (iterative

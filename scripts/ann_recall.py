@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""ANN recall rehearsal: speed without recall is half a measurement.
+
+Runs every registered ANN top-k variant at $SPARK_GRAFT_SF_DIR (default
+sf0.1, 25k vectors) plus the exact matmul baseline, and reports
+**recall@5** — mean over queries of |ANN top-5 ∩ exact top-5| / 5 — and
+each variant's wall time, one JSON line.  Exact ties (equal 6-dp cosine at
+the k boundary) are resolved identically (neighbor id asc) in every
+variant, so recall 1.0 is attainable and any deficit is genuinely the
+approximation, not tie-break noise.
+
+The point of the table: the gated scale-safe configurations
+(`ann_lsh_auto_topk`, `ann_ivfpq_auto_topk`) should hold recall while
+their pinned siblings are allowed to trade recall for the wall they
+exist to exhibit.  README's ANN section carries the measured numbers.
+
+Usage: python scripts/ann_recall.py   (idle machine, ~2 min)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+ANN_QUERIES = [
+    "ann_lsh_topk",        # pinned 16 planes (the documented wall config)
+    "ann_lsh_auto_topk",   # corpus-adaptive planes (the gated scale path)
+    "ann_ivf_topk",        # IVF-flat, trained k-means quantizer
+    "ann_ivfpq_topk",      # IVFPQ, pinned 16 cells (memory tier)
+    "ann_ivfpq_auto_topk", # IVFPQ, sqrt-n cells (the gated scale path)
+]
+
+
+def topk_sets(rows) -> dict:
+    """(vec_id -> frozenset of neighbor ids) from (vec_id, neighbor_id, ...)."""
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[0], set()).add(r[1])
+    return out
+
+
+def main() -> None:
+    from chainweb_data_spark.queries import query_fns
+    from chainweb_data_spark.session import get_spark
+
+    spark = get_spark("cds-ann-recall")
+    fns = query_fns()
+
+    def run(name):
+        fns[name](spark, SF_DIR).collect()  # warm
+        t0 = time.perf_counter()
+        rows = fns[name](spark, SF_DIR).select(
+            "vec_id", "neighbor_id"
+        ).collect()
+        return rows, round(time.perf_counter() - t0, 3)
+
+    exact_rows, exact_s = run("embed_cosine_topk")
+    exact = topk_sets(exact_rows)
+    k = max(len(s) for s in exact.values())
+
+    report = {
+        "sf_dir": SF_DIR,
+        "k": k,
+        "n_queries": len(exact),
+        "exact_wall_s": exact_s,
+        "variants": {},
+    }
+    for name in ANN_QUERIES:
+        rows, wall = run(name)
+        approx = topk_sets(rows)
+        # queries missing from the ANN output (empty candidate set) score 0
+        recall = sum(
+            len(approx.get(q, set()) & nbrs) / len(nbrs)
+            for q, nbrs in exact.items()
+        ) / len(exact)
+        report["variants"][name] = {
+            "recall_at_k": round(recall, 4),
+            "wall_s": wall,
+            "n_queries_answered": len(approx),
+        }
+
+    # --- the recall knob, measured --------------------------------------
+    # The gated configurations are deliberately economical; recall is a
+    # PARAMETER, not a property.  Sweep the probe knobs directly against
+    # the operators to show each family's recall/wall frontier on this
+    # fixture (near-isotropic synthetic embeddings — the ADVERSARIAL
+    # regime for ANN: no cluster structure to exploit, so recall ≈
+    # probed-fraction; clustered real-text embeddings sit far above this
+    # floor at identical settings).
+    from chainweb_data_spark.operators import similarity as sim
+    from chainweb_data_spark.sources.tables import load_table
+
+    def run_fn(fn):
+        fn().collect()  # warm
+        t0 = time.perf_counter()
+        rows = fn().select("vec_id", "neighbor_id").collect()
+        return rows, round(time.perf_counter() - t0, 3)
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # restrict scoring to the same query subset the registered gates use
+    qids = set(exact)
+    knobs = {}
+    for label, fn in {
+        "lsh_bands4_autoplanes": lambda: sim.lsh_ann_topk(
+            emb, "vec_id", "embedding", k=k, num_planes=None, bands=4
+        ),
+        "ivf_nprobe6": lambda: sim.ivf_topk(
+            emb, "vec_id", "embedding", k=k, n_cells=16, nprobe=6
+        ),
+        "ivf_nprobe12": lambda: sim.ivf_topk(
+            emb, "vec_id", "embedding", k=k, n_cells=16, nprobe=12
+        ),
+    }.items():
+        rows, wall = run_fn(fn)
+        approx = topk_sets(r for r in rows if r[0] in qids)
+        recall = sum(
+            len(approx.get(q, set()) & nbrs) / len(nbrs)
+            for q, nbrs in exact.items()
+        ) / len(exact)
+        knobs[label] = {"recall_at_k": round(recall, 4), "wall_s": wall}
+    report["knobs"] = knobs
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

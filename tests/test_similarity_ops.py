@@ -296,3 +296,33 @@ def test_adc_percell_truncation_is_lossless(spark):
     }
     got = {(r["vec_id"], r["neighbor_id"], r["adc"]) for r in small.collect()}
     assert got == want
+
+
+def test_ivf_exhaustive_probe_equals_bruteforce(spark):
+    # probing every cell degrades IVF to exhaustive search: the output
+    # must be BIT-IDENTICAL to the exact matmul baseline (same 6-dp
+    # rounding, same neighbor-id tie-break) — pins that cell pruning is
+    # the ONLY source of approximation in the IVF tier
+    from chainweb_data_spark.operators import similarity as sim
+    from chainweb_data_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = sorted(
+        map(
+            tuple,
+            sim.cosine_topk_matmul(emb, "vec_id", "embedding", k=5)
+            .select("vec_id", "neighbor_id", "cosine")
+            .collect(),
+        )
+    )
+    ivf = sorted(
+        map(
+            tuple,
+            sim.ivf_topk(
+                emb, "vec_id", "embedding", k=5, n_cells=8, nprobe=8
+            )
+            .select("vec_id", "neighbor_id", "cosine")
+            .collect(),
+        )
+    )
+    assert ivf == exact

@@ -1075,3 +1075,82 @@ def length_batches(
         )
         .drop("_bkey")
     )
+
+
+def bm25_topk_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-``k`` BM25 terms per document — the retrieval-side sibling of
+    :func:`tfidf_topk_terms`: Lucene-form idf ``ln((N−df+0.5)/(df+0.5)+1)``
+    times the saturating tf ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``.
+    Unlike linear tf-idf, BM25 damps high-tf spam and normalizes by doc
+    length — the scorer dedup/decontamination candidate mining and
+    retrieval-based data selection actually use.
+
+    Engine-exact determinism: the idf's ``ln`` rounds to 6 dp BEFORE the
+    multiply (the dsir/unigram convention — transcendental last-ulps are
+    libm-specific), the length sums are integer-exact, and avgdl is one
+    exact long-sum division; ties break (score desc, token asc).
+
+    Plan shape mirrors tf-idf: per-doc tf shuffle, token-keyed df
+    aggregation, a doc-keyed length join (map-side combinable), the
+    token join left to AQE (open vocabularies don't broadcast), and one
+    per-doc top-k window."""
+    from pyspark.sql.window import Window
+
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avg = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl")
+    )
+    idf = F.round(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avg))
+        .withColumn(
+            "score",
+            F.round(
+                idf
+                * (
+                    F.col("tf").cast("double") * F.lit(k1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.col("_avgdl")
+                        )
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "df", "dl", "score", "rank")
+    )

@@ -3329,3 +3329,51 @@ def contamination_score_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.contamination_scores(
         corpus, bench, "doc_id", "text", k=3
     ).orderBy("doc_id")
+
+
+@register(
+    "bm25_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), ft AS (
+      SELECT doc_id, token FROM toks WHERE len(token) > 0
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM ft GROUP BY doc_id, token
+    ), dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM ft GROUP BY doc_id),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    avgdl AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+    ),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, f.df, l.dl,
+             round(
+               round(ln((CAST((SELECT n_docs FROM n) AS DOUBLE) - f.df + 0.5)
+                        / (f.df + 0.5) + 1.0), 6)
+               * (CAST(t.tf AS DOUBLE) * 2.2
+                  / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                   / (SELECT avgdl FROM avgdl)))),
+               6) AS score
+      FROM tf t JOIN dfreq f USING (token) JOIN dl l USING (doc_id)
+    )
+    SELECT doc_id, token, tf, df, dl, score, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def bm25_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (k1=1.2, b=0.75): saturating tf ×
+    length normalization × Lucene idf — the retrieval scorer, next to
+    ``tfidf_top_terms``'s linear salience.  The idf's ln rounds to 6 dp
+    before the multiply (dsir/unigram convention); all other arithmetic
+    is rational and engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        tx.bm25_topk_terms(docs, "doc_id", "text", k=3)
+        .orderBy("doc_id", "rank")
+    )

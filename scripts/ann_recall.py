@@ -116,6 +116,15 @@ def main() -> None:
         "ivf_nprobe12": lambda: sim.ivf_topk(
             emb, "vec_id", "embedding", k=k, n_cells=16, nprobe=12
         ),
+        # IVFPQ probe knob: same cell widening under PQ-compressed scoring
+        # — the residual gap vs ivf at equal nprobe is pure quantization
+        # distortion (the price of 8x memory compression)
+        "ivfpq_nprobe6": lambda: sim.ivfpq_topk(
+            emb, "vec_id", "embedding",
+            sim.ivf_train_kmeans(emb, "vec_id", "embedding", 16),
+            sim.pq_train(emb, "vec_id", "embedding", 8, 16),
+            nprobe=6, k=k,
+        ),
     }.items():
         rows, wall = run_fn(fn)
         approx = topk_sets(r for r in rows if r[0] in qids)

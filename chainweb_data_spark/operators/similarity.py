@@ -1306,3 +1306,59 @@ def adc_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ivfpq_rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int = 2,
+    k: int = 5,
+    shortlist: int = 32,
+) -> DataFrame:
+    """IVFPQ + raw-vector rerank (FAISS's refine pattern): the ADC scan
+    produces a per-query SHORTLIST of ``shortlist`` candidates from the
+    compressed codes, then only those pairs are re-scored against the raw
+    vectors and the exact-cosine top-``k`` emitted.  This is the
+    production answer to PQ distortion — the recall rehearsal measures
+    ADC-only ordering collapsing on isotropic data (probe widening 2→6
+    moved recall just 0.12→0.14) because 8×16 codes quantize away the
+    cosine margins; reranking ``shortlist ≫ k`` candidates recovers the
+    ordering within everything the probes saw, at a cost bounded by
+    shortlist × dim instead of probed-members × dim.
+
+    Scale shape: the shortlist relation is n_queries × shortlist rows;
+    raw vectors attach via two id-equi-joins (no broadcast of the corpus
+    — AQE picks the strategy) and the rerank itself is one Arrow-batched
+    pairwise-cosine kernel plus the final per-query top-k window.  The
+    ADC stage's plan is unchanged (cell-local, per-cell top-shortlist
+    emission bounds its output).  Same tie-break/rounding conventions as
+    every cosine tier (6 dp, neighbor id asc)."""
+    sl = ivfpq_topk(
+        df, id_col, vec_col, centroids, codebooks, nprobe=nprobe,
+        k=shortlist,
+    ).select(F.col(id_col), "neighbor_id")
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    qv = vecs.select(
+        F.col(id_col), F.col(vec_col).alias("_qv")
+    )
+    nv = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    scored = (
+        sl.join(qv, id_col)
+        .join(nv, "neighbor_id")
+        .withColumn("cosine", cosine_pairs_udf(F.col("_qv"), F.col("_nv")))
+        .drop("_qv", "_nv")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .select(id_col, "neighbor_id", "cosine")
+    )

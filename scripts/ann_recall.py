@@ -34,6 +34,7 @@ ANN_QUERIES = [
     "ann_ivf_topk",        # IVF-flat, trained k-means quantizer
     "ann_ivfpq_topk",      # IVFPQ, pinned 16 cells (memory tier)
     "ann_ivfpq_auto_topk", # IVFPQ, sqrt-n cells (the gated scale path)
+    "ann_ivfpq_rerank_topk",  # ADC shortlist + raw-vector rerank (refine)
 ]
 
 

@@ -126,6 +126,14 @@ def main() -> None:
             sim.pq_train(emb, "vec_id", "embedding", 8, 16),
             nprobe=6, k=k,
         ),
+        # rerank shortlist knob: at 512 the recall must EQUAL ivf_topk's
+        # (the whole probed set reranked raw) — a measured equivalence
+        "ivfpq_rerank_shortlist128": lambda: sim.ivfpq_rerank_topk(
+            emb, "vec_id", "embedding",
+            sim.ivf_train_kmeans(emb, "vec_id", "embedding", 16),
+            sim.pq_train(emb, "vec_id", "embedding", 8, 16),
+            nprobe=2, k=k, shortlist=128,
+        ),
     }.items():
         rows, wall = run_fn(fn)
         approx = topk_sets(r for r in rows if r[0] in qids)

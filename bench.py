@@ -70,6 +70,8 @@ HEADLINE = [
     "mixture_epoch_docs",   # target-weight oversampling (epoch build)
     "dsir_sample_docs",     # DSIR: log-ratio scores + Gumbel top-k
     "epoch_pipeline",       # r6 composition: oversample → sharded shuffle
+    "bm25_top_terms",       # BM25 retrieval scoring (saturating tf)
+    "ann_ivfpq_rerank_topk",  # the production ANN tier: ADC + raw rerank
 ]
 
 # queries whose work happens at plan-CONSTRUCTION time (iterative connected

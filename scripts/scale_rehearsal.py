@@ -59,6 +59,8 @@ QUERIES = [
     "dsir_sample_docs",     # two broadcast models + per-doc mean + top-k
     "epoch_pipeline",       # oversample → sharded shuffle, one plan
     "length_batches_docs",  # per-cell rank windows, salt-bounded
+    "bm25_top_terms",       # saturating-tf retrieval scoring
+    "contamination_score_docs",  # graded benchmark-overlap fraction
 ]
 
 # queries whose work happens at plan-construction time (iterative

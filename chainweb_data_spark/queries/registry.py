@@ -150,7 +150,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "embed_near_dup",
     "ann_lsh_topk",
     "ann_lsh_auto_topk",
-    "ann_ivfpq_topk",  # round 6: the PQ memory tier under the driver gate
+    # ann_ivfpq_topk -> rerank swap (r6): the rerank gate embeds the FULL
+    # ADC pipeline (train, encode, probe, LUT, shortlist) plus the
+    # raw-vector refine, so ADC drift still breaks the gated query;
+    # ann_ivfpq_topk stays hash-checked in the local tail
+    "ann_ivfpq_rerank_topk",
     "multimodal_image_features",
     # time-series joins (round-5 operators: as-of + binned range join)
     "asof_join_orders",

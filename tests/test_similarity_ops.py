@@ -326,3 +326,40 @@ def test_ivf_exhaustive_probe_equals_bruteforce(spark):
         )
     )
     assert ivf == exact
+
+
+def test_ivfpq_rerank_full_shortlist_equals_ivf(spark):
+    # with the shortlist wider than any probed candidate set, the rerank
+    # tier re-scores EVERYTHING the probes saw against raw vectors — by
+    # construction that is exactly what ivf_topk computes, so the outputs
+    # must be bit-identical: pins that ADC only SELECTS and never alters
+    # the final scoring arithmetic
+    from chainweb_data_spark.operators import similarity as sim
+    from chainweb_data_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = sim.ivf_train_kmeans(emb, "vec_id", "embedding", 8)
+    cb = sim.pq_train(emb, "vec_id", "embedding", 8, 16)
+    ivf = sorted(
+        map(
+            tuple,
+            sim.ivf_topk(
+                emb, "vec_id", "embedding", k=5, n_cells=8, nprobe=2,
+                centroids=cents,
+            )
+            .select("vec_id", "neighbor_id", "cosine")
+            .collect(),
+        )
+    )
+    rr = sorted(
+        map(
+            tuple,
+            sim.ivfpq_rerank_topk(
+                emb, "vec_id", "embedding", cents, cb, nprobe=2, k=5,
+                shortlist=10_000,
+            )
+            .select("vec_id", "neighbor_id", "cosine")
+            .collect(),
+        )
+    )
+    assert rr == ivf

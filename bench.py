@@ -61,10 +61,10 @@ HEADLINE = [
     "tfidf_top_terms",      # per-doc term salience (tf × N/df)
     "unigram_ppl_docs",     # perplexity-proxy quality filter (CCNet-style)
     "bigram_ppl_docs",      # bigram backoff LM: open-vocab shuffle join
-    "doc_features",         # SINGLE-SCAN fused feature assembly (md5 fp —
-                            # the cross-engine-auditable form)
-    "doc_features_fast",    # same fused pass, rolling64 fp kernel — the
-                            # production configuration (also hash-gated)
+    "doc_features",         # SINGLE-SCAN fused feature assembly, rolling64
+                            # fp kernel — the production configuration
+                            # (hash-gated; md5 audit twin = doc_features_md5,
+                            # gated in the tail, not a headliner)
     "dedup_canonical_docs",  # dedup APPLY: components → keep-longest
     "shuffle_shards_docs",  # seeded epoch shuffle, per-shard rank windows
     "mixture_epoch_docs",   # target-weight oversampling (epoch build)

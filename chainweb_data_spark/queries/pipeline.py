@@ -2216,7 +2216,7 @@ def _doc_features_oracle(fp_sql: str | None = None) -> str:
     """
 
 
-@register("doc_features", oracle=_doc_features_oracle())
+@register("doc_features", oracle=_doc_features_oracle(_fp_rolling64_sql()))
 def doc_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SINGLE-SCAN feature assembly: token counts, quality score, language
     prediction, and rolling-hash fingerprint — every row-local text signal
@@ -2224,11 +2224,21 @@ def doc_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is how a production feature pass should run: one read of the
     corpus populates every per-doc column, instead of the one-scan-per-
     signal shape the individual gated queries (text_quality, text_langid,
-    doc_fingerprint) use for isolation."""
+    doc_fingerprint) use for isolation.
+
+    The fingerprint leg runs the ``rolling64`` kernel (Arrow-batched numpy
+    polynomial hash, ~3.6× the md5 form, whose one-digest-per-character-
+    position constant factor made the fused pass the slowest headliner in
+    round 5) — the name owns the PRODUCTION configuration, the same stance
+    as ``ann_lsh_auto_topk``.  Still fully hash-gated: the oracle recomputes
+    the identical mod-2^64 polynomial in DuckDB with exact HUGEINT
+    arithmetic (``_fp_rolling64_sql``), so the cheap hash is held to the
+    same cross-engine bit-for-bit standard as the md5 form.  The md5 twin
+    stays registered as ``doc_features_md5``."""
     docs = _t(spark, sf_dir, "documents")
     out = tx.quality_features(docs, "text")
     out = tx.lang_id(out, "text")
-    out = tx.fingerprint(out, "text", k=8)
+    out = tx.fingerprint(out, "text", k=8, mode="rolling64")
     return out.select(
         "doc_id",
         "n_tokens",
@@ -2239,21 +2249,19 @@ def doc_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("doc_features_fast", oracle=_doc_features_oracle(_fp_rolling64_sql()))
-def doc_features_fast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION twin of ``doc_features``: identical single-scan
-    fused feature assembly, but the fingerprint leg runs the ``rolling64``
-    kernel (Arrow-batched numpy polynomial hash, ~3.6× the md5 leg that
-    made the md5 twin the slowest headliner) instead of
-    one-md5-per-character-position.  Still fully hash-gated: the oracle
-    recomputes the identical mod-2^64 polynomial in DuckDB with exact
-    HUGEINT arithmetic (``_fp_rolling64_sql``), so the cheap hash is
-    held to the same cross-engine bit-for-bit standard as the md5 form —
-    this is the configuration a 100 TB feature job should run."""
+@register("doc_features_md5", oracle=_doc_features_oracle())
+def doc_features_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-engine-AUDITABLE twin of ``doc_features``: identical
+    single-scan fused feature assembly, fingerprint leg in the ``md5``
+    mode (one digest per character position — pure built-in ``transform``/
+    ``md5``/``substring`` expressions both engines share verbatim).  Kept
+    registered so the fused pass stays auditable against an independent
+    hash implementation; the production configuration (and the bench
+    headliner) is ``doc_features`` with the ``rolling64`` kernel."""
     docs = _t(spark, sf_dir, "documents")
     out = tx.quality_features(docs, "text")
     out = tx.lang_id(out, "text")
-    out = tx.fingerprint(out, "text", k=8, mode="rolling64")
+    out = tx.fingerprint(out, "text", k=8)
     return out.select(
         "doc_id",
         "n_tokens",

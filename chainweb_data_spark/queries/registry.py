@@ -94,7 +94,9 @@ def register(name: str, oracle: str | None = None):
 # doc_length_quantiles, doc_repetition, text_gopher_quality, ann_ivf_topk,
 # ann_ivf_skew_topk, redact_pii_docs, tfidf_top_terms, dup_spans_docs,
 # embed_cluster_assign, dedup_normalized_docs, embed_dedup_clusters,
-# embed_dedup_clusters_ann, doc_features_fast), Spark-4-native twins of
+# embed_dedup_clusters_ann, doc_features_md5 — the md5-fingerprint audit
+# twin of gated doc_features, which owns the rolling64 production
+# configuration), Spark-4-native twins of
 # gated queries (cw_continuation_history_rcte — native WITH RECURSIVE;
 # json_variant_extract — VariantType parse-once extraction), and the
 # multimodal resize/frame-sample/audio legs (the gate slot for the binary

@@ -730,6 +730,17 @@ def assign_splits(
     names = list(weights)
     if not names:
         raise ValueError("need at least one split")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"assign_splits: negative weight in {weights}")
+    # validate loudly (same stance as chunk_documents/shuffle_shards):
+    # an over-summing dict would silently starve the remainder split —
+    # every clamped bound collapses to 0xffff and the last split receives
+    # ~1/65536 of the corpus with no error, replay-deterministically wrong
+    if sum(weights.values()) > 1.0 + 1e-9:
+        raise ValueError(
+            f"assign_splits: weights sum to {sum(weights.values()):.6f} > 1 "
+            f"({weights}); the remainder convention needs sum ≤ 1"
+        )
     cum, bounds = 0.0, []
     for name in names[:-1]:
         cum += weights[name]

@@ -145,11 +145,23 @@ def zorder_expr(col_ranges: dict[str, tuple[int, int]], bits: int = 16):
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for j, (c, (lo, hi)) in enumerate(col_ranges.items()):
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder_expr: column {c!r} has NULL bounds ({lo}, {hi}) — "
+                "an all-NULL column cannot rank-scale; drop it from the "
+                "Z dimensions"
+            )
         span = max(int(hi) - int(lo), 1)
+        # rank-scale in DOUBLE: the int64 form ((v - lo) * top) overflows
+        # once the column span exceeds ~2^63/top (≈1.4e14 — a mere 4.5
+        # years of microsecond timestamps) and wraps negative, which the
+        # clamp then collapses to Z-coordinate 0 — silently destroying the
+        # clustering for that dimension.  The double ratio is monotone and
+        # exact to far beyond the 16-bit quantization this feeds.
         v = (
-            (F.coalesce(F.col(c), F.lit(lo)).cast("long") - F.lit(int(lo)))
-            * top
-            / F.lit(span)
+            (F.coalesce(F.col(c), F.lit(lo)).cast("double") - F.lit(float(lo)))
+            / F.lit(float(span))
+            * F.lit(float(top))
         ).cast("long")
         v = F.least(F.greatest(v, F.lit(0)), F.lit(top))
         for i in range(bits):
@@ -166,6 +178,7 @@ def rewrite_zordered(
     cols: list[str],
     target_files: int = 16,
     bits: int = 16,
+    keep_versions: int | None = None,
 ) -> dict:
     """OPTIMIZE ZORDER for a log-published table: read the live snapshot,
     range-partition + sort by the Z-key of ``cols``, and swap the layout in
@@ -183,11 +196,26 @@ def rewrite_zordered(
     materializes it), but subsequent partition-DIRECTORY pruning no longer
     applies — file skipping via the refreshed footer stats replaces it.
     Z-order read-optimized ANALYTIC tables; the ingest merge path keeps
-    its bucketed layout (merge_batch refuses mixed layouts by design)."""
+    its bucketed layout (merge_batch refuses mixed layouts by design).
+
+    All-NULL Z columns are DROPPED from the key (a NULL-bounded dimension
+    cannot rank-scale and would poison the whole key; the dropped names
+    come back under ``"skipped_cols"``); if every requested column is
+    all-NULL the rewrite is skipped.  ``keep_versions`` is the post-commit
+    vacuum retention horizon (default :data:`publish.MAINT_KEEP_VERSIONS`
+    — never 0, which would break pinned readers and time travel).  On a
+    version race with a concurrent writer the swap REBASES when the fresh
+    snapshot still lists exactly the input files for this table (only
+    other tables changed), else ABANDONS — the rewrite no longer describes
+    the live table (a racing publish added or dropped files); the staged
+    z-files are uncommitted orphans and the vacuum reclaims them.  Same
+    rebase-or-abandon stance as :func:`publish.compact_published`."""
     from pyspark.sql import functions as F
 
     from ..streaming import publish as pub
 
+    if keep_versions is None:
+        keep_versions = pub.MAINT_KEEP_VERSIONS
     manifest = pub.read_manifest(out_dir)
     files = manifest["tables"].get(table, [])
     if not files:
@@ -200,7 +228,13 @@ def rewrite_zordered(
         *[F.min(c).alias(f"_lo_{c}") for c in cols],
         *[F.max(c).alias(f"_hi_{c}") for c in cols],
     ).collect()[0]
-    ranges = {c: (bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]) for c in cols}
+    all_ranges = {c: (bounds[f"_lo_{c}"], bounds[f"_hi_{c}"]) for c in cols}
+    ranges = {
+        c: r for c, r in all_ranges.items() if r[0] is not None and r[1] is not None
+    }
+    skipped = sorted(set(all_ranges) - set(ranges))
+    if not ranges:
+        return {"files": 0, "ranges": {}, "skipped_cols": skipped}
     z = zorder_expr(ranges, bits)
 
     staging = os.path.join(out_dir, "_staging", f"zorder-{table}-{uuid.uuid4().hex}")
@@ -225,19 +259,36 @@ def rewrite_zordered(
             stats[fname] = fs
     shutil.rmtree(staging, ignore_errors=True)
 
-    new_stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
-    new_stats[table] = stats
-    pub._write_manifest(
-        out_dir,
-        {
-            "version": manifest["version"] + 1,
-            "tables": {**manifest["tables"], table: sorted(moved)},
-            "stats": new_stats,
-            "op": "zorder",
-        },
-    )
-    pub.vacuum(out_dir)
-    return {"files": len(moved), "ranges": ranges}
+    input_files = set(files)
+    for rebase in (False, True):
+        new_stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
+        new_stats[table] = stats
+        try:
+            pub._write_manifest(
+                out_dir,
+                {
+                    "version": manifest["version"] + 1,
+                    "tables": {**manifest["tables"], table: sorted(moved)},
+                    "stats": new_stats,
+                    "op": "zorder",
+                },
+            )
+            pub.vacuum(out_dir, keep_versions=keep_versions)
+            out = {"files": len(moved), "ranges": ranges}
+            if skipped:
+                out["skipped_cols"] = skipped
+            return out
+        except pub.ConcurrentWriteError:
+            if rebase:
+                raise
+            manifest = pub.read_manifest(out_dir)
+            if set(manifest["tables"].get(table, [])) != input_files:
+                # the racing commit changed THIS table — the z-layout's
+                # file list would drop (or resurrect) rows; abandon and
+                # reclaim the staged files
+                pub.vacuum(out_dir, keep_versions=keep_versions)
+                return {}
+    raise AssertionError("unreachable")
 
 
 def expire_files(
@@ -246,6 +297,8 @@ def expire_files(
     table: str,
     col: str,
     cutoff,
+    keep_versions: int | None = None,
+    max_retries: int = 3,
 ) -> dict:
     """Metadata-only retention (TTL): drop every live file whose footer
     ``max(col)`` is strictly below ``cutoff`` — one transaction-log commit,
@@ -255,39 +308,55 @@ def expire_files(
     wanting an exact horizon apply the row filter on top; rerunning after
     the next compaction/z-order tightens the boxes and expires more.
     Files with no recorded stats for ``col`` are never dropped.  Returns
-    {"removed": n, "kept": n}."""
+    {"removed": n, "kept": n}.
+
+    ``keep_versions`` is the post-commit vacuum retention horizon (default
+    :data:`publish.MAINT_KEEP_VERSIONS` — expired files' BYTES survive
+    that many snapshots for pinned readers and time travel; the live
+    snapshot stops listing them immediately).  On a version race with a
+    concurrent writer the whole decision is REBASED — re-read the fresh
+    snapshot, recompute the drop set, retry (cheap: no data was staged)."""
     from ..streaming import publish as pub
 
-    manifest = pub.read_manifest(out_dir)
-    files = manifest["tables"].get(table, [])
-    if not files:
-        return {"removed": 0, "kept": 0}
-    per_file = manifest.get("stats", {}).get(table, {})
-    drop = set()
-    for rel in files:
-        rng = per_file.get(rel, {}).get(col)
-        if not rng or rng[1] is None:
-            continue
+    if keep_versions is None:
+        keep_versions = pub.MAINT_KEEP_VERSIONS
+    for attempt in range(max_retries + 1):
+        manifest = pub.read_manifest(out_dir)
+        files = manifest["tables"].get(table, [])
+        if not files:
+            return {"removed": 0, "kept": 0}
+        per_file = manifest.get("stats", {}).get(table, {})
+        drop = set()
+        for rel in files:
+            rng = per_file.get(rel, {}).get(col)
+            if not rng or rng[1] is None:
+                continue
+            try:
+                if rng[1] < cutoff:
+                    drop.add(rel)
+            except TypeError:
+                continue
+        if not drop:
+            return {"removed": 0, "kept": len(files)}
+        keep = [f for f in files if f not in drop]
+        stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
+        tstats = stats.get(table, {})
+        for rel in drop:
+            tstats.pop(rel, None)
         try:
-            if rng[1] < cutoff:
-                drop.add(rel)
-        except TypeError:
+            pub._write_manifest(
+                out_dir,
+                {
+                    "version": manifest["version"] + 1,
+                    "tables": {**manifest["tables"], table: keep},
+                    "stats": stats,
+                    "op": "expire",
+                },
+            )
+        except pub.ConcurrentWriteError:
+            if attempt == max_retries:
+                raise
             continue
-    if not drop:
-        return {"removed": 0, "kept": len(files)}
-    keep = [f for f in files if f not in drop]
-    stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
-    tstats = stats.get(table, {})
-    for rel in drop:
-        tstats.pop(rel, None)
-    pub._write_manifest(
-        out_dir,
-        {
-            "version": manifest["version"] + 1,
-            "tables": {**manifest["tables"], table: keep},
-            "stats": stats,
-            "op": "expire",
-        },
-    )
-    pub.vacuum(out_dir)
-    return {"removed": len(drop), "kept": len(keep)}
+        pub.vacuum(out_dir, keep_versions=keep_versions)
+        return {"removed": len(drop), "kept": len(keep)}
+    raise AssertionError("unreachable")

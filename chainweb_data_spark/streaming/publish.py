@@ -85,6 +85,19 @@ CHECKPOINT_EVERY = 16
 #: bound commit JSON size on wide tables.
 _MAX_STATS_COLUMNS = 24
 
+#: how many snapshots BEFORE the newest the maintenance ops
+#: (compact_published, rewrite_zordered, expire_files) retain when they
+#: auto-vacuum after their commit.  0 would delete the previous snapshot's
+#: replaced files the instant the swap commits — destroying time travel
+#: and breaking any reader still scanning a DataFrame pinned to it
+#: (read_published hands out explicit file lists, so the scan runs
+#: arbitrarily later).  Delta solves this with a time-based retention
+#: horizon (default 7 days); version-count retention is the analog a
+#: wall-clock-free test environment can assert on.  Production tuning: set
+#: it to cover the longest reader pin / time-travel window divided by the
+#: maintenance cadence.
+MAINT_KEEP_VERSIONS = 2
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer was about to.
@@ -611,13 +624,16 @@ def compact_published(
     table: str,
     min_files: int = 2,
     target_files: int = 1,
+    keep_versions: int = MAINT_KEEP_VERSIONS,
 ) -> dict[str, tuple[int, int]]:
     """Log-aware compaction: rewrite each partition's many LIVE files
     (the snapshot's list, not the directory's) into ``target_files``, then
     commit the swap as ONE log entry — a reader sees the old snapshot
     or the compacted one, never a mix; rows are preserved exactly.  The
     replaced files fall out of the snapshot and are reclaimed by
-    :func:`vacuum` (called here).  This is the append-only sink's
+    :func:`vacuum` (called here with ``keep_versions`` — the retention
+    horizon that keeps recent snapshots' files readable for pinned
+    readers and time travel).  This is the append-only sink's
     autovacuum: per-batch writes bound file growth per batch (coalesce(1)
     in the sinks), but cumulative growth is O(batches) and probe cost is
     O(live files) at the parquet-open layer — periodic compaction is the
@@ -685,7 +701,7 @@ def compact_published(
                     "op": "compact",
                 },
             )
-            vacuum(out_dir)
+            vacuum(out_dir, keep_versions=keep_versions)
             return done
         except ConcurrentWriteError:
             if rebase:
@@ -695,7 +711,7 @@ def compact_published(
             if not gone <= live:
                 # a racing commit already dropped some input file — the
                 # rewrite no longer describes the live table; abandon it
-                vacuum(out_dir)
+                vacuum(out_dir, keep_versions=keep_versions)
                 return {}
     raise AssertionError("unreachable")
 

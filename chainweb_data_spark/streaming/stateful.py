@@ -457,14 +457,25 @@ def reorder_stream(
                     (int(u), int(v)) for u, v in zip(pdf["_us"], pdf["_val"])
                 )
         emit, keep, _dropped = advance_reorder(buf, arrivals, wm_us, prev_wm)
-        state.update(
-            ([t[0] for t in keep], [t[1] for t in keep], max(wm_us, prev_wm))
-        )
         if keep:
+            state.update(
+                ([t[0] for t in keep], [t[1] for t in keep], max(wm_us, prev_wm))
+            )
             # flush-when-idle: fire once the global watermark passes the
             # newest buffered row (strictly > current wm by construction,
             # which setTimeoutTimestamp requires)
             state.setTimeoutTimestamp(max(t[0] for t in keep) // 1000 + 1)
+        elif state.exists:
+            # fully drained: DROP the state row, or every key ever seen
+            # keeps an empty-buffer tombstone forever (state would grow
+            # O(distinct keys ever), not O(keys inside the horizon)).
+            # Dropping prev_wm is safe under EventTimeTimeout: Spark
+            # filters arrivals behind the CURRENT watermark before this
+            # function runs, and prev_wm ≤ that watermark from here on —
+            # a post-removal arrival is therefore never behind a past
+            # emit (a row landing exactly AT the boundary re-enters as a
+            # tie, which non-strict monotonic output permits).
+            state.remove()
         if emit:
             yield pd.DataFrame(
                 {

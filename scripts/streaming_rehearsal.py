@@ -353,17 +353,26 @@ def main() -> None:
     spark = get_spark("cds-streaming-rehearsal")
     shutil.rmtree(WORK, ignore_errors=True)
 
+    # the longrun regimes read the positional arg as N BATCHES, not the
+    # 10x multiplier — left unset, each runs its documented default
+    # (100 dedup / 60 ann batches), never the multiplier default of 10
+    # (at 10 batches compact_every=16 would never fire and the
+    # compacted-vs-raw comparison would be vacuous)
     if ann_longrun:
         print(json.dumps({
             "regime": "ann_longrun",
-            "ann_index": ann_longrun_report(spark, n_batches=mult),
+            "ann_index": ann_longrun_report(
+                spark, n_batches=int(args[0]) if args else 60
+            ),
         }))
         return
 
     if longrun:
         print(json.dumps({
             "regime": "longrun",
-            "dedup_index": longrun_report(spark, n_batches=mult, n=n),
+            "dedup_index": longrun_report(
+                spark, n_batches=int(args[0]) if args else 100, n=n
+            ),
         }))
         return
 

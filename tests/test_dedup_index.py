@@ -335,17 +335,25 @@ def test_compaction_preserves_rows_and_bounds_files(spark, tmp_path):
     # batch 4 triggered compaction (4 % 4 == 0): live bands files ≤ one per
     # partition dir touched + the two batches since
     m = read_manifest(out)
-    rows = spark.read.parquet(os.path.join(out, BANDS_TABLE)).count()
     live = m["tables"]["minhash_bands"]
     import collections
 
     per_dir = collections.Counter(os.path.dirname(f) for f in live)
     # dirs compacted at batch 4 hold 1 file + ≤2 appended since (batches 5)
     assert max(per_dir.values()) <= 3
-    # rows preserved exactly: the published view equals a fresh read
-    from chainweb_data_spark.streaming.publish import read_published
+    # rows preserved exactly through the compaction flip: 6 batches × 4
+    # docs × 4 bands, via the manifest view every probe uses
+    from chainweb_data_spark.streaming.publish import read_published, vacuum
 
-    assert read_published(spark, out, "minhash_bands").count() == rows
+    assert read_published(spark, out, "minhash_bands").count() == 6 * 4 * 4
+    # the auto-vacuum keeps MAINT_KEEP_VERSIONS snapshots of replaced
+    # files for pinned readers/time travel, so a RAW directory read may
+    # over-count until an explicit zero-horizon vacuum; after it the
+    # directory holds exactly the live snapshot
+    vacuum(out)
+    assert (
+        spark.read.parquet(os.path.join(out, BANDS_TABLE)).count() == 6 * 4 * 4
+    )
     # and the index still works: a near-dup of batch 0's doc 0 flags
     probe = _docs(spark, [(999, f"{BASE_TEXT} batch0 doc0 filler tail")])
     got = _flags(update_dedup_index(spark, probe, out, batch_id=6, compact_every=4))

@@ -512,6 +512,53 @@ def test_reorder_stream_flushes_idle_key_on_timeout(spark, tmp_path):
     assert (2, t(60), 600) in got  # the active key still drains normally
 
 
+def test_reorder_stream_removes_drained_key_state(spark, tmp_path):
+    """A fully-drained key must leave NO state row behind (state.remove),
+    or state grows O(distinct keys ever seen) under key churn instead of
+    O(keys inside the watermark horizon).  Key 1 drains completely via the
+    idle-key timeout; the state store afterwards holds only key 2's
+    still-buffered tail."""
+    from chainweb_data_spark.streaming.stateful import reorder_stream
+
+    t = lambda m: BASE + m * MIN
+    feed = _write_asof_feed(
+        str(tmp_path),
+        "churnfeed",
+        [
+            [(1, t(5), 50), (1, t(2), 20)],  # key 1, then silent forever
+            [(2, t(60), 600)],
+            [(2, t(99), 990)],
+            [(2, t(130), 1300)],  # wm passes key-1's buffer → full drain
+        ],
+        ("k", "us", "val"),
+    )
+    raw = (
+        spark.readStream.schema("k long, us long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .json(feed)
+    )
+    stream = raw.select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "val"
+    )
+    out = reorder_stream(stream, ts_col="ts", key_col="k", watermark="10 minutes")
+    q = _run_to_memory(out, "reorder_churn_t")
+    got = {
+        (r["k"], r["us"], r["val"])
+        for r in spark.table("reorder_churn_t").collect()
+    }
+    assert (1, t(2), 20) in got and (1, t(5), 50) in got  # key 1 drained
+    # the final progress's state-operator row count: key 1's state row is
+    # gone (removed on drain), key 2 still buffers its un-watermarked tail
+    totals = [
+        op["numRowsTotal"]
+        for p in reversed(q.recentProgress)
+        for op in p["stateOperators"]
+        if op.get("numRowsTotal") is not None
+    ]
+    assert totals, "no state-operator progress recorded"
+    assert totals[0] == 1, f"expected only key 2's state row, got {totals[0]}"
+
+
 def test_advance_asof_tolerance():
     from chainweb_data_spark.streaming.stateful import advance_asof
 

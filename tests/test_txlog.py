@@ -349,3 +349,142 @@ def test_expire_files_is_metadata_only(spark, tmp_path):
     assert expire_files(spark, out, "t", "id", 150) == {"removed": 0, "kept": 2}
     # a column with no stats never expires anything
     assert expire_files(spark, out, "t", "nope", 150) == {"removed": 0, "kept": 2}
+
+
+def test_maintenance_vacuum_preserves_recent_snapshots(spark, tmp_path):
+    """Maintenance ops auto-vacuum with a RETENTION horizon, never 0 — a
+    reader pinned to the pre-maintenance snapshot (or a time-travel read)
+    must still find its data files after the swap commits."""
+    from chainweb_data_spark.streaming.publish import compact_published
+
+    out = str(tmp_path / "ret")
+    for lo in (0, 100, 200):
+        publish_batch(spark, {"t": _batch(spark, lo, lo + 100)}, out, pks=PK)
+    v_pre = read_manifest(out)["version"]
+    pinned = read_published(spark, out, "t", version=v_pre)
+
+    done = compact_published(spark, out, "t", min_files=0, target_files=1)
+    assert done, "compaction should have rewritten the partition"
+    # the pinned reader's explicit file list still resolves: the replaced
+    # files survive the MAINT_KEEP_VERSIONS horizon
+    assert pinned.count() == 300
+    assert read_published(spark, out, "t", version=v_pre).count() == 300
+    # the live snapshot reads the compacted layout
+    assert read_published(spark, out, "t").count() == 300
+    # an explicit keep_versions=0 vacuum still reclaims them (the horizon
+    # is policy, not a leak)
+    removed = vacuum(out)
+    assert removed
+    with pytest.raises(Exception):
+        read_published(spark, out, "t", version=v_pre).count()
+
+
+def test_zorder_wide_range_column_does_not_overflow(spark, tmp_path):
+    """Rank-scaling must happen in double: the int64 form (v-lo)*65535
+    wraps negative once the span exceeds ~1.4e14 (4.5 years of microsecond
+    timestamps) and the clamp collapses the top of the range to Z=0."""
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.sources.maintenance import zorder_expr
+
+    lo, hi = 0, 4 * 10**15  # ~127 years in microseconds
+    df = spark.range(5).select(
+        (F.col("id") * (hi // 4)).alias("ts_us")
+    )
+    z = zorder_expr({"ts_us": (lo, hi)}, bits=16)
+    vals = [r[0] for r in df.select(z.alias("z")).orderBy("ts_us").collect()]
+    # strictly increasing, spanning the quantized range — no wrap-to-0
+    assert vals == sorted(vals) and len(set(vals)) == 5, vals
+    assert vals[0] == 0 and vals[-1] >= (1 << 16) - 2, vals
+
+
+def test_zorder_all_null_column_is_skipped(spark, tmp_path):
+    """An all-NULL Z column has no rank-scale; rewrite_zordered drops it
+    (reported via skipped_cols) instead of dying on int(None), and
+    zorder_expr itself refuses NULL bounds loudly."""
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.sources.maintenance import (
+        rewrite_zordered,
+        zorder_expr,
+    )
+
+    with pytest.raises(ValueError, match="NULL bounds"):
+        zorder_expr({"c": (None, None)})
+
+    out = str(tmp_path / "znull")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 8).alias("chainid"),
+        F.lit(None).cast("long").alias("optional_col"),
+    )
+    publish_batch(spark, {"t": df.coalesce(1)}, out, pks=PK)
+    res = rewrite_zordered(
+        spark, out, "t", ["chainid", "optional_col"], target_files=2
+    )
+    assert res["files"] == 2
+    assert res["skipped_cols"] == ["optional_col"]
+    assert list(res["ranges"]) == ["chainid"]
+    assert read_published(spark, out, "t").count() == 100
+
+    # every requested column all-NULL → no usable dimension, skip cleanly
+    out2 = str(tmp_path / "znull2")
+    publish_batch(spark, {"t": df.coalesce(1)}, out2, pks=PK)
+    res2 = rewrite_zordered(spark, out2, "t", ["optional_col"])
+    assert res2 == {"files": 0, "ranges": {}, "skipped_cols": ["optional_col"]}
+    assert read_published(spark, out2, "t").count() == 100
+
+
+def test_maintenance_ops_survive_version_races(spark, tmp_path, monkeypatch):
+    """A concurrent publish between a maintenance op's snapshot read and
+    its commit must not crash the job: expire_files REBASES (recomputes on
+    the fresh snapshot), rewrite_zordered ABANDONS when the race touched
+    its table (the rewrite no longer describes the live file set) and its
+    staged files are vacuumed as orphans."""
+    from chainweb_data_spark.sources.maintenance import (
+        expire_files,
+        rewrite_zordered,
+    )
+
+    out = str(tmp_path / "mrace")
+    for lo in (0, 100, 200):
+        publish_batch(spark, {"t": _batch(spark, lo, lo + 100)}, out, pks=PK)
+
+    real_write = pub._write_manifest
+    state = {"pending": None}
+
+    def race_once(out_dir, manifest):
+        lohi = state["pending"]
+        if lohi is not None:
+            state["pending"] = None
+            # interloper publishes NEW rows to the same table first
+            publish_batch(spark, {"t": _batch(spark, *lohi)}, out, pks=PK)
+        return real_write(out_dir, manifest)
+
+    monkeypatch.setattr(pub, "_write_manifest", race_once)
+    state["pending"] = (300, 400)
+    res = expire_files(spark, out, "t", "id", 150)
+    # rebased: the drop decision re-ran on the fresh snapshot
+    assert res == {"removed": 1, "kept": 3}
+    assert read_published(spark, out, "t").count() == 300  # 100..399
+
+    state["pending"] = (400, 500)
+    res_z = rewrite_zordered(spark, out, "t", ["id"], target_files=2)
+    monkeypatch.setattr(pub, "_write_manifest", real_write)
+    # the race added a file to this table → abandoned, table intact
+    # (rows 100..499 after the expire + both interlopers)
+    assert res_z == {}
+    assert read_published(spark, out, "t").count() == 400
+    # the abandoned rewrite's staged files are not live anywhere
+    m = read_manifest(out)
+    tdir = os.path.join(out, "t.parquet")
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), tdir)
+        for r, _d, fs in os.walk(tdir)
+        for f in fs
+        if not f.startswith(("_", "."))
+    }
+    live_recent = set()
+    for v in range(max(1, m["version"] - pub.MAINT_KEEP_VERSIONS), m["version"] + 1):
+        live_recent |= set(read_manifest(out, version=v)["tables"]["t"])
+    assert on_disk <= live_recent, on_disk - live_recent

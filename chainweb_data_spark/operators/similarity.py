@@ -624,6 +624,32 @@ def ivf_train_kmeans(
     )
 
 
+def _md5_sample_sorted(
+    ids: np.ndarray, X: np.ndarray, sample_size: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared trainer preamble: md5-mod keep mask (hashing the SAME bytes
+    Spark's ``md5(CAST(id AS STRING))`` hashes, so the driver-side sample
+    equals the distributed one) followed by the id-ascending sort that
+    makes training order-deterministic.  ONE implementation on purpose —
+    IVF centroid training, PQ codebook training, and the Spark-side
+    ``_collect_train_sample`` rule must stay bit-identical or the
+    oracle-literal codebooks silently desynchronize from the runtime
+    path."""
+    import hashlib
+
+    m = _md5_mod_keep(len(ids), sample_size)
+    if m > 1:
+        keep = np.array(
+            [
+                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % m == 0
+                for i in ids
+            ]
+        )
+        ids, X = ids[keep], X[keep]
+    order = np.argsort(ids)
+    return ids[order], np.asarray(X, dtype=np.float64)[order]
+
+
 def train_centroids_rows(
     ids: np.ndarray,
     X: np.ndarray,
@@ -638,19 +664,7 @@ def train_centroids_rows(
     twins.  Step-for-step identical to the Spark path on the same rows, so
     oracle-literal centroids and runtime-trained centroids agree
     bit-for-bit."""
-    import hashlib
-
-    m = _md5_mod_keep(len(ids), sample_size)
-    if m > 1:
-        keep = np.array(
-            [
-                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % m == 0
-                for i in ids
-            ]
-        )
-        ids, X = ids[keep], X[keep]
-    order = np.argsort(ids)
-    Xs = X[order]
+    ids, Xs = _md5_sample_sorted(ids, X, sample_size)
     C = kmeans_centroids(Xs, n_cells, iters)
     if split_hot:
         Xn = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-300)
@@ -728,41 +742,16 @@ def ivf_topk(
         C = ivf_train_kmeans(df, id_col, vec_col, n_cells)
     else:
         _cids, C = ivf_centroids(df, id_col, vec_col, n_cells)
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast(C)
-
-    assign_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType()),
-            T.StructField("cell", T.IntegerType()),
-            T.StructField("probe_cells", T.ArrayType(T.IntegerType())),
-        ]
-    )
-
-    def _assign(batches):
-        CM = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            Q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-            S = np.round(Q @ CM.T, 6)
-            # rank cells by cosine desc, cell idx asc (stable argsort on -S)
-            order = np.argsort(-S, axis=1, kind="stable")
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    "cell": order[:, 0].astype(np.int32),
-                    "probe_cells": list(order[:, :nprobe].astype(np.int32)),
-                }
-            )
-
     # members and probes both consume the assignment; cache it so the
     # Arrow-batched assignment pass (and its upstream scan) runs once —
     # it is 2 ints + nprobe ints per vector, the materialized IVF index.
-    assigned = (
-        df.select(id_col, vec_col).mapInPandas(_assign, assign_schema).cache()
-    )
+    # The kernel is the SHARED pq_assign_cells (one implementation of the
+    # round-6 argmax contract); C is already normalized per-branch above,
+    # so skip the helper's normalization (re-normalizing a unit matrix is
+    # not bit-exactly a no-op, and the gated oracles pin these bits).
+    assigned = pq_assign_cells(
+        df, id_col, vec_col, C, nprobe, normalize=False
+    ).cache()
     members = assigned.select(F.col(id_col).alias("neighbor_id"), "cell")
     probes = assigned.select(
         F.col(id_col), F.explode("probe_cells").alias("cell")
@@ -957,20 +946,10 @@ def train_pq_rows(
     id-sort → L2-normalize → per-subspace deterministic k-means.  The
     shared core behind ``pq_train`` (Spark-side sampling) and the
     registration-time pyarrow twin — step-for-step identical on the same
-    rows, so oracle-literal codebooks equal runtime-trained ones."""
-    import hashlib
-
-    mm = _md5_mod_keep(len(ids), sample_size)
-    if mm > 1:
-        keep = np.array(
-            [
-                int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % mm == 0
-                for i in ids
-            ]
-        )
-        ids, X = ids[keep], X[keep]
-    order = np.argsort(ids)
-    Xs = np.asarray(X, dtype=np.float64)[order]
+    rows, so oracle-literal codebooks equal runtime-trained ones.  Sampling
+    and ordering ride the same ``_md5_sample_sorted`` core as IVF centroid
+    training — one place for the determinism contract."""
+    ids, Xs = _md5_sample_sorted(ids, X, sample_size)
     Xs = Xs / np.maximum(np.linalg.norm(Xs, axis=1, keepdims=True), 1e-300)
     dim = Xs.shape[1]
     if dim % m:
@@ -1172,14 +1151,21 @@ def pq_assign_cells(
     vec_col: str,
     centroids: np.ndarray,
     nprobe: int = 2,
+    normalize: bool = True,
 ) -> DataFrame:
     """IVF assignment pass: (id, cell, probe_cells[nprobe]) by round-6
-    argmax cosine against the (broadcast) centroids — the shared front of
-    ``ivf_topk``-style search, ``ivfpq_topk``, and the streaming ANN index
-    sink.  One Arrow-batched pass; stable order so ties break toward the
-    lower cell id in every engine."""
+    argmax cosine against the (broadcast) centroids — the ONE
+    implementation of the assignment kernel, shared by ``ivf_topk``,
+    ``ivfpq_topk``, and the streaming ANN index sink (the rounding and
+    tie-break here are the oracle-parity contract for every gated IVF
+    query — a second copy could silently drift).  One Arrow-batched pass;
+    stable order so ties break toward the lower cell id in every engine.
+    ``normalize=False`` trusts the caller's centroid rows as-is
+    (``ivf_topk`` pre-conditions them per training branch; re-normalizing
+    a unit matrix is not bit-exactly a no-op)."""
     C = np.asarray(centroids, dtype=np.float64)
-    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    if normalize:
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     bc_c = df.sparkSession.sparkContext.broadcast(C)
 
     assign_schema = T.StructType(

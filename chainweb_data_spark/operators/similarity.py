@@ -1202,14 +1202,22 @@ def adc_topk(
     codebooks: np.ndarray,
     id_col: str,
     k: int = 5,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Cell-local ADC scoring + top-k: ``members`` is (cell, id, codes) —
     the PQ index, whether derived in-plan (``ivfpq_topk``) or read from an
     incrementally-maintained index table (``streaming/ann_index.py``);
     ``probes`` is (cell, id, _v raw-or-unit vector), one row per probed
     cell per query.  Each cell group builds per-query LUTs (m tiny GEMMs)
-    and gathers member codes — no raw member vectors move.  Self-pairs are
-    excluded; ADC rounds to 6 dp; ties rank toward the lower neighbor.
+    and gathers member codes — no raw member vectors move.  ADC rounds to
+    6 dp; ties rank toward the lower neighbor.
+
+    ``exclude_self`` (default) drops id-equal (query, member) pairs —
+    correct when queries ARE corpus members (the ``ivfpq_topk`` /
+    near-dup shape).  It compares RAW ids, so callers whose query ids
+    come from a different id space than the index must pass ``False`` or
+    an unrelated member that happens to share the integer id silently
+    vanishes from that query's neighbors.
 
     Each cell emits only its PER-QUERY top-k (stable argsort over
     mid-sorted members — the same (adc desc, neighbor asc) order the
@@ -1268,7 +1276,8 @@ def adc_topk(
             lut = Q[:, j * dsub : (j + 1) * dsub] @ CB[j].T  # (nq, k)
             S += lut[:, codes_m[:, j]]
         S = np.round(S, 6)
-        S[qids[:, None] == mids[None, :]] = -np.inf  # self-pairs out
+        if exclude_self:
+            S[qids[:, None] == mids[None, :]] = -np.inf  # self-pairs out
         order = np.argsort(-S, axis=1, kind="stable")[:, : k_top]
         rows = np.repeat(np.arange(len(Q)), order.shape[1])
         cols = order.ravel()

@@ -273,7 +273,7 @@ def rewrite_zordered(
                     "op": "zorder",
                 },
             )
-            pub.vacuum(out_dir, keep_versions=keep_versions)
+            pub.vacuum(out_dir, keep_versions=keep_versions, min_age_s=pub.VACUUM_GRACE_S)
             out = {"files": len(moved), "ranges": ranges}
             if skipped:
                 out["skipped_cols"] = skipped
@@ -286,7 +286,7 @@ def rewrite_zordered(
                 # the racing commit changed THIS table — the z-layout's
                 # file list would drop (or resurrect) rows; abandon and
                 # reclaim the staged files
-                pub.vacuum(out_dir, keep_versions=keep_versions)
+                pub.vacuum(out_dir, keep_versions=keep_versions, min_age_s=pub.VACUUM_GRACE_S)
                 return {}
     raise AssertionError("unreachable")
 
@@ -357,6 +357,6 @@ def expire_files(
             if attempt == max_retries:
                 raise
             continue
-        pub.vacuum(out_dir, keep_versions=keep_versions)
+        pub.vacuum(out_dir, keep_versions=keep_versions, min_age_s=pub.VACUUM_GRACE_S)
         return {"removed": len(drop), "kept": len(keep)}
     raise AssertionError("unreachable")

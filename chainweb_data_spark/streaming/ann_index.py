@@ -92,6 +92,7 @@ def ann_index_search(
     nprobe: int = 2,
     k: int = 5,
     prune_cells: bool = True,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC top-k of ``queries`` against the STORED index: (id, neighbor_id,
     adc).  The index side ships codes only, read through the transaction
@@ -102,11 +103,22 @@ def ann_index_search(
     files — search cost grows with the probed cells' occupancy, not with
     the index (merged snapshots hold one row per vector regardless of how
     many batches built them).  Disable for query batches that probe most
-    cells anyway (the extra collect buys nothing)."""
+    cells anyway (the extra collect buys nothing).
+
+    Query ids and stored ``vec_id``s must share ONE id space: the ADC
+    kernel excludes self-pairs by id equality (right when the query IS the
+    indexed object — the re-ranking / dedup shape), so an external query
+    batch numbered from an unrelated space would silently lose any member
+    whose vec_id collides with a query id.  Pass ``exclude_self=False``
+    for foreign-id query batches — every member then competes, including
+    id-equal ones."""
     members = read_published(spark, out_dir, MEMBERS_TABLE)
     if members is None:
-        schema = "vec_id long, neighbor_id long, adc double"
-        return spark.createDataFrame([], schema)
+        # schema-stable empty result: SAME columns as the non-empty path
+        # (adc_topk's pair schema uses the caller's id_col, not vec_id)
+        return spark.createDataFrame(
+            [], f"{id_col} long, neighbor_id long, adc double"
+        )
     probes = (
         sim.pq_assign_cells(queries, id_col, vec_col, centroids, nprobe)
         .select(id_col, F.explode("probe_cells").alias("cell"))
@@ -132,7 +144,9 @@ def ann_index_search(
         F.col("vec_id").alias(id_col),
         "codes",
     )
-    return sim.adc_topk(members, probes, codebooks, id_col, k)
+    return sim.adc_topk(
+        members, probes, codebooks, id_col, k, exclude_self=exclude_self
+    )
 
 
 def ann_index_sink(

@@ -23,8 +23,13 @@ the Delta-log protocol on a filesystem with atomic link).  ``CURRENT`` is
 only a hint — readers probe forward from it, so a crash between the link
 and the hint update loses nothing.  Crash at ANY point before the link
 leaves orphan data files that no commit references; :func:`vacuum`
-reclaims them, and the duplicate probe only consults published rows, so
-the replayed batch re-stages identical content.
+reclaims them (with a ``min_age_s`` grace window so a CONCURRENT writer's
+staged-but-uncommitted files — indistinguishable from crash orphans by
+reference alone — survive until its commit lands), and the duplicate
+probe only consults published rows (null-safe on PK components, like
+``merge_plan``), so the replayed batch re-stages identical content — or
+stages nothing at all, in which case NO commit is written (a version
+burned per replay would silently shrink the retention horizon).
 
 Scale properties (the reasons a 100 TB table needs a log, not a listing):
 
@@ -97,6 +102,13 @@ _MAX_STATS_COLUMNS = 24
 #: it to cover the longest reader pin / time-travel window divided by the
 #: maintenance cadence.
 MAINT_KEEP_VERSIONS = 2
+
+#: concurrent-writer grace window (seconds) for the maintenance ops'
+#: auto-vacuum: unreferenced files younger than this survive, because a
+#: concurrent writer's staged-but-uncommitted files look exactly like
+#: crash orphans until its commit lands.  15 minutes comfortably covers a
+#: staging write; explicit vacuum(out) keeps grace 0 for quiesced cleanup.
+VACUUM_GRACE_S = 900.0
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -541,7 +553,23 @@ def _stage_table(
     existing = read_published(spark, out_dir, table)
     if existing is not None:
         existing = prune_existing_to_batch(existing, batch, bucket_col)
-        batch = batch.join(existing.select(*pk), on=list(pk), how="left_anti")
+        # null-safe per-column equality, SAME rule as listen.py merge_plan:
+        # silver-table PKs carry nullable components, and plain equality
+        # (NULL != NULL) would re-append every NULL-keyed row on each
+        # crash replay — the duplication the probe exists to prevent
+        probe = existing.select(*pk)
+        cond = None
+        for c in pk:
+            eq = batch[c].eqNullSafe(probe[c])
+            cond = eq if cond is None else (cond & eq)
+        batch = batch.join(probe, on=cond, how="left_anti")
+    if batch.isEmpty():
+        # zero survivors (fully-duplicate replay, or an empty stream
+        # batch): staging would still emit a 0-row part file for
+        # unpartitioned tables, accumulating junk files — and the caller
+        # would burn a commit version on it (merge_batch guards the same
+        # case, listen.py)
+        return [], {}
 
     staging = os.path.join(out_dir, "_staging", f"{table}-{uuid.uuid4().hex}")
     tdir = os.path.join(out_dir, f"{table}.parquet")
@@ -595,6 +623,12 @@ def publish_batch(
         new_files, new_stats = _stage_table(spark, df, out_dir, name, pks[name])
         if new_files:
             staged[name] = (new_files, new_stats)
+    if not staged:
+        # nothing survived the duplicate probes — do NOT burn a version on
+        # an empty delta: retention (MAINT_KEEP_VERSIONS) counts VERSIONS,
+        # so a run of no-op commits (crash-replay storms) would silently
+        # shrink the real time-travel / pinned-reader horizon toward zero
+        return manifest
     for attempt in range(max_retries + 1):
         new_tables = {t: list(fs) for t, fs in manifest["tables"].items()}
         new_stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
@@ -701,7 +735,7 @@ def compact_published(
                     "op": "compact",
                 },
             )
-            vacuum(out_dir, keep_versions=keep_versions)
+            vacuum(out_dir, keep_versions=keep_versions, min_age_s=VACUUM_GRACE_S)
             return done
         except ConcurrentWriteError:
             if rebase:
@@ -711,12 +745,14 @@ def compact_published(
             if not gone <= live:
                 # a racing commit already dropped some input file — the
                 # rewrite no longer describes the live table; abandon it
-                vacuum(out_dir, keep_versions=keep_versions)
+                vacuum(out_dir, keep_versions=keep_versions, min_age_s=VACUUM_GRACE_S)
                 return {}
     raise AssertionError("unreachable")
 
 
-def vacuum(out_dir: str, keep_versions: int = 0) -> list[str]:
+def vacuum(
+    out_dir: str, keep_versions: int = 0, min_age_s: float = 0.0
+) -> list[str]:
     """Delete data files referenced by NO retained snapshot (crash orphans
     from batches that staged but never committed, and files compacted
     away) plus leftover staging dirs.  ``keep_versions`` retains the files
@@ -725,15 +761,45 @@ def vacuum(out_dir: str, keep_versions: int = 0) -> list[str]:
     reads older than the horizon fail on missing data files, like Delta's
     VACUUM).  Commit-log JSON is never deleted — history stays readable.
     Safe under the committed-log protocol: a file outside every retained
-    snapshot can never be read via read_published at those versions."""
+    snapshot can never be read via read_published at those versions.
+
+    ``min_age_s`` — concurrent-writer grace window (Delta's
+    file-retention-age analog): unreferenced files and staging dirs
+    YOUNGER than this are kept, because a concurrent writer's
+    staged-but-uncommitted files are indistinguishable from crash orphans
+    by reference alone — deleting them would corrupt the snapshot that
+    writer is about to commit.  The maintenance ops' auto-vacuum passes
+    :data:`VACUUM_GRACE_S`; an explicit ``vacuum(out)`` defaults to 0
+    (immediate reclamation — correct once all writers are quiesced).
+
+    A directory with NO commit log yet (a legacy table written by the
+    non-atomic path, awaiting ``ensure_manifest`` adoption) is left
+    untouched: an empty live set there means "nothing published", not
+    "everything is garbage"."""
     latest = _latest_version(out_dir)
+    removed: list[str] = []
+    if latest == 0:
+        return removed
+    now = time.time()
+
+    def _old_enough(p: str) -> bool:
+        if min_age_s <= 0:
+            return True
+        try:
+            return now - os.path.getmtime(p) >= min_age_s
+        except OSError:
+            return False  # vanished concurrently — another vacuum got it
     live: dict[str, set] = {}
     for v in range(max(1, latest - keep_versions), latest + 1):
         snap = _resolve(out_dir, v)
         for t, fs in snap["tables"].items():
             live.setdefault(t, set()).update(fs)
-    removed: list[str] = []
-    shutil.rmtree(os.path.join(out_dir, "_staging"), ignore_errors=True)
+    staging_root = os.path.join(out_dir, "_staging")
+    if os.path.isdir(staging_root):
+        for d in os.listdir(staging_root):
+            p = os.path.join(staging_root, d)
+            if _old_enough(p):
+                shutil.rmtree(p, ignore_errors=True)
     if not os.path.isdir(out_dir):
         return removed
     for entry in os.listdir(out_dir):
@@ -748,8 +814,9 @@ def vacuum(out_dir: str, keep_versions: int = 0) -> list[str]:
             for fname in files:
                 if fname.startswith(("_", ".")):
                     continue
-                rel = os.path.relpath(os.path.join(root, fname), tdir)
-                if rel not in keep:
-                    os.remove(os.path.join(root, fname))
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, tdir)
+                if rel not in keep and _old_enough(full):
+                    os.remove(full)
                     removed.append(os.path.join(entry, rel))
     return sorted(removed)

@@ -83,7 +83,9 @@ def test_replayed_batch_merges_to_nothing(spark, tmp_path):
     after = read_published(spark, out, MEMBERS_TABLE)
     assert after.count() == before == 30
     assert after.select("vec_id").distinct().count() == 30
-    assert read_manifest(out)["version"] > v_before  # version moved, data didn't
+    # a fully-duplicate replay stages nothing and burns NO version
+    # (empty deltas would shrink the retention horizon)
+    assert read_manifest(out)["version"] == v_before
 
 
 def test_sink_wrapper_builds_same_index(spark, tmp_path):
@@ -128,6 +130,35 @@ def test_search_empty_index_is_schema_stable(spark, tmp_path):
     res = ann_index_search(spark, out, _df(spark, rows), cents, cb)
     assert res.count() == 0
     assert [f.name for f in res.schema.fields] == ["vec_id", "neighbor_id", "adc"]
+    # a non-default id_col keeps the SAME schema in the empty and
+    # non-empty paths (the empty path must not hardcode vec_id)
+    q2 = _df(spark, rows).withColumnRenamed("vec_id", "doc_id")
+    res2 = ann_index_search(spark, out, q2, cents, cb, id_col="doc_id")
+    assert [f.name for f in res2.schema.fields] == ["doc_id", "neighbor_id", "adc"]
+
+
+def test_search_exclude_self_is_for_shared_id_spaces(spark, tmp_path):
+    """exclude_self=True (default) drops id-equal pairs — right when
+    queries ARE members.  A foreign-id query batch passes False: the
+    id-equal member is a DIFFERENT object and must compete (here it is
+    the query's exact vector, so it comes back as the top neighbor)."""
+    out = str(tmp_path / "idx6")
+    rows = _vec_rows(0, 30)
+    cents, cb = _quantizer(spark, rows)
+    update_ann_index(spark, _df(spark, rows), out, 0, cents, cb)
+
+    q = _df(spark, rows[:1])  # external query that happens to carry id 0
+    with_self = ann_index_search(
+        spark, out, q, cents, cb, nprobe=NPROBE, k=K, exclude_self=False
+    ).collect()
+    without = ann_index_search(
+        spark, out, q, cents, cb, nprobe=NPROBE, k=K
+    ).collect()
+    neigh_with = {r["neighbor_id"] for r in with_self}
+    neigh_without = {r["neighbor_id"] for r in without}
+    assert 0 in neigh_with and 0 not in neigh_without
+    top = max(with_self, key=lambda r: (r["adc"], -r["neighbor_id"]))
+    assert top["neighbor_id"] == 0  # its own stored twin wins
 
 
 def test_search_prunes_to_probed_cells(spark, tmp_path):

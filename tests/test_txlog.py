@@ -351,6 +351,70 @@ def test_expire_files_is_metadata_only(spark, tmp_path):
     assert expire_files(spark, out, "t", "nope", 150) == {"removed": 0, "kept": 2}
 
 
+def test_vacuum_never_touches_a_logless_directory(spark, tmp_path):
+    """A directory with NO commit log (a legacy table written by the
+    non-atomic path, awaiting ensure_manifest adoption) must survive
+    vacuum untouched: an empty live set there means 'nothing published',
+    not 'everything is garbage'."""
+    out = str(tmp_path / "legacy")
+    _batch(spark, 0, 10).write.parquet(os.path.join(out, "t.parquet"))
+    assert vacuum(out) == []
+    assert spark.read.parquet(os.path.join(out, "t.parquet")).count() == 10
+
+
+def test_vacuum_grace_window_spares_young_orphans(spark, tmp_path):
+    """min_age_s keeps unreferenced files younger than the grace window —
+    a concurrent writer's staged-but-uncommitted files are
+    indistinguishable from crash orphans by reference alone.  Grace 0
+    (the explicit-call default) reclaims them."""
+    out = str(tmp_path / "grace")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    # simulate a concurrent writer mid-stage: a file in the table dir
+    # referenced by no commit, just created (mtime = now)
+    orphan = os.path.join(out, "t.parquet", "part-inflight.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1stub")
+    assert vacuum(out, min_age_s=3600) == []  # young → spared
+    assert os.path.exists(orphan)
+    removed = vacuum(out)  # explicit quiesced cleanup: grace 0
+    assert removed == [os.path.join("t.parquet", "part-inflight.parquet")]
+
+
+def test_publish_batch_null_pk_replay_is_idempotent(spark, tmp_path):
+    """The atomic sink's duplicate probe must be NULL-SAFE like
+    merge_plan's: a nullable PK component (silver-table shape) under
+    plain equality would re-append every NULL-keyed row per replay."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "nullpk")
+    rows = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, None, 30)], "id long, code string, v long"
+    ).coalesce(1)
+    pks = {"t": ("id", "code")}
+    publish_batch(spark, {"t": rows}, out, pks=pks)
+    publish_batch(spark, {"t": rows}, out, pks=pks)  # full replay
+    got = read_published(spark, out, "t")
+    assert got.count() == 3, "NULL-keyed rows duplicated on replay"
+    assert got.filter(F.col("code").isNull()).count() == 2
+
+
+def test_publish_batch_noop_burns_no_version_or_files(spark, tmp_path):
+    """A fully-duplicate (or empty) batch commits nothing: no version
+    bump (empty deltas would shrink the retention horizon) and no 0-row
+    part files accumulating per replay."""
+    out = str(tmp_path / "noop")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    v1 = read_manifest(out)["version"]
+    n_files = len(read_manifest(out)["tables"]["t"])
+    snap = publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    assert snap["version"] == v1  # returned the current snapshot
+    assert read_manifest(out)["version"] == v1
+    assert len(read_manifest(out)["tables"]["t"]) == n_files
+    # empty input batch: same story
+    publish_batch(spark, {"t": _batch(spark, 5, 5)}, out, pks=PK)
+    assert read_manifest(out)["version"] == v1
+
+
 def test_maintenance_vacuum_preserves_recent_snapshots(spark, tmp_path):
     """Maintenance ops auto-vacuum with a RETENTION horizon, never 0 — a
     reader pinned to the pre-maintenance snapshot (or a time-travel read)
@@ -475,16 +539,26 @@ def test_maintenance_ops_survive_version_races(spark, tmp_path, monkeypatch):
     # (rows 100..499 after the expire + both interlopers)
     assert res_z == {}
     assert read_published(spark, out, "t").count() == 400
-    # the abandoned rewrite's staged files are not live anywhere
+    # the abandoned rewrite's staged files are referenced by NO snapshot;
+    # the auto-vacuum's concurrency grace spares them while young, and an
+    # explicit quiesced vacuum (grace 0) reclaims them completely
     m = read_manifest(out)
     tdir = os.path.join(out, "t.parquet")
-    on_disk = {
-        os.path.relpath(os.path.join(r, f), tdir)
-        for r, _d, fs in os.walk(tdir)
-        for f in fs
-        if not f.startswith(("_", "."))
-    }
-    live_recent = set()
-    for v in range(max(1, m["version"] - pub.MAINT_KEEP_VERSIONS), m["version"] + 1):
-        live_recent |= set(read_manifest(out, version=v)["tables"]["t"])
-    assert on_disk <= live_recent, on_disk - live_recent
+
+    def _on_disk():
+        return {
+            os.path.relpath(os.path.join(r, f), tdir)
+            for r, _d, fs in os.walk(tdir)
+            for f in fs
+            if not f.startswith(("_", "."))
+        }
+
+    all_versions_live = set()
+    for v in range(1, m["version"] + 1):
+        all_versions_live |= set(
+            read_manifest(out, version=v)["tables"].get("t", [])
+        )
+    orphans = _on_disk() - all_versions_live
+    assert orphans, "expected the abandoned z-files to linger under grace"
+    vacuum(out)  # quiesced cleanup: grace 0, live snapshot only
+    assert _on_disk() == set(m["tables"]["t"])

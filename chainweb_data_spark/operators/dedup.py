@@ -323,6 +323,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket_size: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
@@ -335,15 +336,22 @@ def lsh_candidate_pairs(
     whole join is bounded by n_buckets × c²/2 candidates).  A giant bucket
     means the band signature carries no discrimination for those docs; pairs
     inside it still surface through their other, selective bands.
+
+    ``banded`` — pass precomputed (id, band, bucket) rows to skip the
+    banding pass entirely (the streaming dedup index already holds them
+    cached per micro-batch; recomputing would run the heaviest batch-side
+    shuffle — the explode + num_hashes-way min groupBy — twice per batch).
     """
-    banded = banded_signatures(signatures, id_col, num_hashes, bands)
-    # The banded relation feeds up to three consumers (hot-bucket agg, the
-    # anti-join probe, both self-join sides); without caching, each one
-    # re-runs the shingle→md5×num_hashes signature pipeline upstream.  It is
-    # tiny relative to the corpus (bands rows × ~50 B per doc — the classic
-    # materialized LSH index), so cache it: at cluster scale this is the
-    # deliberate persist of the banded index between candidate stages.
-    banded = banded.cache()
+    if banded is None:
+        banded = banded_signatures(signatures, id_col, num_hashes, bands)
+        # The banded relation feeds up to three consumers (hot-bucket agg,
+        # the anti-join probe, both self-join sides); without caching, each
+        # re-runs the shingle→md5×num_hashes signature pipeline upstream.
+        # It is tiny relative to the corpus (bands rows × ~50 B per doc —
+        # the classic materialized LSH index), so cache it: at cluster
+        # scale this is the deliberate persist of the banded index between
+        # candidate stages.
+        banded = banded.cache()
     if max_bucket_size is not None:
         # HOT list, not a keep list (same reasoning as the ngram stop-shingle
         # cap): buckets over the cap are few even on a skewed corpus, so the

@@ -165,7 +165,17 @@ def pack_offsets(
     from pyspark.sql.window import Window
 
     w_in = Window.partitionBy("_pid").orderBy(id_col)
-    local = part.withColumn("_cum_in", F.sum("_n").over(w_in))
+    # PIN the (_pid, _cum_in) assignment before anything consumes it twice:
+    # the totals collect below and the final join are two separate JOBS,
+    # and an unmaterialized repartitionByRange re-samples its range
+    # boundaries with a fresh seed per job — the second job's _pid
+    # assignments can differ from the ones the collected _base prefix sums
+    # describe, silently mis-basing offsets (measured: 249k of 400k rows
+    # wrong at 64 partitions).  localCheckpoint makes both jobs read the
+    # SAME materialized partitioning.
+    local = part.withColumn(
+        "_cum_in", F.sum("_n").over(w_in)
+    ).localCheckpoint(eager=True)
     totals = (
         local.groupBy("_pid")
         .agg(F.max("_cum_in").alias("_tot"))
@@ -509,10 +519,17 @@ def fingerprint(
             )
         )
     elif mode == "xxhash64":
-        fp = F.aggregate(
-            F.sequence(F.lit(1), npos),
-            F.lit(9223372036854775807),  # long max: identity for least()
-            lambda acc, i: F.least(acc, F.xxhash64(c.substr(i, F.lit(k)))),
+        # NULL text must fingerprint to NULL like the other two modes:
+        # xxhash64(NULL) ignores the null argument and returns the SEED
+        # (42), so without the guard every NULL-text doc would collide
+        # into one constant-42 dedup bucket
+        fp = F.when(
+            c.isNotNull(),
+            F.aggregate(
+                F.sequence(F.lit(1), npos),
+                F.lit(9223372036854775807),  # long max: identity for least()
+                lambda acc, i: F.least(acc, F.xxhash64(c.substr(i, F.lit(k)))),
+            ),
         )
     elif mode == "rolling64":
 
@@ -552,6 +569,34 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def _term_freq_scaffold(df: DataFrame, id_col: str, text_col: str):
+    """Shared tokenize → per-doc tf → corpus df scaffold for the term
+    scorers (:func:`tfidf_topk_terms`, :func:`bm25_topk_terms`) — ONE
+    tokenization rule, so a change to it can never silently diverge the
+    two scorers.  Returns (toks, tf, dfreq)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    return toks, tf, dfreq
+
+
+def _topk_terms(scored: DataFrame, id_col: str, k: int, cols: list[str]):
+    """Shared per-doc top-k window for the term scorers: rank by
+    (score desc, token asc) — one tie-break contract for both."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, *cols, "rank")
+    )
+
+
 def tfidf_topk_terms(
     df: DataFrame,
     id_col: str,
@@ -576,26 +621,13 @@ def tfidf_topk_terms(
     Ties (equal score) break on token ascending — total order, so the
     result set is engine-stable.
     """
-    from pyspark.sql.window import Window
-
     if n_docs is None:
         n_docs = df.select(id_col).distinct().count()
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).filter(F.length("token") > 0)
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    _toks, tf, dfreq = _term_freq_scaffold(df, id_col, text_col)
     scored = tf.join(dfreq, "token").withColumn(
         "score", F.col("tf").cast("double") * F.lit(n_docs) / F.col("df")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("token").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "token", "tf", "df", "score", "rank")
-    )
+    return _topk_terms(scored, id_col, k, ["token", "tf", "df", "score"])
 
 
 def normalize_text(col: Column) -> Column:
@@ -744,12 +776,17 @@ def assign_splits(
     cum, bounds = 0.0, []
     for name in names[:-1]:
         cum += weights[name]
-        bounds.append((name, format(min(int(cum * 65536), 65535), "04x")))
+        # a cumulative bound of exactly 1.0 must swallow EVERYTHING —
+        # clamping it to 0xffff would leak the 'ffff'-prefixed 1/65536 of
+        # rows into the next split (quiet train/test contamination when
+        # that split has weight 0); None marks an always-match bound
+        q = int(cum * 65536)
+        bounds.append((name, format(q, "04x") if q < 65536 else None))
     h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
     # first-match CASE chain over ascending cumulative bounds
     chain = None
     for name, bound in bounds:
-        cond = h < F.lit(bound)
+        cond = F.lit(True) if bound is None else (h < F.lit(bound))
         chain = F.when(cond, F.lit(name)) if chain is None else chain.when(
             cond, F.lit(name)
         )
@@ -792,17 +829,27 @@ def temperature_sample(
     c_min = counts.agg(
         F.min(F.col("_ns") / _pow(F.col("_ns").cast("double"))).alias("_c")
     )
+    # the ARGMIN source's ratio is mathematically exactly 1, but the float
+    # round-trip (c * pow(ns) / ns) lands at 0.999999999999999x for ~3.7%
+    # of source sizes, flooring to quantum-1 and silently dropping
+    # 1/quantum of the smallest source — violating the keep-everything
+    # contract.  The min is one of the compared values, so float equality
+    # of the identically-computed expression identifies the argmin rows
+    # exactly (in any engine); they get the full quantum outright.
+    ratio_term = F.col("_ns") / _pow(F.col("_ns").cast("double"))
     rates = (
         counts.crossJoin(F.broadcast(c_min))
         .select(
             "_src_key",
-            F.floor(
-                F.col("_c")
-                * _pow(F.col("_ns").cast("double"))
-                / F.col("_ns")
-                * F.lit(quantum)
+            F.when(ratio_term == F.col("_c"), F.lit(quantum).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.col("_c")
+                    * _pow(F.col("_ns").cast("double"))
+                    / F.col("_ns")
+                    * F.lit(quantum)
+                ).cast("long")
             )
-            .cast("long")
             .alias("_keep_q"),
         )
     )
@@ -1113,15 +1160,9 @@ def bm25_topk_terms(
     aggregation, a doc-keyed length join (map-side combinable), the
     token join left to AQE (open vocabularies don't broadcast), and one
     per-doc top-k window."""
-    from pyspark.sql.window import Window
-
     if n_docs is None:
         n_docs = df.select(id_col).distinct().count()
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
-    ).filter(F.length("token") > 0)
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    toks, tf, dfreq = _term_freq_scaffold(df, id_col, text_col)
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     avg = dl.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl")
@@ -1157,11 +1198,6 @@ def bm25_topk_terms(
             ),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col("token").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "token", "tf", "df", "dl", "score", "rank")
+    return _topk_terms(
+        scored, id_col, k, ["token", "tf", "df", "dl", "score"]
     )

@@ -2790,8 +2790,9 @@ def dataset_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rates AS (
       SELECT source,
-             CAST(floor(c * sqrt(CAST(ns AS DOUBLE)) / ns * 65536) AS BIGINT)
-               AS keep_q
+             CASE WHEN ns / sqrt(CAST(ns AS DOUBLE)) = c THEN CAST(65536 AS BIGINT)
+                  ELSE CAST(floor(c * sqrt(CAST(ns AS DOUBLE)) / ns * 65536) AS BIGINT)
+             END AS keep_q
       FROM counts, cmin
     )
     SELECT d.doc_id, d.source FROM documents d
@@ -2824,8 +2825,9 @@ def temperature_sample_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cmin AS (SELECT MIN(ns / sqrt(CAST(ns AS DOUBLE))) AS c FROM counts),
     rates AS (
       SELECT source,
-             CAST(floor(c * sqrt(CAST(ns AS DOUBLE)) / ns * 65536) AS BIGINT)
-               AS keep_q
+             CASE WHEN ns / sqrt(CAST(ns AS DOUBLE)) = c THEN CAST(65536 AS BIGINT)
+                  ELSE CAST(floor(c * sqrt(CAST(ns AS DOUBLE)) / ns * 65536) AS BIGINT)
+             END AS keep_q
       FROM counts, cmin
     ),
     sampled AS (

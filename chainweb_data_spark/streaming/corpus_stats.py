@@ -58,8 +58,15 @@ def update_corpus_stats(
 
 def corpus_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     """Current totals per language: one aggregation over the (small) delta
-    table — never the corpus."""
+    table — never the corpus.  Before the first batch is folded the table
+    does not exist; a monitoring/mixing poller then gets an EMPTY frame
+    with the totals schema (same guard stance as dedup_index's
+    ``_read_if_exists``), not a PATH_NOT_FOUND crash."""
     path = os.path.join(out_dir, STATS_TABLE)
+    if not os.path.exists(path):
+        return spark.createDataFrame(
+            [], "lang string, n_docs bigint, n_tokens bigint, n_chars bigint"
+        )
     return (
         spark.read.parquet(path)
         .groupBy("lang")

@@ -58,6 +58,18 @@ SETS_TABLE = "shingle_sets.parquet"
 COUNTS_TABLE = "bucket_counts.parquet"
 
 
+def _id_bucket(id_col: str, n: int = 16):
+    """Partition bucket for an id of ANY type: xxhash64 of the string form,
+    mod ``n``.  A plain ``pmod(id, 16)`` assumed numeric ids — string ids
+    (URLs, content hashes) crashed the fold under ANSI mode, and under
+    non-ANSI the NULL cast made every key_bucket NULL, which emptied the
+    merge probe's pruned view and broke replay idempotence (every replay
+    re-appended)."""
+    return F.pmod(
+        F.xxhash64(F.col(id_col).cast("string")), F.lit(n)
+    ).cast("string")
+
+
 def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path) if os.path.exists(path) else None
 
@@ -173,9 +185,11 @@ def update_dedup_index(
         )
 
     # batch-internal candidates (standard capped self-join) — dup_of is the
-    # batch's earlier (min-id) doc
+    # batch's earlier (min-id) doc; reuse the cached banded rows computed
+    # above rather than re-running the signature/banding shuffle
     internal = dd.lsh_candidate_pairs(
-        sig, id_col, num_hashes, bands, max_bucket_size=max_bucket_size
+        sig, id_col, num_hashes, bands,
+        max_bucket_size=max_bucket_size, banded=banded,
     ).select(F.col("id_b").alias("id_new"), F.col("id_a").alias("id_old"))
 
     cand = internal if cross is None else internal.unionByName(cross).distinct()
@@ -229,7 +243,7 @@ def update_dedup_index(
             "key_bucket", F.substring("bucket", 1, 1)
         ).coalesce(1),
         "shingle_sets": sets_.withColumn(
-            "key_bucket", F.pmod(F.col(id_col), F.lit(16)).cast("string")
+            "key_bucket", _id_bucket(id_col)
         ).coalesce(1),
         "bucket_counts": banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("n"))
@@ -303,10 +317,7 @@ def dedup_index_sink(
             **index_kwargs,
         )
         if flags_dir is not None:
-            out = flags.withColumn(
-                "key_bucket",
-                F.pmod(F.col(id_col), F.lit(16)).cast("string"),
-            )
+            out = flags.withColumn("key_bucket", _id_bucket(id_col))
             merge_batch(sp, out, flags_dir, (id_col, "dup_of"))
 
     writer = (

@@ -52,6 +52,30 @@ def test_pack_offsets_partitioning_invariant(spark):
     assert a == b == c
 
 
+def test_pack_offsets_exact_at_many_range_partitions(spark):
+    """Regression: the totals collect and the final join are two JOBS over
+    the range exchange; un-materialized, the RangePartitioner re-samples
+    with a fresh seed per job and the second job's _pid assignments can
+    diverge from the collected _base prefix sums (measured 249k/400k rows
+    mis-based at 64 partitions).  The localCheckpoint pin makes both jobs
+    read one materialized partitioning; verify against the plain prefix
+    sum at a row count that forces real range sampling."""
+    n = 60_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n")
+    ).repartition(64)
+    got = {
+        r["doc_id"]: r["start_offset"]
+        for r in tx.pack_offsets(df, "doc_id", "n", 2048).collect()
+    }
+    acc, bad = 0, 0
+    for i in range(n):
+        if got[i] != acc:
+            bad += 1
+        acc += i % 97
+    assert bad == 0, f"{bad}/{n} rows mis-based"
+
+
 def test_sample_pred_nesting_and_rate(spark):
     """Deterministic samples NEST (num/256 ⊆ (num+m)/256 — the property
     that lets a pipeline cheaply grow a sample without resampling) and hit
@@ -278,6 +302,58 @@ def test_assign_splits_partitions_exactly(spark):
         df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     assert out.exceptAll(again).count() == 0
+
+
+def test_temperature_sample_min_source_survives_float_roundtrip(spark):
+    """Regression: for ~3.7% of source sizes n (e.g. 7), the float
+    round-trip (c · √n / n) lands at 0.99999999999999989, flooring the
+    keep rate to 65535/65536 — and any min-source row whose md5 hash hits
+    bucket 65535 was silently dropped despite the keep-everything
+    contract.  doc_id 215574 hashes to exactly that bucket; with a
+    7-row smallest source it must survive."""
+    small_ids = [215574, 1, 2, 3, 4, 5, 6]  # n=7: the 0.999... case
+    rows = [(i, "small") for i in small_ids] + [
+        (1000 + i, "big") for i in range(700)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = tx.temperature_sample(df, "doc_id", "source", alpha=0.5)
+    kept_small = {r["doc_id"] for r in out.filter("source = 'small'").collect()}
+    assert kept_small == set(small_ids), kept_small
+
+
+def test_assign_splits_validates_and_full_weight_swallows_all(spark):
+    """Regression pair: (a) over-summing weights raise instead of
+    silently starving the remainder split; (b) a cumulative bound of
+    exactly 1.0 swallows EVERYTHING — doc_id 40691's md5 prefix is
+    'ffff', the 1/65536 slice the old 0xffff clamp leaked into the next
+    split (quiet train/test contamination at weight 0)."""
+    import pytest
+
+    df = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    with pytest.raises(ValueError, match="sum"):
+        tx.assign_splits(df, "doc_id", {"train": 0.8, "val": 0.4})
+    with pytest.raises(ValueError, match="negative"):
+        tx.assign_splits(df, "doc_id", {"train": -0.1, "val": 1.0})
+
+    edge = spark.createDataFrame([(40691,), (1,)], "doc_id long")
+    out = tx.assign_splits(edge, "doc_id", {"train": 1.0, "test": 0.0})
+    assert {r["split"] for r in out.collect()} == {"train"}
+
+
+def test_fingerprint_null_text_is_null_in_every_mode(spark):
+    """Regression: xxhash64(NULL) ignores the null and returns the SEED
+    (42), so NULL-text docs all collided into one constant fingerprint
+    bucket in that mode while md5/rolling64 returned NULL."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "some real text here")], "doc_id long, t string"
+    )
+    for mode in ("md5", "xxhash64", "rolling64"):
+        got = {
+            r["doc_id"]: r["fp"]
+            for r in tx.fingerprint(df, "t", k=8, mode=mode).collect()
+        }
+        assert got[1] is None, (mode, got[1])
+        assert got[2] is not None, mode
 
 
 def test_temperature_sample_keeps_null_source_stratum(spark):

@@ -76,6 +76,40 @@ def test_replay_is_idempotent(spark, tmp_path):
     )
 
 
+def test_string_ids_flag_and_replay(spark, tmp_path):
+    """Regression: key_bucket was pmod(id, 16), which assumed numeric ids
+    — string ids (URLs, content hashes) crashed the fold under ANSI mode,
+    and under non-ANSI every key_bucket went NULL, emptying the merge
+    probe's pruned view so each replay re-appended duplicates.  The
+    xxhash64-of-string bucket must flag and replay exactly like the
+    numeric path."""
+    out = str(tmp_path / "sidx")
+    b0 = spark.createDataFrame(
+        [("url://a", BASE_TEXT)], "doc_id string, text string"
+    )
+    b1 = spark.createDataFrame(
+        [("url://b", BASE_TEXT + " tail")], "doc_id string, text string"
+    )
+    update_dedup_index(spark, b0, out, batch_id=0)
+    first = _flags(update_dedup_index(spark, b1, out, batch_id=1))
+    assert first == [("url://b", "url://a")]
+    n_sets = spark.read.parquet(os.path.join(out, SETS_TABLE)).count()
+    replay = _flags(update_dedup_index(spark, b1, out, batch_id=1))
+    assert replay == first
+    assert spark.read.parquet(os.path.join(out, SETS_TABLE)).count() == n_sets
+
+
+def test_corpus_stats_empty_before_first_batch(spark, tmp_path):
+    """A monitoring/mixing poller reading corpus_stats before the first
+    fold gets an EMPTY totals frame with the full schema, not a
+    PATH_NOT_FOUND crash."""
+    from chainweb_data_spark.streaming.corpus_stats import corpus_stats
+
+    got = corpus_stats(spark, str(tmp_path / "nostats"))
+    assert got.count() == 0
+    assert got.columns == ["lang", "n_docs", "n_tokens", "n_chars"]
+
+
 def test_matches_batch_operator_on_union(spark, tmp_path):
     """Feeding the corpus in two batches flags exactly the pairs the batch
     operator finds on the union (oriented newer←older)."""

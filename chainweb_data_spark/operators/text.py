@@ -144,6 +144,7 @@ def pack_offsets(
     id_col: str,
     tokens_col: str,
     capacity: int,
+    _pin_partitions: bool = True,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: assign every document its global
     token offset and the context-window chunk range it lands in —
@@ -172,10 +173,12 @@ def pack_offsets(
     # assignments can differ from the ones the collected _base prefix sums
     # describe, silently mis-basing offsets (measured: 249k of 400k rows
     # wrong at 64 partitions).  localCheckpoint makes both jobs read the
-    # SAME materialized partitioning.
-    local = part.withColumn(
-        "_cum_in", F.sum("_n").over(w_in)
-    ).localCheckpoint(eager=True)
+    # SAME materialized partitioning.  ``_pin_partitions=False`` exists
+    # ONLY so the plan-quality test can see the pre-checkpoint window
+    # shape (the pin truncates lineage); production always pins.
+    local = part.withColumn("_cum_in", F.sum("_n").over(w_in))
+    if _pin_partitions:
+        local = local.localCheckpoint(eager=True)
     totals = (
         local.groupBy("_pid")
         .agg(F.max("_cum_in").alias("_tot"))

@@ -5,6 +5,7 @@ in the registry degenerates into a cartesian product.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from chainweb_data_spark.queries import query_fns
 
@@ -98,9 +99,29 @@ def test_encode_vocab_lookup_broadcasts(spark):
 def test_pack_sequences_window_is_partitioned(spark):
     # the scale point of pack_offsets: the running sum must be a
     # PARTITIONED window (per-_pid cumsum + driver prefix), never a
-    # single-partition global window over the corpus
-    p = plan_of(spark, "pack_sequences").replace(" ", "")
+    # single-partition global window over the corpus.  The production
+    # path localCheckpoints the cumsum (pinning the range partitioning
+    # across the totals job and the join job), which truncates lineage —
+    # so the window shape is asserted on the unpinned twin, and the
+    # gated plan is asserted window-FREE (the checkpoint swallowed it;
+    # a global window reappearing there would be a regression too).
+    from chainweb_data_spark.operators import text as tx
+    from chainweb_data_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    unpinned = tx.pack_offsets(
+        docs.select("doc_id", tx.token_count(F.col("text")).alias("n")),
+        "doc_id",
+        "n",
+        2048,
+        _pin_partitions=False,
+    )
+    p = spark._jvm.PythonSQLUtils.explainString(
+        unpinned._jdf.queryExecution(), "formatted"
+    ).replace(" ", "")
     assert "windowspecdefinition(_pid" in p, "global-window cumsum detected"
+    gated = plan_of(spark, "pack_sequences").replace(" ", "")
+    assert "windowspecdefinition()" not in gated, "unpartitioned window"
 
 
 def test_chunking_is_shuffle_free(spark):

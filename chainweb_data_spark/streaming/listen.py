@@ -144,6 +144,11 @@ def merge_batch(spark: SparkSession, df: DataFrame, path: str, pk: tuple[str, ..
     directory); rewrite the table through sources/layout.py to migrate it to
     the bucketed layout."""
     batch, bucket_col = merge_plan(spark, df, path, pk)
+    # execute the merge plan ONCE: isEmpty below and the append write are
+    # two actions, and the unmaterialized plan (duplicate-probe scan +
+    # dedup shuffle + anti-join) would run for each — doubling the very
+    # per-batch sink cost the streaming rehearsal measures
+    batch = batch.localCheckpoint(eager=True)
     if batch.isEmpty():
         # appending zero rows is a no-op — and on a FIRST write it would
         # create a schema-less directory (only _SUCCESS) that breaks every
@@ -208,6 +213,12 @@ def listen_stream(
         batch_df = batch_df.filter(
             F.from_json("header", HEADER_SCHEMA)["hash"].isNotNull()
         )
+        # pin the parsed batch: every table's merge is its own action, and
+        # without this the raw-JSON parse + payload decode lineage would
+        # re-execute once per table per action (the classic foreachBatch
+        # multi-sink pitfall) — ingest latency would scale with table
+        # count instead of once per batch
+        batch_df = batch_df.localCheckpoint(eager=True)
         tables = payload_to_tables(batch_df, event_min_height=event_min_height)
         # derive events once; transfers re-derive from it inside
         # payload_to_tables — all six writes see one consistent batch

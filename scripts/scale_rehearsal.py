@@ -40,6 +40,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# scaled-fixture cache dirs are keyed by the BASE corpus identity too:
+# keyed by multiplier alone, a run with a different SPARK_GRAFT_SF_DIR
+# would silently reuse a fixture built from another base and the growth
+# ratios would compare unrelated corpora
+import hashlib as _hashlib
+_BASE_TAG = (os.path.basename(BASE_SF.rstrip("/")) or "base") + "-" + \
+    _hashlib.md5(os.path.abspath(BASE_SF).encode()).hexdigest()[:6]
+
 QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
@@ -63,15 +71,12 @@ QUERIES = [
     "contamination_score_docs",  # graded benchmark-overlap fraction
 ]
 
-# queries whose work happens at plan-construction time (iterative
-# connected components) — time these full-wall, not collect-only
-FULL_WALL = {"dedup_canonical_docs"}
 
 
 def build_scaled(spark, mult: int, distinct: bool = False) -> str:
     from pyspark.sql import functions as F
 
-    out = f"/tmp/cds_scale/sf0.1x{mult}{'d' if distinct else ''}"
+    out = f"/tmp/cds_scale/{_BASE_TAG}x{mult}{'d' if distinct else ''}"
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -149,7 +154,7 @@ def build_family_embeddings(spark, mult: int) -> str:
     cluster in small families, not one global blob."""
     from pyspark.sql import functions as F
 
-    out = f"/tmp/cds_scale/sf0.1fam{mult}"
+    out = f"/tmp/cds_scale/{_BASE_TAG}fam{mult}"
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -194,7 +199,7 @@ def build_skewed(spark, mult: int) -> str:
     one."""
     from pyspark.sql import functions as F
 
-    out = f"/tmp/cds_scale/sf0.1skew{mult}"
+    out = f"/tmp/cds_scale/{_BASE_TAG}skew{mult}"
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -292,19 +297,15 @@ def ivf_skew_report(spark, skew_dir: str) -> dict:
 
 
 def timed(fn, spark, sf_dir) -> float:
+    """Construction + collect — the SCALE-honest timer.  Several variants
+    do O(corpus) distributed work while BUILDING the plan (connected
+    components\' label rounds; the ANN quantizers\' count + md5-sample
+    scans and driver k-means), and a collect-only timer would exclude a
+    corpus-proportional component from exactly the scale-path growth
+    ratios this rehearsal exists to measure.  (bench.py deliberately
+    times collect-only — per-request cost, training amortized at server
+    startup; a GROWTH rehearsal must include everything that grows.)"""
     fn(spark, sf_dir).collect()  # warm: codegen + page cache
-    df = fn(spark, sf_dir)
-    t0 = time.perf_counter()
-    df.collect()
-    return round(time.perf_counter() - t0, 3)
-
-
-def timed_full_wall(fn, spark, sf_dir) -> float:
-    """Construction + collect: queries embedding duplicate_clusters run
-    their label-propagation rounds at DataFrame-CONSTRUCTION time
-    (localCheckpoint per round), so a collect-only timer misses nearly
-    all their work."""
-    fn(spark, sf_dir).collect()  # warm
     t0 = time.perf_counter()
     fn(spark, sf_dir).collect()
     return round(time.perf_counter() - t0, 3)
@@ -338,9 +339,8 @@ def main() -> None:
         "queries": {},
     }
     for name in QUERIES:
-        t = timed_full_wall if name in FULL_WALL else timed
-        t_base = t(fns[name], spark, BASE_SF)
-        t_scaled = t(fns[name], spark, scaled_dir)
+        t_base = timed(fns[name], spark, BASE_SF)
+        t_scaled = timed(fns[name], spark, scaled_dir)
         result["queries"][name] = {
             "base_s": t_base,
             "scaled_s": t_scaled,

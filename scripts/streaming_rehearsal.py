@@ -166,26 +166,14 @@ def build_dedup_history(spark, name: str, n_batches: int) -> str:
     """Fold n_batches of synthetic near-dup-free doc batches into a dedup
     index (500 docs per batch, disjoint id/vocab ranges so history growth
     is pure index size, not candidate growth)."""
-    from pyspark.sql import functions as F
-
     from chainweb_data_spark.streaming.dedup_index import update_dedup_index
 
     out = os.path.join(WORK, name)
     for b in range(n_batches):
-        docs = (
-            spark.range(b * 500, (b + 1) * 500)
-            .select(
-                F.col("id").alias("doc_id"),
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.concat(F.lit(f"w{b}_{i}_"), (F.col("id") * (i + 1)) % 9973)
-                        for i in range(40)
-                    ],
-                ).alias("text"),
-            )
-        )
-        update_dedup_index(spark, docs, out, batch_id=b)
+        # ONE corpus-shape definition (_doc_batch) for every regime — an
+        # inline copy here would let a tweak to one silently make the
+        # longrun and history rehearsals measure different corpora
+        update_dedup_index(spark, _doc_batch(spark, b), out, batch_id=b)
     return out
 
 

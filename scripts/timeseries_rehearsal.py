@@ -35,6 +35,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+import hashlib as _hashlib
+_BASE_TAG = (os.path.basename(BASE_SF.rstrip("/")) or "base") + "-" + \
+    _hashlib.md5(os.path.abspath(BASE_SF).encode()).hexdigest()[:6]
+
 QUERIES = ["asof_join_orders", "range_join_orders"]
 _KEY_OFFSET = 10_000_000
 
@@ -42,7 +46,7 @@ _KEY_OFFSET = 10_000_000
 def build_scaled(spark, mult: int, deep: bool = False) -> str:
     from pyspark.sql import functions as F
 
-    out = f"/tmp/cds_scale/ts_x{mult}{'deep' if deep else ''}"
+    out = f"/tmp/cds_scale/ts_{_BASE_TAG}_x{mult}{'deep' if deep else ''}"
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out

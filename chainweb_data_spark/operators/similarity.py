@@ -900,6 +900,103 @@ def cluster_assign(
     return df.select(id_col, vec_col).mapInPandas(_assign, schema)
 
 
+def semdedup_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    centroids: "np.ndarray | None" = None,
+    n_cells: int = 16,
+    train: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering then WITHIN-CLUSTER cosine pruning
+    — per vector: (id, cell, group_rep, group_size, cent_cosine, keep).
+
+    The method's core approximation is exactly its scale lever: pairwise
+    similarity is computed only INSIDE each cluster, never across the
+    corpus, so pair work is Σ occupancy² over cells instead of n².  Within
+    a cluster, vectors with pairwise cosine ≥ ``threshold`` form duplicate
+    groups (connected components — near-duplicacy is not transitive-closed
+    by pair emission), and each group KEEPS the member with the LOWEST
+    cosine to its centroid (the paper's diversity-preserving choice: the
+    least-prototypical example survives; ties break to the lowest id).
+    Vectors in no group keep themselves (group of one).
+
+    Plan shape: one Arrow assignment pass (``cluster_assign`` — centroids
+    broadcast, no shuffle), one id-equi-join to re-attach vectors, one
+    per-cell BLAS pair kernel (``bucket_pair_cosines`` — each cell's
+    vectors cross the Arrow boundary once, pair matrix is one V @ V.T),
+    then ``duplicate_clusters``'s convergence-checked min-label
+    propagation over the thresholded pairs and one ``min_by`` keeper
+    aggregation.  Per-cell kernel memory is occupancy × dim + occupancy²
+    doubles, so occupancy is the knob: size ``n_cells`` ~ √n (the
+    ``auto_n_cells`` rule) and split hot cones with the trained
+    quantizer's ``refine_hot_cells`` rail BEFORE calling this — the same
+    envelope discipline as ``ivf_topk``, upstream not after-the-fact.
+
+    Reference parity: none — the reference (Haskell ETL + Postgres,
+    haskell-src/lib/ChainwebDb/Queries.hs) has no vector surface; this
+    extends the beyond-reference curation suite's dedup family
+    (exact → MinHash/SimHash lexical → embedding-cosine exact tier →
+    ANN-pair tier) with the cluster-then-prune method named in the
+    training-data literature."""
+    from .dedup import duplicate_clusters
+
+    assign = cluster_assign(
+        df, id_col, vec_col, n_cells=n_cells, centroids=centroids, train=train
+    ).withColumnRenamed("cosine", "cent_cosine")
+    # re-attach vectors and shape the cell as a (band, key) bucket so the
+    # per-cell pair kernel is the SAME bucket-local matmul the ANN rerank
+    # uses — one code path for "all pairs inside a bounded bucket"
+    banded = (
+        df.select(id_col, vec_col)
+        .join(assign.select(id_col, "cell"), id_col)
+        .withColumn("band", F.lit(0))
+        .withColumn("key", F.col("cell").cast("string"))
+    )
+    pairs = (
+        bucket_pair_cosines(banded, id_col, vec_col)
+        .filter(
+            (F.col(id_col) < F.col("neighbor_id"))
+            & (F.col("cosine") >= F.lit(threshold))
+        )
+        .select(F.col(id_col).alias("id_a"), F.col("neighbor_id").alias("id_b"))
+    )
+    comps = duplicate_clusters(pairs).select(
+        F.col("id").alias(id_col),
+        F.col("cluster_rep").alias("_rep"),
+        F.col("cluster_size").alias("_size"),
+    )
+    full = assign.join(comps, id_col, "left").select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("_rep"), F.col(id_col)).alias("group_rep"),
+        F.coalesce(F.col("_size"), F.lit(1).cast("long")).alias("group_size"),
+        "cent_cosine",
+    )
+    # keeper per group = argmin (cent_cosine, id): min_by over an ordering
+    # struct, computed ONLY over grouped ids (size > 1) — a singleton is
+    # trivially its own keeper and must not inflate this relation to
+    # corpus size.  The keeper join is NOT forced broadcast (dup-heavy
+    # corpora can have many groups); AQE broadcasts it when it is small.
+    keepers = (
+        full.filter(F.col("group_size") > 1)
+        .groupBy("group_rep")
+        .agg(F.min_by(id_col, F.struct("cent_cosine", id_col)).alias("_keeper"))
+    )
+    return full.join(keepers, "group_rep", "left").select(
+        id_col,
+        "cell",
+        "group_rep",
+        "group_size",
+        "cent_cosine",
+        (F.col("_keeper").isNull() | (F.col(id_col) == F.col("_keeper"))).alias(
+            "keep"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (IVFPQ) — the memory tier that makes ANN survive
 # 100 TB: vectors compress to m one-byte-ish codes (here m=8 × 16 codes =

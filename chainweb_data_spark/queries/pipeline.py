@@ -2072,6 +2072,100 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.orderBy("vec_id")
 
 
+_SEMDEDUP_THRESHOLD = 0.45
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_ivf_cent_cte(_IVF_CELLS)},
+    sims AS (
+      SELECT e.vec_id, c.cell,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell, s AS cent_cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ),
+    vp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                         CAST(eb.embedding AS DOUBLE[])), 6)
+            >= {_SEMDEDUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION SELECT id_b, id_a FROM vp
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (
+      SELECT src AS id, least(src, MIN(dst)) AS group_rep
+      FROM reach GROUP BY src
+    ),
+    full_r AS (
+      SELECT a.vec_id, a.cell, COALESCE(l.group_rep, a.vec_id) AS group_rep,
+             a.cent_cosine
+      FROM assign a LEFT JOIN lab l ON l.id = a.vec_id
+    ),
+    gs AS (SELECT group_rep, COUNT(*) AS group_size FROM full_r GROUP BY group_rep),
+    keeper AS (
+      SELECT group_rep, vec_id AS keeper_id FROM (
+        SELECT group_rep, vec_id,
+               row_number() OVER (PARTITION BY group_rep
+                                  ORDER BY cent_cosine, vec_id) AS rn
+        FROM full_r
+      ) WHERE rn = 1
+    )
+    SELECT f.vec_id, f.cell, f.group_rep, gs.group_size, f.cent_cosine,
+           (f.vec_id = k.keeper_id) AS keep
+    FROM full_r f JOIN gs USING (group_rep) JOIN keeper k USING (group_rep)
+    ORDER BY vec_id
+    """
+
+
+@register("semdedup_prune_docs", oracle=_semdedup_oracle())
+def semdedup_prune_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune semantic dedup, Abbas et al. 2023):
+    k-means cluster assignment (the SAME trained quantizer the gated IVF
+    queries embed as oracle literals), WITHIN-CLUSTER cosine pairs ≥ 0.45
+    via the bucket-local BLAS kernel, connected components, and per-group
+    keeper = the member LEAST similar to its centroid (the paper's
+    diversity-preserving survivor).  Within-cluster-only pairing is the
+    method's defining approximation AND its scale bound: pair work is
+    Σ occupancy², held ~linear by √n cell sizing + the hot-cell split
+    rail, never the corpus-wide n².  Completes the dedup family's
+    semantic tier: exact cosine (envelope), ANN pairs (LSH), and now the
+    cluster-partitioned method the curation literature ships."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if _IVF_CENTROIDS is not None:
+        out = sim.semdedup_prune(
+            emb,
+            "vec_id",
+            "embedding",
+            threshold=_SEMDEDUP_THRESHOLD,
+            centroids=_IVF_CENTROIDS,
+        )
+    else:
+        out = sim.semdedup_prune(
+            emb,
+            "vec_id",
+            "embedding",
+            threshold=_SEMDEDUP_THRESHOLD,
+            n_cells=_IVF_CELLS,
+            train="lowest-id",
+        )
+    return out.orderBy("vec_id")
+
+
 @register(
     "trim_dup_spans_docs",
     oracle="""

@@ -363,3 +363,44 @@ def test_ivfpq_rerank_full_shortlist_equals_ivf(spark):
         )
     )
     assert rr == ivf
+
+
+def test_semdedup_prune_toy(spark):
+    """Pins the SemDeDup contract on handcrafted vectors: (1) the keeper
+    of a duplicate group is the member LEAST similar to its centroid,
+    (2) singletons keep themselves, (3) a high-cosine pair STRADDLING two
+    clusters is NOT pruned — within-cluster-only pairing is the method's
+    defining approximation, so this must hold by construction."""
+    import numpy as np
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),      # cell 0, cent_cos 1.0
+        (2, [0.995, 0.0, 0.0, 0.0999]),  # cell 0, pairs with 1 and 3
+        (3, [0.98, 0.0, 0.0, 0.199]),    # cell 0, least prototypical -> keeper
+        (4, [0.0, 1.0, 0.0, 0.0]),       # cell 1, singleton
+        (5, [0.0, 0.6, 0.8, 0.0]),       # cell 1, singleton (cos to 4 = 0.6)
+        (6, [0.74, 0.6726, 0.0, 0.0]),   # cell 0 } cos(6,7) = 0.995 >= 0.9
+        (7, [0.6726, 0.74, 0.0, 0.0]),   # cell 1 } but different cells
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+    out = {
+        r["vec_id"]: r
+        for r in sim.semdedup_prune(
+            df, "vec_id", "embedding", threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert len(out) == 7
+    # group {1,2,3}: rep=min id, size 3, keeper = id 3 (lowest cent cosine)
+    for i in (1, 2, 3):
+        assert out[i]["cell"] == 0
+        assert out[i]["group_rep"] == 1
+        assert out[i]["group_size"] == 3
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, False, True]
+    assert out[3]["cent_cosine"] < out[2]["cent_cosine"] < out[1]["cent_cosine"]
+    # singletons and the straddling pair all keep themselves
+    for i in (4, 5, 6, 7):
+        assert out[i]["group_rep"] == i
+        assert out[i]["group_size"] == 1
+        assert out[i]["keep"] is True
+    assert out[6]["cell"] == 0 and out[7]["cell"] == 1

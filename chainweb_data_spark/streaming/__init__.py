@@ -1,4 +1,5 @@
 from .ann_index import ann_index_search, ann_index_sink, update_ann_index
+from .curation import curate_batch, curation_sink
 from .dedup_index import dedup_index_sink, update_dedup_index
 from .listen import TABLE_PKS, listen_stream, merge_batch
 from .publish import (
@@ -24,6 +25,8 @@ __all__ = [
     "ann_index_search",
     "ann_index_sink",
     "update_ann_index",
+    "curate_batch",
+    "curation_sink",
     "dedup_index_sink",
     "update_dedup_index",
     "ConcurrentWriteError",

@@ -1,0 +1,295 @@
+"""Continuous curation sink — the train-prep pipeline as a STREAMING job:
+each arriving micro-batch of documents is quality-scored, exact-deduped
+against all history, near-dup-probed against the incremental MinHash
+index, and folded into a curated silver table with a per-reason reject
+log and incremental corpus stats — all with the listen sink's
+merge/replay discipline, so a crash anywhere replays to the same state.
+
+The batch capstones (queries/pipeline.py ``curation_pipeline``,
+``train_prep_pipeline``) answer "curate this corpus"; this module answers
+the production shape that exists the moment ingestion is continuous:
+"curate what arrived since the last trigger, against everything already
+held".  Per batch the work is O(batch + hits) — nothing here rescans
+history:
+
+- quality + language-ID are row-local projections (operators/text.py);
+- exact cross-history dedup probes a ``content_hashes`` silver table
+  (PK content_hash — the FIRST holder of a hash stays canonical forever)
+  with the batch side BROADCAST and the table scanned map-side only,
+  partition-pruned by the hash's first hex char: the dedup-index probe
+  pattern applied to exact identity;
+- near-dup detection is ``dedup_index.update_dedup_index`` unchanged —
+  three silver tables, one atomic manifest flip, the historical
+  hot-bucket rail;
+- the curated table, reject log, hash table, and per-language corpus
+  stats all land through idempotent PK merges (``listen.merge_batch``).
+
+Exactly-once: the engine replays an uncommitted batch with the SAME
+batch_id; every write above is a PK merge (replays append nothing) and
+the index fold is idempotent per (content, batch_id), so the post-replay
+state equals the single-run state.  The index's three tables commit
+atomically; the remaining tables are separate idempotent merges, so a
+crash BETWEEN merges can expose a half-curated batch to readers until
+the replay closes it — the same convergence window as ``atomic=False``
+listen, documented trade: curated docs are an analytical silver table,
+not a ledger.
+
+Reject semantics are flag-don't-drop at the LOG level: rejected docs are
+recorded with (reason, detail), kept docs land in the curated table —
+the caller's training job reads curated_docs and never re-derives the
+decisions.  Near-dup-rejected and exact-dup-rejected docs still fold
+into the hash table / dedup index (the content EXISTS; future copies
+must flag against it) — only quality-rejected docs are invisible to
+dedup history, because their text was never admitted.
+
+Reference parity: the reference's streaming surface is the header SSE
+listen (haskell-src/exec/Chainweb/Listen.hs); it has no document/curation
+surface.  This composes the beyond-reference curation operators into the
+continuous form a 100 TB training-data pipeline runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import lang_id, normalize_text, quality_features
+from .corpus_stats import update_corpus_stats
+from .dedup_index import _id_bucket, update_dedup_index
+from .listen import merge_batch
+
+CURATED_TABLE = "curated_docs.parquet"
+REJECTS_TABLE = "curation_rejects.parquet"
+HASHES_TABLE = "content_hashes.parquet"
+INDEX_SUBDIR = "dedup_index"
+
+
+def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    return spark.read.parquet(path) if os.path.exists(path) else None
+
+
+def curate_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.35,
+    min_jaccard: float = 0.2,
+    **index_kwargs,
+) -> dict:
+    """Curate one micro-batch against all history; returns a summary dict
+    ``{"batch_id", "n_in", "n_kept", "n_quality", "n_exact", "n_near"}``.
+
+    Stage order is cheapest-filter-first (quality is row-local, exact
+    dedup is a hash probe, near-dup pays signatures): each stage only
+    sees the previous stage's survivors, so the expensive MinHash fold
+    admits only documents that could actually be kept."""
+    scored = (
+        lang_id(quality_features(docs, text_col), text_col)
+        .withColumn("lang", F.col("lang_pred"))
+        .withColumn("content_hash", F.md5(normalize_text(F.col(text_col))))
+    )
+    scored = scored.localCheckpoint(eager=True)
+    n_in = scored.count()
+
+    # --- stage 1: quality gate (row-local) -------------------------------
+    qfail = scored.filter(F.col("quality_score") < min_quality)
+    qpass = scored.filter(F.col("quality_score") >= min_quality)
+
+    # --- stage 2: exact dedup, batch-internal then cross-history ---------
+    # batch-internal canonical = min id per hash (deterministic, replay-
+    # stable); cross-history probe: batch hashes broadcast, stored table
+    # map-side, pruned to the batch's key_buckets.  Stored rows whose
+    # doc_id is IN this batch are the replay's own first-run rows — they
+    # must not self-flag (same exclusion as the dedup index's cross probe).
+    canon = qpass.groupBy("content_hash").agg(F.min(id_col).alias("_keep_id"))
+    with_canon = qpass.join(canon, "content_hash")
+    internal_dup = with_canon.filter(F.col(id_col) != F.col("_keep_id")).select(
+        id_col, F.col("_keep_id").alias("_dup_of")
+    )
+    exact_survivors = with_canon.filter(F.col(id_col) == F.col("_keep_id")).drop(
+        "_keep_id"
+    )
+
+    stored = _read_if_exists(spark, os.path.join(out_dir, HASHES_TABLE))
+    cross_dup = None
+    if stored is not None:
+        keys = [
+            r[0]
+            for r in exact_survivors.select(
+                F.concat(F.lit("h"), F.substring("content_hash", 1, 1)).alias(
+                    "kb"
+                )
+            )
+            .distinct()
+            .collect()
+        ]
+        batch_ids = docs.select(F.col(id_col)).distinct()
+        new_side = exact_survivors.select(
+            F.col(id_col).alias("_new_id"), "content_hash"
+        )
+        cross_dup = (
+            stored.filter(F.col("key_bucket").isin(keys))
+            .join(F.broadcast(new_side), "content_hash")
+            .join(F.broadcast(batch_ids), id_col, "left_anti")
+            .select(
+                F.col("_new_id").alias(id_col),
+                F.col(id_col).alias("_dup_of"),
+            )
+        )
+        exact_survivors = exact_survivors.join(
+            cross_dup.select(id_col), id_col, "left_anti"
+        )
+    exact_dup = (
+        internal_dup if cross_dup is None else internal_dup.unionByName(cross_dup)
+    )
+    # freeze the stage-2 outputs BEFORE any table below is appended to —
+    # their lazy plans read the hash table this very batch merges into
+    exact_dup = exact_dup.localCheckpoint(eager=True)
+    exact_survivors = exact_survivors.localCheckpoint(eager=True)
+
+    # --- stage 3: near-dup probe + fold (atomic 3-table commit) ----------
+    flags = update_dedup_index(
+        spark,
+        exact_survivors.select(id_col, text_col),
+        os.path.join(out_dir, INDEX_SUBDIR),
+        batch_id=batch_id,
+        id_col=id_col,
+        text_col=text_col,
+        min_jaccard=min_jaccard,
+        **index_kwargs,
+    )
+    near_ids = flags.select(id_col).distinct()
+    kept = exact_survivors.join(near_ids, id_col, "left_anti")
+
+    # --- merges (each an idempotent PK merge; replays append nothing) ----
+    merge_batch(
+        spark,
+        canon.select(
+            "content_hash",
+            F.col("_keep_id").alias(id_col),
+            # 'h' prefix: an all-digit partition value set would be read
+            # back as BIGINT by partition-type inference, and the next
+            # batch's letter bucket would fail the implicit cast — the
+            # prefix pins the column to string forever
+            F.concat(F.lit("h"), F.substring("content_hash", 1, 1)).alias(
+                "key_bucket"
+            ),
+        ),
+        os.path.join(out_dir, HASHES_TABLE),
+        ("content_hash",),
+    )
+    rejects = (
+        qfail.select(
+            id_col,
+            F.lit("quality").alias("reason"),
+            F.format_number("quality_score", 4).alias("detail"),
+        )
+        .unionByName(
+            exact_dup.select(
+                id_col,
+                F.lit("exact_dup").alias("reason"),
+                F.col("_dup_of").cast("string").alias("detail"),
+            )
+        )
+        .unionByName(
+            # a doc can match SEVERAL historical near-dups; the reject log
+            # is one row per (doc, reason), so keep the strongest match
+            # (max jaccard, lowest dup_of on ties — deterministic for the
+            # replay-byte-identity contract)
+            flags.groupBy(id_col)
+            .agg(
+                F.min_by(
+                    F.struct("dup_of", "jaccard"),
+                    # -jaccard ascending = strongest first; dup_of ascending
+                    # breaks ties without assuming a numeric id type
+                    F.struct(-F.col("jaccard"), F.col("dup_of")),
+                ).alias("_m")
+            )
+            .select(
+                id_col,
+                F.lit("near_dup").alias("reason"),
+                F.concat_ws(
+                    ":",
+                    F.col("_m.dup_of").cast("string"),
+                    F.round(F.col("_m.jaccard"), 4).cast("string"),
+                ).alias("detail"),
+            )
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .withColumn("key_bucket", _id_bucket(id_col))
+    )
+    merge_batch(
+        spark, rejects, os.path.join(out_dir, REJECTS_TABLE), (id_col, "reason")
+    )
+    curated = kept.select(
+        id_col,
+        text_col,
+        "lang",
+        "quality_score",
+        "n_tokens",
+        "content_hash",
+        F.lit(batch_id).alias("batch_id"),
+        _id_bucket(id_col).alias("key_bucket"),
+    )
+    merge_batch(spark, curated, os.path.join(out_dir, CURATED_TABLE), (id_col,))
+    update_corpus_stats(
+        spark, kept, out_dir, batch_id, lang_col="lang", text_col=text_col
+    )
+
+    by_reason = {
+        r["reason"]: r["n"]
+        for r in rejects.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    n_quality = by_reason.get("quality", 0)
+    n_exact = by_reason.get("exact_dup", 0)
+    n_near = by_reason.get("near_dup", 0)
+    return {
+        "batch_id": batch_id,
+        "n_in": n_in,
+        "n_kept": n_in - n_quality - n_exact - n_near,
+        "n_quality": n_quality,
+        "n_exact": n_exact,
+        "n_near": n_near,
+    }
+
+
+def curation_sink(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    **curate_kwargs,
+):
+    """The curation pipeline as a SINK: ``writeStream.foreachBatch`` over
+    ``curate_batch``, mirroring ``dedup_index_sink``'s checkpoint +
+    engine-batch-id plumbing.  Point a document stream at a directory;
+    read ``curated_docs.parquet`` for training, ``curation_rejects``
+    for the audit log, ``corpus_stats`` for the live language mix.
+    Returns the StreamingQuery (caller awaits / stops)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        curate_batch(
+            batch_df.sparkSession,
+            batch_df,
+            out_dir,
+            batch_id=batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            **curate_kwargs,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,193 @@
+"""Streaming curation sink (streaming/curation.py): stage ordering
+(quality → exact → near-dup), cross-batch exact dedup against the hash
+table, replay idempotence of every output table, and the foreachBatch
+wrapper end-to-end."""
+
+import json as _json
+import os
+
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.streaming.curation import (
+    CURATED_TABLE,
+    HASHES_TABLE,
+    REJECTS_TABLE,
+    curate_batch,
+    curation_sink,
+)
+
+BASE_TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+OTHER_TEXT = "one two three four five six seven eight nine ten"
+MIN_Q = 0.3  # BASE/OTHER score ≈ 0.367 (pass); "zz" scores ≈ 0.17 (fail)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(spark, out, table):
+    p = os.path.join(out, table)
+    if not os.path.exists(p):
+        return []
+    return sorted(r["doc_id"] for r in spark.read.parquet(p).collect())
+
+
+def _rejects(spark, out):
+    p = os.path.join(out, REJECTS_TABLE)
+    if not os.path.exists(p):
+        return []
+    return sorted(
+        (r["doc_id"], r["reason"]) for r in spark.read.parquet(p).collect()
+    )
+
+
+def test_stages_and_summary(spark, tmp_path):
+    """One batch exercising all three reject stages at once: the junk doc
+    falls at quality, the identical twin at exact (min-id canonical), the
+    near-variant at the index probe — and the summary arithmetic agrees
+    with the tables."""
+    out = str(tmp_path / "cur")
+    batch = _docs(
+        spark,
+        [
+            (1, BASE_TEXT),
+            (2, BASE_TEXT),            # exact dup of 1 (same hash)
+            (3, BASE_TEXT + " tail"),  # near-dup of 1
+            (4, OTHER_TEXT),           # clean keeper
+            (5, "zz"),                 # quality reject
+        ],
+    )
+    s = curate_batch(spark, batch, out, batch_id=0, min_quality=MIN_Q)
+    assert s == {
+        "batch_id": 0,
+        "n_in": 5,
+        "n_kept": 2,
+        "n_quality": 1,
+        "n_exact": 1,
+        "n_near": 1,
+    }
+    assert _ids(spark, out, CURATED_TABLE) == [1, 4]
+    assert _rejects(spark, out) == [
+        (2, "exact_dup"),
+        (3, "near_dup"),
+        (5, "quality"),
+    ]
+    # the hash table holds one canonical row per distinct admitted hash
+    hashes = spark.read.parquet(os.path.join(out, HASHES_TABLE))
+    assert hashes.count() == hashes.select("content_hash").distinct().count()
+
+
+def test_cross_batch_exact_and_near(spark, tmp_path):
+    """History wins: a later batch's identical copy flags exact_dup
+    against the FIRST holder's id, and a near-variant flags near_dup —
+    while whitespace/case variants of held content also hit the exact
+    stage (the hash is over normalize_text)."""
+    out = str(tmp_path / "cur")
+    curate_batch(
+        spark, _docs(spark, [(1, BASE_TEXT)]), out, batch_id=0, min_quality=MIN_Q
+    )
+    s = curate_batch(
+        spark,
+        _docs(
+            spark,
+            [
+                (10, BASE_TEXT),                  # exact copy of held 1
+                (11, BASE_TEXT.upper() + "  "),   # normalized-exact copy
+                (12, BASE_TEXT + " tail"),        # near-dup of held 1
+                (13, OTHER_TEXT),                 # fresh
+            ],
+        ),
+        out,
+        batch_id=1,
+        min_quality=MIN_Q,
+    )
+    assert (s["n_exact"], s["n_near"], s["n_kept"]) == (2, 1, 1)
+    rej = spark.read.parquet(os.path.join(out, REJECTS_TABLE))
+    by_id = {r["doc_id"]: (r["reason"], r["detail"]) for r in rej.collect()}
+    assert by_id[10] == ("exact_dup", "1")
+    # 10 and 11 normalize to the SAME hash, so 11 chains to the batch
+    # canonical (10), which itself chains to the historical holder (1)
+    assert by_id[11] == ("exact_dup", "10")
+    assert by_id[12][0] == "near_dup" and by_id[12][1].startswith("1:")
+    assert _ids(spark, out, CURATED_TABLE) == [1, 13]
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    """Re-running a batch with the same batch_id (the crash-replay path)
+    returns the same summary and appends nothing to any table."""
+    out = str(tmp_path / "cur")
+    curate_batch(
+        spark, _docs(spark, [(1, BASE_TEXT)]), out, batch_id=0, min_quality=MIN_Q
+    )
+    b1 = _docs(
+        spark,
+        [(10, BASE_TEXT + " tail"), (11, OTHER_TEXT), (12, BASE_TEXT)],
+    )
+    s1 = curate_batch(spark, b1, out, batch_id=1, min_quality=MIN_Q)
+    snap = {
+        t: sorted(map(tuple, spark.read.parquet(os.path.join(out, t)).collect()))
+        for t in (CURATED_TABLE, REJECTS_TABLE, HASHES_TABLE)
+    }
+    s2 = curate_batch(spark, b1, out, batch_id=1, min_quality=MIN_Q)
+    assert s2 == s1
+    for t, before in snap.items():
+        after = sorted(
+            map(tuple, spark.read.parquet(os.path.join(out, t)).collect())
+        )
+        assert after == before, t
+
+
+def test_corpus_stats_track_kept_only(spark, tmp_path):
+    """The incremental stats see exactly the curated survivors — rejects
+    of any stage never contribute tokens."""
+    from chainweb_data_spark.streaming.corpus_stats import corpus_stats
+
+    out = str(tmp_path / "cur")
+    curate_batch(
+        spark,
+        _docs(spark, [(1, BASE_TEXT), (2, BASE_TEXT), (3, "zz")]),
+        out,
+        batch_id=0,
+        min_quality=MIN_Q,
+    )
+    totals = corpus_stats(spark, out).collect()
+    assert sum(r["n_docs"] for r in totals) == 1
+    assert sum(r["n_tokens"] for r in totals) == 10  # BASE_TEXT only
+
+
+def test_sink_wrapper_end_to_end(spark, tmp_path):
+    """curation_sink drives curate_batch through a real foreachBatch
+    stream: per-file micro-batches, engine batch ids, cross-batch dedup
+    across triggers, and a restart that processes only the new file."""
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batches = [
+        [(1, BASE_TEXT), (2, "zz")],
+        [(10, BASE_TEXT), (11, OTHER_TEXT)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(os.path.join(feed, f"b{i:03d}.json"), "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        t = 1_700_000_000 + i * 10
+        os.utime(os.path.join(feed, f"b{i:03d}.json"), (t, t))
+    out, ckpt = str(tmp_path / "cur"), str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        q = curation_sink(stream, out, ckpt, min_quality=MIN_Q)
+        q.awaitTermination(300)
+
+    _run()
+    assert _ids(spark, out, CURATED_TABLE) == [1, 11]
+    assert _rejects(spark, out) == [(2, "quality"), (10, "exact_dup")]
+    # restart with one more file: only the new batch processes
+    with open(os.path.join(feed, "b002.json"), "w") as f:
+        f.write(_json.dumps({"doc_id": 20, "text": BASE_TEXT + " tail"}) + "\n")
+    _run()
+    assert _ids(spark, out, CURATED_TABLE) == [1, 11]
+    assert (20, "near_dup") in _rejects(spark, out)

@@ -50,6 +50,10 @@ def update_corpus_stats(
             F.sum(F.length(F.col(text_col))).alias("n_chars"),
         )
         .withColumn("batch_id", F.lit(batch_id))
+        # one file per batch: the delta is a handful of rows, but the
+        # groupBy leaves it on shuffle-partition-many tasks and each
+        # non-empty task would otherwise write its own part file
+        .coalesce(1)
     )
     merge_batch(
         spark, delta, os.path.join(out_dir, STATS_TABLE), ("batch_id", "lang")

@@ -179,7 +179,7 @@ def curate_batch(
             F.concat(F.lit("h"), F.substring("content_hash", 1, 1)).alias(
                 "key_bucket"
             ),
-        ),
+        ).coalesce(1),
         os.path.join(out_dir, HASHES_TABLE),
         ("content_hash",),
     )
@@ -223,8 +223,15 @@ def curate_batch(
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("key_bucket", _id_bucket(id_col))
     )
+    # coalesce(1) on every merge input: a micro-batch is small, and letting
+    # each shuffle task write its own part file per bucket dir multiplies
+    # the table's file count by the task count — the exact fan-out the
+    # dedup index measured as 5.3x probe growth before its coalesce fix
     merge_batch(
-        spark, rejects, os.path.join(out_dir, REJECTS_TABLE), (id_col, "reason")
+        spark,
+        rejects.coalesce(1),
+        os.path.join(out_dir, REJECTS_TABLE),
+        (id_col, "reason"),
     )
     curated = kept.select(
         id_col,
@@ -236,7 +243,9 @@ def curate_batch(
         F.lit(batch_id).alias("batch_id"),
         _id_bucket(id_col).alias("key_bucket"),
     )
-    merge_batch(spark, curated, os.path.join(out_dir, CURATED_TABLE), (id_col,))
+    merge_batch(
+        spark, curated.coalesce(1), os.path.join(out_dir, CURATED_TABLE), (id_col,)
+    )
     update_corpus_stats(
         spark, kept, out_dir, batch_id, lang_col="lang", text_col=text_col
     )

@@ -31,18 +31,19 @@ from .listen import merge_batch
 STATS_TABLE = "corpus_stats.parquet"
 
 
-def update_corpus_stats(
-    spark: SparkSession,
+def stats_delta(
     docs: DataFrame,
-    out_dir: str,
     batch_id: int,
     lang_col: str = "lang",
     text_col: str = "text",
-) -> None:
-    """Fold one batch's per-language stats into the delta table.  NULL
-    language (failed language-ID) is its own stratum — groupBy keeps it,
-    and the totals report it rather than silently dropping those docs."""
-    delta = (
+) -> DataFrame:
+    """One batch's per-language delta rows — exposed separately so a
+    caller composing a MULTI-table atomic commit (streaming/curation.py)
+    can stage this frame in the same manifest flip as its other tables.
+    NULL language (failed language-ID) is its own stratum — groupBy keeps
+    it, and the totals report it rather than silently dropping those
+    docs."""
+    return (
         docs.groupBy(F.col(lang_col).alias("lang"))
         .agg(
             F.count("*").alias("n_docs"),
@@ -55,8 +56,22 @@ def update_corpus_stats(
         # non-empty task would otherwise write its own part file
         .coalesce(1)
     )
+
+
+def update_corpus_stats(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> None:
+    """Fold one batch's per-language stats into the delta table."""
     merge_batch(
-        spark, delta, os.path.join(out_dir, STATS_TABLE), ("batch_id", "lang")
+        spark,
+        stats_delta(docs, batch_id, lang_col, text_col),
+        os.path.join(out_dir, STATS_TABLE),
+        ("batch_id", "lang"),
     )
 
 

@@ -25,14 +25,14 @@ history:
   stats all land through idempotent PK merges (``listen.merge_batch``).
 
 Exactly-once: the engine replays an uncommitted batch with the SAME
-batch_id; every write above is a PK merge (replays append nothing) and
-the index fold is idempotent per (content, batch_id), so the post-replay
-state equals the single-run state.  The index's three tables commit
-atomically; the remaining tables are separate idempotent merges, so a
-crash BETWEEN merges can expose a half-curated batch to readers until
-the replay closes it — the same convergence window as ``atomic=False``
-listen, documented trade: curated docs are an analytical silver table,
-not a ledger.
+batch_id; every write above is PK-idempotent (replays append nothing)
+and the index fold is idempotent per (content, batch_id), so the
+post-replay state equals the single-run state.  With ``atomic=True``
+(default) the four curation tables commit through ONE transaction-log
+flip and the index's three tables through another — the only crash
+window is BETWEEN the two commits (index folded, batch not yet
+curated), which the replay closes; with ``atomic=False`` every table is
+its own merge and the window widens to any pair of tables.
 
 Reject semantics are flag-don't-drop at the LOG level: rejected docs are
 recorded with (reason, detail), kept docs land in the curated table —
@@ -56,9 +56,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import lang_id, normalize_text, quality_features
-from .corpus_stats import update_corpus_stats
+from .corpus_stats import stats_delta
 from .dedup_index import _id_bucket, update_dedup_index
 from .listen import merge_batch
+from .publish import publish_batch, read_published
 
 CURATED_TABLE = "curated_docs.parquet"
 REJECTS_TABLE = "curation_rejects.parquet"
@@ -79,6 +80,7 @@ def curate_batch(
     text_col: str = "text",
     min_quality: float = 0.35,
     min_jaccard: float = 0.2,
+    atomic: bool = True,
     **index_kwargs,
 ) -> dict:
     """Curate one micro-batch against all history; returns a summary dict
@@ -87,7 +89,16 @@ def curate_batch(
     Stage order is cheapest-filter-first (quality is row-local, exact
     dedup is a hash probe, near-dup pays signatures): each stage only
     sees the previous stage's survivors, so the expensive MinHash fold
-    admits only documents that could actually be kept."""
+    admits only documents that could actually be kept.
+
+    ``atomic`` (default, matching listen_stream and the dedup index):
+    curated docs, rejects, content hashes, and the stats delta commit
+    through ONE transaction-log flip (publish_batch) — a crash leaves the
+    batch wholly absent, never a hash without its curated row; the probe
+    then reads the PUBLISHED snapshot.  The dedup index keeps its own
+    atomic commit in its subdirectory, so a crash between the two commits
+    still converges on replay (every write is PK-idempotent).
+    ``atomic=False`` falls back to per-table merge appends."""
     scored = (
         lang_id(quality_features(docs, text_col), text_col)
         .withColumn("lang", F.col("lang_pred"))
@@ -115,7 +126,10 @@ def curate_batch(
         "_keep_id"
     )
 
-    stored = _read_if_exists(spark, os.path.join(out_dir, HASHES_TABLE))
+    if atomic:
+        stored = read_published(spark, out_dir, "content_hashes")
+    else:
+        stored = _read_if_exists(spark, os.path.join(out_dir, HASHES_TABLE))
     cross_dup = None
     if stored is not None:
         keys = [
@@ -161,27 +175,23 @@ def curate_batch(
         id_col=id_col,
         text_col=text_col,
         min_jaccard=min_jaccard,
+        atomic=index_kwargs.pop("atomic", atomic),
         **index_kwargs,
     )
     near_ids = flags.select(id_col).distinct()
     kept = exact_survivors.join(near_ids, id_col, "left_anti")
 
-    # --- merges (each an idempotent PK merge; replays append nothing) ----
-    merge_batch(
-        spark,
-        canon.select(
-            "content_hash",
-            F.col("_keep_id").alias(id_col),
-            # 'h' prefix: an all-digit partition value set would be read
-            # back as BIGINT by partition-type inference, and the next
-            # batch's letter bucket would fail the implicit cast — the
-            # prefix pins the column to string forever
-            F.concat(F.lit("h"), F.substring("content_hash", 1, 1)).alias(
-                "key_bucket"
-            ),
-        ).coalesce(1),
-        os.path.join(out_dir, HASHES_TABLE),
-        ("content_hash",),
+    # --- writes (idempotent PK semantics on both paths) -------------------
+    hashes_out = canon.select(
+        "content_hash",
+        F.col("_keep_id").alias(id_col),
+        # 'h' prefix: an all-digit partition value set would be read
+        # back as BIGINT by partition-type inference, and the next
+        # batch's letter bucket would fail the implicit cast — the
+        # prefix pins the column to string forever
+        F.concat(F.lit("h"), F.substring("content_hash", 1, 1)).alias(
+            "key_bucket"
+        ),
     )
     rejects = (
         qfail.select(
@@ -223,16 +233,6 @@ def curate_batch(
         .withColumn("batch_id", F.lit(batch_id))
         .withColumn("key_bucket", _id_bucket(id_col))
     )
-    # coalesce(1) on every merge input: a micro-batch is small, and letting
-    # each shuffle task write its own part file per bucket dir multiplies
-    # the table's file count by the task count — the exact fan-out the
-    # dedup index measured as 5.3x probe growth before its coalesce fix
-    merge_batch(
-        spark,
-        rejects.coalesce(1),
-        os.path.join(out_dir, REJECTS_TABLE),
-        (id_col, "reason"),
-    )
     curated = kept.select(
         id_col,
         text_col,
@@ -243,12 +243,31 @@ def curate_batch(
         F.lit(batch_id).alias("batch_id"),
         _id_bucket(id_col).alias("key_bucket"),
     )
-    merge_batch(
-        spark, curated.coalesce(1), os.path.join(out_dir, CURATED_TABLE), (id_col,)
-    )
-    update_corpus_stats(
-        spark, kept, out_dir, batch_id, lang_col="lang", text_col=text_col
-    )
+    # coalesce(1) on every write input: a micro-batch is small, and letting
+    # each shuffle task write its own part file per bucket dir multiplies
+    # the table's file count by the task count — the exact fan-out the
+    # dedup index measured as 5.3x probe growth before its coalesce fix
+    tables = {
+        "content_hashes": hashes_out.coalesce(1),
+        "curation_rejects": rejects.coalesce(1),
+        "curated_docs": curated.coalesce(1),
+        "corpus_stats": stats_delta(
+            kept, batch_id, lang_col="lang", text_col=text_col
+        ),
+    }
+    pks = {
+        "content_hashes": ("content_hash",),
+        "curation_rejects": (id_col, "reason"),
+        "curated_docs": (id_col,),
+        "corpus_stats": ("batch_id", "lang"),
+    }
+    if atomic:
+        publish_batch(spark, tables, out_dir, pks=pks)
+    else:
+        for name, df in tables.items():
+            merge_batch(
+                spark, df, os.path.join(out_dir, f"{name}.parquet"), pks[name]
+            )
 
     by_reason = {
         r["reason"]: r["n"]

@@ -191,3 +191,57 @@ def test_sink_wrapper_end_to_end(spark, tmp_path):
     _run()
     assert _ids(spark, out, CURATED_TABLE) == [1, 11]
     assert (20, "near_dup") in _rejects(spark, out)
+
+
+def test_atomic_commit_covers_all_four_tables(spark, tmp_path):
+    """atomic=True (default) lands curated/rejects/hashes/stats in ONE
+    manifest version; read_published sees exactly what plain reads see."""
+    from chainweb_data_spark.streaming.publish import read_manifest, read_published
+
+    out = str(tmp_path / "cur")
+    curate_batch(
+        spark,
+        _docs(spark, [(1, BASE_TEXT), (2, BASE_TEXT), (3, "zz")]),
+        out,
+        batch_id=0,
+        min_quality=MIN_Q,
+    )
+    m = read_manifest(out)
+    assert set(m["tables"]) == {
+        "content_hashes",
+        "curation_rejects",
+        "curated_docs",
+        "corpus_stats",
+    }
+    # one publish after the empty adoption commit
+    assert m["version"] == 2
+    for t in ("curated_docs", "curation_rejects", "content_hashes"):
+        pub = read_published(spark, out, t)
+        plain = spark.read.parquet(os.path.join(out, f"{t}.parquet"))
+        assert pub.count() == plain.count()
+
+
+def test_non_atomic_path_matches(spark, tmp_path):
+    """atomic=False produces the same curated/reject decisions through
+    plain per-table merges (no manifest anywhere in out_dir itself)."""
+    out = str(tmp_path / "cur")
+    s0 = curate_batch(
+        spark,
+        _docs(spark, [(1, BASE_TEXT), (2, "zz")]),
+        out,
+        batch_id=0,
+        min_quality=MIN_Q,
+        atomic=False,
+    )
+    s1 = curate_batch(
+        spark,
+        _docs(spark, [(10, BASE_TEXT), (11, BASE_TEXT + " tail"), (12, OTHER_TEXT)]),
+        out,
+        batch_id=1,
+        min_quality=MIN_Q,
+        atomic=False,
+    )
+    assert (s0["n_kept"], s0["n_quality"]) == (1, 1)
+    assert (s1["n_exact"], s1["n_near"], s1["n_kept"]) == (1, 1, 1)
+    assert _ids(spark, out, CURATED_TABLE) == [1, 12]
+    assert not os.path.exists(os.path.join(out, "_manifest"))

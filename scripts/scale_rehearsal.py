@@ -395,6 +395,29 @@ def main() -> None:
         "scaled_rows": ns,
         "quadratic_would_be": mult * mult,
     }
+
+    # SemDeDup shares both caveats: cluster-bearing (components run at
+    # construction time → full-wall timer) and pair-bounded by structure
+    # (within-cluster only → family fixture, where the true duplicate
+    # groups grow linearly with the corpus)
+    qs = fns["semdedup_prune_docs"]
+
+    def full_wall_sd(sf_dir):
+        qs(spark, sf_dir).collect()  # warm
+        t0 = time.perf_counter()
+        rows = qs(spark, sf_dir).collect()
+        return round(time.perf_counter() - t0, 3), len(rows)
+
+    tb, nb = full_wall_sd(BASE_SF)
+    ts, ns = full_wall_sd(fam_dir)
+    result["queries"]["semdedup_prune_family"] = {
+        "base_s": tb,
+        "scaled_s": ts,
+        "growth": round(ts / max(tb, 1e-9), 2),
+        "base_rows": nb,
+        "scaled_rows": ns,
+        "quadratic_would_be": mult * mult,
+    }
     print(json.dumps(result))
 
 

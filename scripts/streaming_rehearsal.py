@@ -260,6 +260,42 @@ def longrun_report(spark, n_batches: int = 100, compact_every: int = 16, n: int 
     return report
 
 
+def build_curation_history(spark, name: str, n_batches: int) -> str:
+    """Curate n_batches of the SAME synthetic corpus the dedup regime uses
+    (disjoint id/vocab ranges per batch: history growth is pure table
+    size, not candidate growth) through the full curation sink."""
+    from chainweb_data_spark.streaming.curation import curate_batch
+
+    out = os.path.join(WORK, name)
+    for b in range(n_batches):
+        curate_batch(spark, _doc_batch(spark, b), out, batch_id=b)
+    return out
+
+
+def time_curate_batch(spark, path: str, n: int) -> float:
+    """One NEW batch through curate_batch against existing history — the
+    steady-state per-arrival cost of the whole sink (quality + hash probe
+    + index probe + all merges).  The entire out dir is rolled back after
+    each timing so every run faces identical history (the hash/curated/
+    rejects tables are plain merges with no manifest to reset)."""
+    import shutil as _sh
+
+    from chainweb_data_spark.streaming.curation import curate_batch
+
+    probe = _doc_batch(spark, 20_000)
+    backup = path + "_backup"
+    _sh.copytree(path, backup)
+    best = float("inf")
+    for _ in range(max(1, n)):
+        t0 = time.perf_counter()
+        curate_batch(spark, probe, path, batch_id=999_999)
+        best = min(best, time.perf_counter() - t0)
+        _sh.rmtree(path)
+        _sh.copytree(backup, path)
+    _sh.rmtree(backup)
+    return round(best, 3)
+
+
 def _vec_batch(spark, b: int, n: int = 300, dim: int = 32):
     from pyspark.sql import functions as F
 
@@ -394,6 +430,14 @@ def main() -> None:
     di10 = time_dedup_probe(spark, d10, n)
     result["costs"]["dedup_index_probe"] = {
         "base_s": di1, "scaled_s": di10, "growth": round(di10 / max(di1, 1e-9), 2)
+    }
+
+    c1 = build_curation_history(spark, "cur1x", 2)
+    c10 = build_curation_history(spark, "cur10x", 2 * mult)
+    cu1 = time_curate_batch(spark, c1, n)
+    cu10 = time_curate_batch(spark, c10, n)
+    result["costs"]["curation_batch"] = {
+        "base_s": cu1, "scaled_s": cu10, "growth": round(cu10 / max(cu1, 1e-9), 2)
     }
 
     print(json.dumps(result))

@@ -81,6 +81,7 @@ def curate_batch(
     min_quality: float = 0.35,
     min_jaccard: float = 0.2,
     atomic: bool = True,
+    compact_every: int | None = 16,
     **index_kwargs,
 ) -> dict:
     """Curate one micro-batch against all history; returns a summary dict
@@ -98,7 +99,15 @@ def curate_batch(
     then reads the PUBLISHED snapshot.  The dedup index keeps its own
     atomic commit in its subdirectory, so a crash between the two commits
     still converges on replay (every write is PK-idempotent).
-    ``atomic=False`` falls back to per-table merge appends."""
+    ``atomic=False`` falls back to per-table merge appends.
+
+    ``compact_every`` — the long-run file bound, same knob as
+    ``dedup_index_sink``: per-batch growth is one file per partition dir
+    touched (coalesce(1)), but cumulative growth is O(batches) and the
+    hash probe pays it at the parquet-open layer; every N batches the
+    four curation tables compact through a manifest flip (atomic path;
+    ``maintenance.compact_table`` otherwise) and the SAME knob passes to
+    the dedup index's own compaction."""
     scored = (
         lang_id(quality_features(docs, text_col), text_col)
         .withColumn("lang", F.col("lang_pred"))
@@ -176,6 +185,7 @@ def curate_batch(
         text_col=text_col,
         min_jaccard=min_jaccard,
         atomic=index_kwargs.pop("atomic", atomic),
+        compact_every=index_kwargs.pop("compact_every", compact_every),
         **index_kwargs,
     )
     near_ids = flags.select(id_col).distinct()
@@ -268,6 +278,17 @@ def curate_batch(
             merge_batch(
                 spark, df, os.path.join(out_dir, f"{name}.parquet"), pks[name]
             )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        if atomic:
+            from .publish import compact_published
+
+            for name in pks:
+                compact_published(spark, out_dir, name)
+        else:
+            from ..sources.maintenance import compact_table
+
+            for name in pks:
+                compact_table(spark, os.path.join(out_dir, f"{name}.parquet"))
 
     by_reason = {
         r["reason"]: r["n"]

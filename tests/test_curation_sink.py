@@ -245,3 +245,42 @@ def test_non_atomic_path_matches(spark, tmp_path):
     assert (s1["n_exact"], s1["n_near"], s1["n_kept"]) == (1, 1, 1)
     assert _ids(spark, out, CURATED_TABLE) == [1, 12]
     assert not os.path.exists(os.path.join(out, "_manifest"))
+
+
+def test_compaction_bounds_files_and_preserves_rows(spark, tmp_path):
+    """compact_every folds the four curation tables' live files down
+    through a manifest flip (and the index's via its own knob): rows are
+    identical before/after and later batches still dedup correctly."""
+    from chainweb_data_spark.streaming.publish import read_manifest
+
+    out = str(tmp_path / "cur")
+    for b in range(4):
+        # every batch: one fresh keeper + one junk doc (disjoint vocab)
+        text = " ".join(f"w{b}_{i} common{i % 3}" for i in range(12))
+        curate_batch(
+            spark,
+            _docs(spark, [(100 * b + 1, text), (100 * b + 2, "zz")]),
+            out,
+            batch_id=b,
+            min_quality=MIN_Q,
+            compact_every=2,
+        )
+    m = read_manifest(out)
+    # compaction ran at batch 2 (and the per-batch coalesce keeps growth
+    # at one file per partition dir per batch): every table's live-file
+    # count is bounded by its partition-dir count plus the post-compaction
+    # batches, far below 4 batches x dirs
+    for t, files in m["tables"].items():
+        dirs = {os.path.dirname(f) for f in files}
+        assert len(files) <= len(dirs) + 2 * len(dirs), t
+    assert len(_ids(spark, out, CURATED_TABLE)) == 4
+    # history survives compaction: an exact copy of batch 0's doc flags
+    s = curate_batch(
+        spark,
+        _docs(spark, [(900, " ".join(f"w0_{i} common{i % 3}" for i in range(12)))]),
+        out,
+        batch_id=9,
+        min_quality=MIN_Q,
+        compact_every=2,
+    )
+    assert s["n_exact"] == 1

@@ -404,3 +404,86 @@ def test_semdedup_prune_toy(spark):
         assert out[i]["group_size"] == 1
         assert out[i]["keep"] is True
     assert out[6]["cell"] == 0 and out[7]["cell"] == 1
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """Seeded random corpora cross-checked EXACTLY against a pure-NumPy
+    SemDeDup reference (argmax assignment with 6-dp rounding and
+    lowest-cell ties, within-cluster thresholded pairs, union-find
+    components, min-(cent_cosine, id) keeper) — both sides do the same
+    float64 arithmetic, so every column must agree bit-for-bit after the
+    shared rounding."""
+    import numpy as np
+
+    def reference(ids, V, C, thr):
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        S = np.round(Vn @ Cn.T, 6)
+        cell = np.argmax(S, axis=1)  # first max = lowest cell
+        cent = S[np.arange(len(ids)), cell]
+        P = np.round(Vn @ Vn.T, 6)
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        n = len(ids)
+        for a in range(n):
+            for b in range(a + 1, n):
+                if cell[a] == cell[b] and P[a, b] >= thr:
+                    ra, rb = find(ids[a]), find(ids[b])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        rep = {ids[i]: find(ids[i]) for i in range(n)}
+        size = {}
+        for r in rep.values():
+            size[r] = size.get(r, 0) + 1
+        keeper = {}
+        for i in range(n):
+            r = rep[ids[i]]
+            key = (cent[i], ids[i])
+            if r not in keeper or key < keeper[r]:
+                keeper[r] = key
+        return {
+            ids[i]: (
+                int(cell[i]),
+                rep[ids[i]],
+                size[rep[ids[i]]],
+                float(cent[i]),
+                keeper[rep[ids[i]]][1] == ids[i],
+            )
+            for i in range(n)
+        }
+
+    for seed in range(5):
+        rng = np.random.RandomState(seed)
+        n, dim, k = 20 + seed * 5, 6, 3
+        V = rng.randn(n, dim)
+        # plant duplicate structure: every 4th vector is a jittered copy
+        # of its predecessor, so thresholded groups actually form
+        for i in range(1, n):
+            if i % 4 == 0:
+                V[i] = V[i - 1] + rng.randn(dim) * 0.05
+        C = rng.randn(k, dim)
+        ids = list(range(100, 100 + n))
+        thr = 0.8
+        df = spark.createDataFrame(
+            [(ids[i], [float(x) for x in V[i]]) for i in range(n)],
+            ["vec_id", "embedding"],
+        )
+        got = {
+            r["vec_id"]: (
+                r["cell"],
+                r["group_rep"],
+                r["group_size"],
+                r["cent_cosine"],
+                r["keep"],
+            )
+            for r in sim.semdedup_prune(
+                df, "vec_id", "embedding", threshold=thr, centroids=C
+            ).collect()
+        }
+        assert got == reference(ids, V, C, thr), f"seed {seed}"

@@ -284,3 +284,48 @@ def test_compaction_bounds_files_and_preserves_rows(spark, tmp_path):
         compact_every=2,
     )
     assert s["n_exact"] == 1
+
+
+def test_crash_between_index_and_curation_commits(spark, tmp_path, monkeypatch):
+    """The documented crash window: the dedup index commits, then the
+    process dies BEFORE the curation publish.  The replay (same batch_id)
+    must converge to exactly the state of a crash-free run — the index
+    fold replays as a no-op and the four-table commit lands."""
+    import chainweb_data_spark.streaming.curation as cur
+
+    rows = [(10, BASE_TEXT + " tail"), (11, OTHER_TEXT), (12, "zz")]
+    seed = [(1, BASE_TEXT)]
+
+    # clean reference run in a separate directory
+    ref = str(tmp_path / "ref")
+    curate_batch(spark, _docs(spark, seed), ref, batch_id=0, min_quality=MIN_Q)
+    curate_batch(spark, _docs(spark, rows), ref, batch_id=1, min_quality=MIN_Q)
+
+    # crashed run: batch 1's curation publish raises AFTER the index fold
+    out = str(tmp_path / "cur")
+    curate_batch(spark, _docs(spark, seed), out, batch_id=0, min_quality=MIN_Q)
+    real_publish = cur.publish_batch
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated crash before the curation commit")
+
+    monkeypatch.setattr(cur, "publish_batch", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        curate_batch(
+            spark, _docs(spark, rows), out, batch_id=1, min_quality=MIN_Q
+        )
+    # the window is visible: index folded, batch not curated
+    assert _ids(spark, out, CURATED_TABLE) == [1]
+    monkeypatch.setattr(cur, "publish_batch", real_publish)
+    s = curate_batch(spark, _docs(spark, rows), out, batch_id=1, min_quality=MIN_Q)
+    assert (s["n_kept"], s["n_near"], s["n_quality"]) == (1, 1, 1)
+    for t in (CURATED_TABLE, REJECTS_TABLE, HASHES_TABLE):
+        got = sorted(
+            map(tuple, spark.read.parquet(os.path.join(out, t)).collect())
+        )
+        want = sorted(
+            map(tuple, spark.read.parquet(os.path.join(ref, t)).collect())
+        )
+        assert got == want, t

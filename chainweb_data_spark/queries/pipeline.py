@@ -2075,9 +2075,9 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_THRESHOLD = 0.45
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(cent_cte: str | None = None) -> str:
     return f"""
-    WITH RECURSIVE {_ivf_cent_cte(_IVF_CELLS)},
+    WITH RECURSIVE {cent_cte or _ivf_cent_cte(_IVF_CELLS)},
     sims AS (
       SELECT e.vec_id, c.cell,
              round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv), 6) AS s
@@ -2784,6 +2784,36 @@ if _PQ_CB is not None and _IVFPQ_AUTO_CENTROIDS is not None:
             nprobe=_IVF_NPROBE,
             k=_IVF_K,
         ).orderBy("vec_id", F.col("adc").desc(), "neighbor_id")
+
+
+if _IVFPQ_AUTO_CENTROIDS is not None:
+
+    @register(
+        "semdedup_prune_auto_docs",
+        oracle=_semdedup_oracle(
+            cent_cte=_cent_cte_from(_IVFPQ_AUTO_CENTROIDS)
+        ),
+    )
+    def semdedup_prune_auto_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup under the sqrt-n cell rule — the scale-safe sibling of
+        ``semdedup_prune_docs`` (the ann_ivfpq_auto_topk move): cell count
+        grows with the corpus, so within-cluster pair work Σocc² stays
+        ~linear instead of inheriting the pinned-cell occupancy wall.  At
+        runtime both the cell count and the k-means centroids re-derive
+        from the actual corpus; the oracle embeds the centroids the rule
+        trains on the FIXTURE's footer count (the same trained matrix the
+        auto IVFPQ gate carries), so the hash-checked configuration is the
+        adaptive one."""
+        emb = _t(spark, sf_dir, "embeddings")
+        n_cells = sim.auto_n_cells(emb.count())
+        cents = sim.ivf_train_kmeans(emb, "vec_id", "embedding", n_cells)
+        return sim.semdedup_prune(
+            emb,
+            "vec_id",
+            "embedding",
+            threshold=_SEMDEDUP_THRESHOLD,
+            centroids=cents,
+        ).orderBy("vec_id")
 
 
 @register(

@@ -117,8 +117,15 @@ def curate_batch(
     n_in = scored.count()
 
     # --- stage 1: quality gate (row-local) -------------------------------
-    qfail = scored.filter(F.col("quality_score") < min_quality)
-    qpass = scored.filter(F.col("quality_score") >= min_quality)
+    # NULL text (and with it NULL quality_score) must fall on the REJECT
+    # side: plain `< threshold` is NULL for those rows, which would drop
+    # them from BOTH legs — silently vanished docs and a summary that no
+    # longer adds up to n_in
+    qpass_pred = F.col(text_col).isNotNull() & (
+        F.col("quality_score") >= min_quality
+    )
+    qfail = scored.filter(~F.coalesce(qpass_pred, F.lit(False)))
+    qpass = scored.filter(qpass_pred)
 
     # --- stage 2: exact dedup, batch-internal then cross-history ---------
     # batch-internal canonical = min id per hash (deterministic, replay-

@@ -329,3 +329,18 @@ def test_crash_between_index_and_curation_commits(spark, tmp_path, monkeypatch):
             map(tuple, spark.read.parquet(os.path.join(ref, t)).collect())
         )
         assert got == want, t
+
+
+def test_null_text_rejects_at_quality(spark, tmp_path):
+    """NULL text must land on the quality-reject side, not vanish from
+    both filter legs (NULL comparisons are neither true nor false)."""
+    out = str(tmp_path / "cur")
+    s = curate_batch(
+        spark,
+        _docs(spark, [(1, BASE_TEXT), (2, None)]),
+        out,
+        batch_id=0,
+        min_quality=MIN_Q,
+    )
+    assert s["n_in"] == 2 and s["n_kept"] == 1 and s["n_quality"] == 1
+    assert (2, "quality") in _rejects(spark, out)

@@ -821,6 +821,97 @@ def trim_duplicate_spans(
     )
 
 
+HOT_LINE_MAX = 2_000_000
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate LINES: (line_hash, df) for every
+    non-empty line (after trim) appearing in ≥ ``min_df`` distinct
+    documents — the line-granular sibling of :func:`duplicate_spans`
+    (C4 drops lines duplicated across its corpus; RefinedWeb's line-wise
+    filter removes nav/footer boilerplate the same way).  Lines key by
+    ``md5`` so the document-frequency shuffle carries 32-byte hashes, not
+    arbitrary-length line text.
+
+    Plan shape: one row-local posexplode, one map-side-combined
+    count-distinct per hash.  No reference analog — the reference's text
+    surface is LIKE search (haskell-src/lib/ChainwebDb/Queries.hs); this
+    extends the beyond-reference curation suite."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).filter(F.trim(F.col("line")) != "")
+    return (
+        lines.groupBy(F.md5(F.col("line")).alias("line_hash"))
+        .agg(F.count_distinct(F.col(id_col)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_hot_lines: int = HOT_LINE_MAX,
+) -> DataFrame:
+    """ACT on :func:`boilerplate_lines`: rebuild each document with its
+    cross-corpus duplicated lines removed, preserving the order and the
+    empty lines of everything kept.  Returns (id, stripped) for EVERY
+    input doc; a doc whose lines were all boilerplate comes out as the
+    empty string (callers drop those with a quality floor, the
+    ``trim_duplicate_spans`` stance).
+
+    Plan shape: the hot-line set (hashes only) is BROADCAST under an
+    enforced ``max_hot_lines`` envelope — the corpus-side removal is a
+    map-side hash probe, then one per-doc aggregation (sort_array over
+    (pos, line) structs; no window) rebuilds the text.  Two shuffles
+    total: the df count inside :func:`boilerplate_lines` and the per-doc
+    rebuild — both on doc/line keys, never on pairs."""
+    hot = boilerplate_lines(df, id_col, text_col, min_df).select("line_hash")
+    n_hot = hot.count()
+    if n_hot > max_hot_lines:
+        raise ValueError(
+            f"strip_boilerplate_lines broadcasts the hot-line set; {n_hot} "
+            f"lines exceeds the {max_hot_lines} envelope — raise min_df or "
+            "semi-join the line streams instead"
+        )
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    kept = lines.join(
+        F.broadcast(hot),
+        F.md5(F.col("line")) == F.col("line_hash"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("stripped")
+    )
+    # docs whose every line was hot drop out of the rebuild groupBy —
+    # left-join back so the contract stays one row per input doc
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col), F.coalesce(F.col("stripped"), F.lit("")).alias("stripped")
+        )
+    )
+
+
 def select_canonical(
     docs: DataFrame,
     clusters: DataFrame,

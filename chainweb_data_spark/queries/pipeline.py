@@ -3586,3 +3586,68 @@ if _PQ_CB is not None and _IVF_CENTROIDS is not None:
             emb, "vec_id", "embedding", cents, cb,
             nprobe=_IVF_NPROBE, k=_IVF_K, shortlist=32,
         ).orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
+
+
+# --- cross-document line-level boilerplate removal (C4 / RefinedWeb) -------
+
+# the fixture corpus is single-line, so the query SYNTHESIZES a 4-line doc
+# with identical string ops in both engines (the redact_pii move): two
+# content lines, one corpus-wide boilerplate line, one unique line — what
+# is gated is the full strip pipeline: line df, hot-set membership, and
+# order-preserving reassembly
+_BP_LINE = "subscribe to our newsletter today"
+
+
+@register(
+    "strip_boilerplate_docs",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id, concat_ws(chr(10), substr(text, 1, 30),
+             '{_BP_LINE}', substr(text, 31, 30),
+             'doc ' || CAST(doc_id AS VARCHAR)) AS t
+      FROM documents
+    ),
+    ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM synth),
+    lines AS (
+      SELECT doc_id, i - 1 AS pos, l[i] AS line
+      FROM ls, unnest(range(1, len(l) + 1)) AS u(i)
+    ),
+    hot AS (
+      SELECT md5(line) AS h FROM lines WHERE trim(line) <> ''
+      GROUP BY md5(line) HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE md5(line) NOT IN (SELECT h FROM hot)
+    ),
+    reb AS (
+      SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS stripped
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, COALESCE(r.stripped, '') AS stripped
+    FROM synth s LEFT JOIN reb r USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def strip_boilerplate_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level cross-corpus boilerplate removal (the C4 rule: drop any
+    line that appears verbatim in ≥ 2 documents; RefinedWeb's nav/footer
+    filter): hot-line df aggregation on md5 keys, broadcast hot-set probe
+    under an enforced envelope, order-preserving per-doc reassembly with
+    no window.  The line-granular sibling of ``dup_spans_docs`` (token-
+    range grain) — together they cover both boilerplate shapes the
+    curation literature ships."""
+    docs = _t(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(F.col("text"), 1, 30),
+            F.lit(_BP_LINE),
+            F.substring(F.col("text"), 31, 30),
+            F.concat(F.lit("doc "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return dd.strip_boilerplate_lines(synth, "doc_id", "text", min_df=2).orderBy(
+        "doc_id"
+    )

@@ -534,3 +534,45 @@ def test_length_batches_invariants(spark):
         df, "doc_id", "n", bin_width=16, batch_size=8, n_salts=1, seed="x"
     ).collect()
     assert {r["salt"] for r in out1} == {0}
+
+
+def test_strip_boilerplate_lines_semantics(spark):
+    """Line-dedup contract: hot lines (df >= min_df, trimmed-non-empty)
+    drop everywhere; order and empty lines of kept text survive; a doc
+    whose every line was boilerplate comes back as the empty string; and
+    empty lines never count toward hotness."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nFOOTER\n\nbody a\nFOOTER"),
+            (2, "FOOTER\nbody b\n"),
+            (3, "FOOTER"),
+            (4, "\n\n"),  # only empty lines: untouched, never hot
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["stripped"]
+        for r in dd.strip_boilerplate_lines(
+            docs, "doc_id", "text", min_df=2
+        ).collect()
+    }
+    assert got[1] == "alpha one\n\nbody a"  # both FOOTERs gone, gap kept
+    assert got[2] == "body b\n"             # trailing empty line kept
+    assert got[3] == ""                     # fully boilerplate
+    assert got[4] == "\n\n"                 # empty lines are not boilerplate
+    hot = dd.boilerplate_lines(docs, "doc_id", "text", min_df=2).collect()
+    assert len(hot) == 1 and hot[0]["df"] == 3
+
+
+def test_strip_boilerplate_envelope_refuses(spark):
+    """The hot-line broadcast refuses loudly past the envelope instead of
+    shipping an unbounded set."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\ny")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="envelope"):
+        dd.strip_boilerplate_lines(
+            docs, "doc_id", "text", min_df=2, max_hot_lines=1
+        )

@@ -85,7 +85,8 @@ def curate_batch(
     **index_kwargs,
 ) -> dict:
     """Curate one micro-batch against all history; returns a summary dict
-    ``{"batch_id", "n_in", "n_kept", "n_quality", "n_exact", "n_near"}``.
+    ``{"batch_id", "n_in", "n_kept", "n_quality", "n_exact", "n_near"}``
+    (also persisted as one ``curation_log`` row inside the batch commit).
 
     Stage order is cheapest-filter-first (quality is row-local, exact
     dedup is a hash probe, near-dup pays signatures): each stage only
@@ -93,9 +94,10 @@ def curate_batch(
     admits only documents that could actually be kept.
 
     ``atomic`` (default, matching listen_stream and the dedup index):
-    curated docs, rejects, content hashes, and the stats delta commit
-    through ONE transaction-log flip (publish_batch) — a crash leaves the
-    batch wholly absent, never a hash without its curated row; the probe
+    curated docs, rejects, content hashes, the stats delta, and the
+    per-batch summary log commit through ONE transaction-log flip
+    (publish_batch) — a crash leaves the batch wholly absent, never a
+    hash without its curated row; the probe
     then reads the PUBLISHED snapshot.  The dedup index keeps its own
     atomic commit in its subdirectory, so a crash between the two commits
     still converges on replay (every write is PK-idempotent).
@@ -105,7 +107,7 @@ def curate_batch(
     ``dedup_index_sink``: per-batch growth is one file per partition dir
     touched (coalesce(1)), but cumulative growth is O(batches) and the
     hash probe pays it at the parquet-open layer; every N batches the
-    four curation tables compact through a manifest flip (atomic path;
+    curation tables compact through a manifest flip (atomic path;
     ``maintenance.compact_table`` otherwise) and the SAME knob passes to
     the dedup index's own compaction."""
     scored = (
@@ -260,6 +262,29 @@ def curate_batch(
         F.lit(batch_id).alias("batch_id"),
         _id_bucket(id_col).alias("key_bucket"),
     )
+    # the per-batch summary, computed BEFORE the writes so the ops-log row
+    # lands inside the same commit as the tables it describes
+    by_reason = {
+        r["reason"]: r["n"]
+        for r in rejects.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    summary = {
+        "batch_id": batch_id,
+        "n_in": n_in,
+        "n_kept": n_in
+        - by_reason.get("quality", 0)
+        - by_reason.get("exact_dup", 0)
+        - by_reason.get("near_dup", 0),
+        "n_quality": by_reason.get("quality", 0),
+        "n_exact": by_reason.get("exact_dup", 0),
+        "n_near": by_reason.get("near_dup", 0),
+    }
+    log_row = spark.createDataFrame(
+        [summary],
+        "batch_id long, n_in long, n_kept long, n_quality long, "
+        "n_exact long, n_near long",
+    )
+
     # coalesce(1) on every write input: a micro-batch is small, and letting
     # each shuffle task write its own part file per bucket dir multiplies
     # the table's file count by the task count — the exact fan-out the
@@ -271,12 +296,14 @@ def curate_batch(
         "corpus_stats": stats_delta(
             kept, batch_id, lang_col="lang", text_col=text_col
         ),
+        "curation_log": log_row.coalesce(1),
     }
     pks = {
         "content_hashes": ("content_hash",),
         "curation_rejects": (id_col, "reason"),
         "curated_docs": (id_col,),
         "corpus_stats": ("batch_id", "lang"),
+        "curation_log": ("batch_id",),
     }
     if atomic:
         publish_batch(spark, tables, out_dir, pks=pks)
@@ -297,21 +324,7 @@ def curate_batch(
             for name in pks:
                 compact_table(spark, os.path.join(out_dir, f"{name}.parquet"))
 
-    by_reason = {
-        r["reason"]: r["n"]
-        for r in rejects.groupBy("reason").agg(F.count("*").alias("n")).collect()
-    }
-    n_quality = by_reason.get("quality", 0)
-    n_exact = by_reason.get("exact_dup", 0)
-    n_near = by_reason.get("near_dup", 0)
-    return {
-        "batch_id": batch_id,
-        "n_in": n_in,
-        "n_kept": n_in - n_quality - n_exact - n_near,
-        "n_quality": n_quality,
-        "n_exact": n_exact,
-        "n_near": n_near,
-    }
+    return summary
 
 
 def curation_sink(

@@ -344,3 +344,25 @@ def test_null_text_rejects_at_quality(spark, tmp_path):
     )
     assert s["n_in"] == 2 and s["n_kept"] == 1 and s["n_quality"] == 1
     assert (2, "quality") in _rejects(spark, out)
+
+
+def test_curation_log_row_per_batch(spark, tmp_path):
+    """Each batch leaves exactly one summary row in curation_log, inside
+    the same commit as its tables; a replay adds nothing."""
+    out = str(tmp_path / "cur")
+    s0 = curate_batch(
+        spark,
+        _docs(spark, [(1, BASE_TEXT), (2, "zz")]),
+        out,
+        batch_id=0,
+        min_quality=MIN_Q,
+    )
+    curate_batch(
+        spark, _docs(spark, [(1, BASE_TEXT), (2, "zz")]), out, batch_id=0,
+        min_quality=MIN_Q,
+    )  # replay
+    log = spark.read.parquet(os.path.join(out, "curation_log.parquet"))
+    rows = log.collect()
+    assert len(rows) == 1
+    got = {k: rows[0][k] for k in s0}
+    assert got == s0

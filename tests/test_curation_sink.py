@@ -212,6 +212,7 @@ def test_atomic_commit_covers_all_four_tables(spark, tmp_path):
         "curation_rejects",
         "curated_docs",
         "corpus_stats",
+        "curation_log",
     }
     # one publish after the empty adoption commit
     assert m["version"] == 2

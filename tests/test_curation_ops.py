@@ -576,3 +576,39 @@ def test_strip_boilerplate_envelope_refuses(spark):
         dd.strip_boilerplate_lines(
             docs, "doc_id", "text", min_df=2, max_hot_lines=1
         )
+
+
+def test_strip_boilerplate_matches_python_reference(spark):
+    """Seeded random multi-line corpora cross-checked exactly against a
+    pure-Python line-dedup reference (trimmed-non-empty lines with
+    df >= min_df drop everywhere, order and empty lines preserved)."""
+    import random
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        vocab = [f"line_{seed}_{i}" for i in range(6)] + ["", "  "]
+        docs = []
+        for d in range(12):
+            n = rng.randint(0, 5)
+            docs.append((d, "\n".join(rng.choice(vocab) for _ in range(n + 1))))
+        min_df = 2
+        df_count = {}
+        for d, t in docs:
+            for ln in set(t.split("\n")):
+                if ln.strip():
+                    df_count[ln] = df_count.get(ln, 0) + 1
+        hot = {ln for ln, c in df_count.items() if c >= min_df}
+        want = {
+            d: "\n".join(ln for ln in t.split("\n") if ln not in hot)
+            for d, t in docs
+        }
+        got = {
+            r["doc_id"]: r["stripped"]
+            for r in dd.strip_boilerplate_lines(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                "doc_id",
+                "text",
+                min_df=min_df,
+            ).collect()
+        }
+        assert got == want, f"seed {seed}"

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..operators import classifier as clf
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -3651,3 +3652,77 @@ def strip_boilerplate_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.strip_boilerplate_lines(synth, "doc_id", "text", min_df=2).orderBy(
         "doc_id"
     )
+
+
+# --- trained quality classifier (CCNet-style linear gate) -------------------
+
+
+def _trained_quality_lr():
+    try:
+        return clf.train_quality_lr_parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        )
+    except Exception:
+        return None
+
+
+_QLR_MODEL = _trained_quality_lr()
+
+
+def _lr_logit_sql(model: dict) -> str:
+    """The scorer's logit chain as SQL, parenthesized EXACTLY as Spark's
+    left-associative Column `+` builds it, feature formulas identical to
+    the text_quality oracle's — so the float64 evaluation order matches
+    operation-for-operation and the 6-dp round lands on the same value."""
+    feats = [
+        "CAST(nt AS DOUBLE)",
+        "(nc - nsp) / greatest(nt, 1)",
+        "nsp / greatest(nc, 1)",
+        "stop_hits / greatest(nt, 1)",
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)"
+        " / greatest(nt, 1)",
+    ]
+    z = repr(float(model["b"]))
+    for w, mu, sd, fs in zip(model["w"], model["mu"], model["sd"], feats):
+        z = f"({z} + {w!r} * ((({fs}) - {mu!r}) / {sd!r}))"
+    return z
+
+
+if _QLR_MODEL is not None:
+
+    @register(
+        "quality_classifier_docs",
+        oracle=f"""
+        WITH base AS (
+          SELECT doc_id, text, length(text) AS nc,
+                 CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS nsp
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id, text, nc, nsp,
+                 CASE WHEN nc = 0 THEN 0 ELSE nsp + 1 END AS nt,
+                 {_stop_hits_sql(tx.LANG_STOPWORDS["en"])} AS stop_hits
+          FROM base
+        ),
+        scored AS (
+          SELECT doc_id, round({_lr_logit_sql(_QLR_MODEL)}, 6) AS logit
+          FROM feat
+        )
+        SELECT doc_id, logit, (logit > 0) AS keep FROM scored ORDER BY doc_id
+        """,
+    )
+    def quality_classifier_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Trained quality gate (the CCNet recipe): logistic regression
+        FIT on a deterministic md5-sampled subset with sample-vocabulary
+        unigram-NLL proxy labels (fit is driver-side, O(sample), zero
+        RNG), SCORED over the whole corpus as one codegen projection —
+        logit = b + Σ w·(f−μ)/σ over five integer-exact features,
+        thresholded at 0 without ever evaluating exp.  The oracle embeds
+        the registration-trained model as literals; the runtime Spark
+        trainer provably reproduces it (same sample rule, same fit core
+        — the trained-quantizer move applied to a classifier)."""
+        docs = _t(spark, sf_dir, "documents")
+        model = clf.train_quality_lr(docs, "doc_id", "text")
+        return clf.score_quality_lr(docs, "doc_id", "text", model).orderBy(
+            "doc_id"
+        )

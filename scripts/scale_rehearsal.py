@@ -69,6 +69,7 @@ QUERIES = [
     "length_batches_docs",  # per-cell rank windows, salt-bounded
     "bm25_top_terms",       # saturating-tf retrieval scoring
     "contamination_score_docs",  # graded benchmark-overlap fraction
+    "strip_boilerplate_docs",  # cross-doc line dedup (hot-set broadcast)
 ]
 
 

@@ -223,6 +223,18 @@ def feature_columns(text_col: str) -> list[Column]:
     ]
 
 
+def lr_logit_column(text_col: str, model: dict) -> Column:
+    """The trained model's logit as a single row-local Column (6-dp
+    rounded) — embeddable in any predicate or projection (the curation
+    sink's quality stage uses it directly, no join, no collect)."""
+    z: Column = F.lit(float(model["b"]))
+    for w, mu, sd, f in zip(
+        model["w"], model["mu"], model["sd"], feature_columns(text_col)
+    ):
+        z = z + F.lit(float(w)) * ((f - F.lit(float(mu))) / F.lit(float(sd)))
+    return F.round(z, 6)
+
+
 def score_quality_lr(
     df: DataFrame, id_col: str, text_col: str, model: dict
 ) -> DataFrame:
@@ -231,12 +243,7 @@ def score_quality_lr(
     the rounded logit at 0 (= probability 0.5 through the monotone
     sigmoid, which is never evaluated — cross-engine ``exp`` parity is
     not a thing to gamble an exact oracle on)."""
-    z: Column = F.lit(float(model["b"]))
-    for w, mu, sd, f in zip(
-        model["w"], model["mu"], model["sd"], feature_columns(text_col)
-    ):
-        z = z + F.lit(float(w)) * ((f - F.lit(float(mu))) / F.lit(float(sd)))
-    logit = F.round(z, 6)
+    logit = lr_logit_column(text_col, model)
     return df.select(
         F.col(id_col),
         logit.alias("logit"),

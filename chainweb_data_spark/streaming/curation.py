@@ -82,6 +82,7 @@ def curate_batch(
     min_jaccard: float = 0.2,
     atomic: bool = True,
     compact_every: int | None = 16,
+    quality_model: dict | None = None,
     **index_kwargs,
 ) -> dict:
     """Curate one micro-batch against all history; returns a summary dict
@@ -122,10 +123,20 @@ def curate_batch(
     # NULL text (and with it NULL quality_score) must fall on the REJECT
     # side: plain `< threshold` is NULL for those rows, which would drop
     # them from BOTH legs — silently vanished docs and a summary that no
-    # longer adds up to n_in
-    qpass_pred = F.col(text_col).isNotNull() & (
-        F.col("quality_score") >= min_quality
-    )
+    # longer adds up to n_in.  With a trained ``quality_model``
+    # (operators/classifier.py), the gate is the model's logit threshold
+    # instead of the heuristic score — still one row-local codegen
+    # predicate, so the stage's cost and NULL semantics are unchanged.
+    if quality_model is not None:
+        from ..operators.classifier import lr_logit_column
+
+        qpass_pred = F.col(text_col).isNotNull() & (
+            lr_logit_column(text_col, quality_model) > F.lit(0.0)
+        )
+    else:
+        qpass_pred = F.col(text_col).isNotNull() & (
+            F.col("quality_score") >= min_quality
+        )
     qfail = scored.filter(~F.coalesce(qpass_pred, F.lit(False)))
     qpass = scored.filter(qpass_pred)
 

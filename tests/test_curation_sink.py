@@ -367,3 +367,28 @@ def test_curation_log_row_per_batch(spark, tmp_path):
     assert len(rows) == 1
     got = {k: rows[0][k] for k in s0}
     assert got == s0
+
+
+def test_trained_quality_model_gates_stage_one(spark, tmp_path):
+    """Passing a trained classifier swaps the heuristic quality gate for
+    the model's logit threshold — still a row-local predicate (no join,
+    no collect), and the rejects log reasons stay 'quality'."""
+    from chainweb_data_spark.operators import classifier as clf
+
+    vocab = "the of and to a in is it you that he was for on are".split()
+    fluent = [
+        (i, " ".join(vocab[(i + j) % len(vocab)] for j in range(30)))
+        for i in range(20)
+    ]
+    junk = [(i, " ".join(f"zx{i}q{j}" for j in range(10))) for i in range(20, 40)]
+    train = spark.createDataFrame(fluent + junk, "doc_id long, text string")
+    model = clf.train_quality_lr(train, "doc_id", "text")
+
+    out = str(tmp_path / "cur")
+    batch = spark.createDataFrame(
+        [fluent[0], junk[0], (99, None)], "doc_id long, text string"
+    )
+    s = curate_batch(spark, batch, out, batch_id=0, quality_model=model)
+    assert s["n_quality"] == 2  # the junk doc AND the NULL doc
+    assert s["n_kept"] == 1
+    assert _ids(spark, out, CURATED_TABLE) == [fluent[0][0]]

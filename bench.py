@@ -73,12 +73,19 @@ HEADLINE = [
     "bm25_top_terms",       # BM25 retrieval scoring (saturating tf)
     "ann_ivfpq_rerank_topk",  # the production ANN tier: ADC + raw rerank
     "semdedup_prune_docs",  # SemDeDup: cluster-then-prune semantic dedup
+    "quality_classifier_docs",  # trained linear gate: sampled fit + codegen score
 ]
 
 # queries whose work happens at plan-CONSTRUCTION time (iterative connected
 # components localCheckpoint per round while the DataFrame is being built):
 # time these construction+collect, or the timer misses nearly all the work
-FULL_WALL = {"dedup_canonical_docs", "curation_pipeline", "semdedup_prune_docs"}
+FULL_WALL = {
+    "dedup_canonical_docs",
+    "curation_pipeline",
+    "semdedup_prune_docs",
+    # trains at construction (sampled driver fit) — time it honestly
+    "quality_classifier_docs",
+}
 
 
 def main() -> None:

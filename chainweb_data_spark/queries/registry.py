@@ -149,7 +149,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_quality",
     "text_langid",
     "embed_cosine_topk",
-    "embed_near_dup",
+    # embed_near_dup demoted late r6 (still hash-checked by the local
+    # harness): its exact-tier matmul kernel is the same one
+    # embed_cosine_topk gates, and the slot funds the SemDeDup scale
+    # path — which itself exercises the bucket-local pair kernel,
+    # cluster assignment, components, and keeper selection end-to-end
+    "semdedup_prune_auto_docs",
     "ann_lsh_topk",
     "ann_lsh_auto_topk",
     # ann_ivfpq_topk -> rerank swap (r6): the rerank gate embeds the FULL

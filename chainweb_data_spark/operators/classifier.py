@@ -93,6 +93,10 @@ def fit_quality_lr_rows(
     (already sampled, id-sorted) rows by sample-vocabulary unigram NLL,
     standardize, and fit logistic regression by fixed-iteration
     full-batch gradient descent.  Same rows ⇒ bit-identical model."""
+    # NULL text behaves like empty text (the scorer's features are all
+    # NULL-propagating, but a crashed TRAINER on one bad row would be
+    # worse than a neutral example)
+    texts = ["" if t is None else t for t in texts]
     X = np.asarray([_py_features(t) for t in texts], dtype=np.float64)
     # proxy labels: add-one-smoothed unigram NLL vs the sample's vocab
     counts: dict[str, int] = {}

@@ -223,11 +223,20 @@ def curate_batch(
             "key_bucket"
         ),
     )
+    # the quality reject detail records the signal that actually gated:
+    # the model's logit when a classifier is set, the heuristic score
+    # otherwise (a NULL-text doc has a NULL signal either way)
+    if quality_model is not None:
+        from ..operators.classifier import lr_logit_column
+
+        q_detail = lr_logit_column(text_col, quality_model).cast("string")
+    else:
+        q_detail = F.format_number("quality_score", 4)
     rejects = (
         qfail.select(
             id_col,
             F.lit("quality").alias("reason"),
-            F.format_number("quality_score", 4).alias("detail"),
+            q_detail.alias("detail"),
         )
         .unionByName(
             exact_dup.select(

@@ -724,22 +724,10 @@ def duplicate_spans(
     running max-end) + one aggregation — everything shuffles on the doc
     id, never on pairs.
     """
-    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
-    toks = F.col("_toks")
-    n = F.size(toks)
-    grams_arr = F.when(
-        n - (k - 1) >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     # three consumers (envelope count, hot-gram agg, hits probe) — cache so
     # the tokenize+posexplode pipeline runs once, not three times (the same
     # materialized-index reasoning as lsh_candidate_pairs' banded cache)
-    grams = base.select(
-        F.col(id_col), F.posexplode(grams_arr).alias("pos", "gram")
-    ).cache()
+    grams = _positional_grams(df, id_col, text_col, k).cache()
     hot = (
         grams.groupBy("gram")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
@@ -754,7 +742,36 @@ def duplicate_spans(
             "semi-join the gram streams instead"
         )
     hits = grams.join(F.broadcast(hot), "gram").select(id_col, "pos")
+    return _merge_hits_to_spans(hits, id_col, k)
 
+
+def _positional_grams(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, gram): word ``k``-grams with their 0-based token offset —
+    the row-local front shared by :func:`duplicate_spans` and
+    :func:`contaminated_spans`.  The gram array builds inside ONE
+    expression (the InferFiltersFromGenerate caveat: a filter between the
+    transform and the posexplode would split the fused generator)."""
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    grams_arr = F.when(
+        n - (k - 1) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        F.col(id_col), F.posexplode(grams_arr).alias("pos", "gram")
+    )
+
+
+def _merge_hits_to_spans(hits: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge per-doc gram-hit positions into maximal token spans
+    (interval-merge via running max-end) — shared by the duplicate-span
+    and contaminated-span detectors."""
     w_prev = (
         Window.partitionBy(id_col)
         .orderBy("pos")
@@ -779,6 +796,45 @@ def duplicate_spans(
         )
         .drop("_sid")
     )
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_bench_grams: int = BENCH_MAX_SHINGLES,
+) -> DataFrame:
+    """SPAN-LEVEL decontamination detect: maximal token ranges of corpus
+    docs covered by word ``k``-grams that occur ANYWHERE in the benchmark
+    set — the surgical sibling of :func:`contaminated_docs` (which flags
+    whole documents).  Dropping a whole doc for one leaked paragraph
+    wastes the rest of it; trimming just the overlapping spans (via
+    :func:`trim_duplicate_spans`, which consumes this output unchanged)
+    is the span-grain decontamination the training-data literature
+    recommends when benchmark text is embedded in otherwise-good pages.
+
+    Plan shape: the benchmark's DISTINCT gram set broadcasts under an
+    enforced ``max_bench_grams`` envelope (the ``contaminated_docs``
+    stance); the corpus gram stream probes it map-side — no shuffle
+    touches the corpus until the tiny per-doc hit merge."""
+    bgrams = (
+        _positional_grams(bench, id_col, text_col, k).select("gram").distinct()
+    )
+    n_bench = bgrams.count()
+    if n_bench > max_bench_grams:
+        raise ValueError(
+            f"contaminated_spans broadcasts the benchmark gram set; "
+            f"{n_bench} grams exceeds the {max_bench_grams} envelope — "
+            "bucket-join the gram streams instead"
+        )
+    hits = (
+        _positional_grams(docs, id_col, text_col, k)
+        .join(F.broadcast(bgrams), "gram")
+        .select(id_col, "pos")
+    )
+    return _merge_hits_to_spans(hits, id_col, k)
 
 
 def trim_duplicate_spans(

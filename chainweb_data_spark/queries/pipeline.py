@@ -3726,3 +3726,89 @@ if _QLR_MODEL is not None:
         return clf.score_quality_lr(docs, "doc_id", "text", model).orderBy(
             "doc_id"
         )
+
+
+# --- span-level decontamination (surgical benchmark-overlap trim) -----------
+
+
+@register(
+    "trim_contamination_docs",
+    oracle=f"""
+    WITH toks0 AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % {_BENCH_MOD} <> 0
+    ),
+    btoks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % {_BENCH_MOD} = 0
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks0, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+    ),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(t[i:i+7], ' ') AS gram
+      FROM btoks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+    ),
+    hits AS (SELECT doc_id, pos FROM grams JOIN bgrams USING (gram)),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR pos > max(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS _new
+      FROM hits
+    ),
+    sess AS (
+      SELECT doc_id, pos,
+             SUM(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS _sid
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 8 AS span_end
+      FROM sess GROUP BY doc_id, _sid
+    ),
+    alltoks AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM toks0, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT a.doc_id, a.pos, a.tok FROM alltoks a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = a.doc_id
+          AND a.pos >= s.span_start AND a.pos < s.span_end
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             array_to_string(list(tok ORDER BY pos), ' ') AS trimmed
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(r.trimmed, '') AS trimmed
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_BENCH_MOD} <> 0) d
+    LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def trim_contamination_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination: trim only the token ranges of corpus
+    docs covered by benchmark 8-grams, keeping the rest of each page —
+    the surgical alternative to ``decontaminate_docs``'s whole-doc flag
+    (dropping a page for one leaked paragraph wastes the page).
+    Completes the decontamination family: doc flag → graded score →
+    span trim.  Benchmark grams broadcast under the enforced envelope;
+    the corpus never shuffles before the tiny per-doc hit merge."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
+    spans = dd.contaminated_spans(corpus, bench, "doc_id", "text", k=8)
+    return dd.trim_duplicate_spans(corpus, spans, "doc_id", "text").orderBy(
+        "doc_id"
+    )

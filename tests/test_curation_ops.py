@@ -612,3 +612,37 @@ def test_strip_boilerplate_matches_python_reference(spark):
             ).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_contaminated_spans_and_trim(spark):
+    """Span-level decontamination: only the benchmark-overlapping token
+    range trims; the rest of the doc (and clean docs) pass verbatim, and
+    the envelope refuses an oversized benchmark gram set loudly."""
+    import pytest
+
+    bench_txt = " ".join(f"b{i}" for i in range(8))  # one 8-gram exactly
+    clean = " ".join(f"c{i}" for i in range(12))
+    mixed = "lead in " + bench_txt + " tail out"
+    docs = spark.createDataFrame(
+        [(1, mixed), (2, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_txt)], "doc_id long, text string")
+    spans = dd.contaminated_spans(docs, bench, "doc_id", "text", k=8).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"]) for r in spans] == [
+        (1, 2, 10)
+    ]
+    got = {
+        r["doc_id"]: r["trimmed"]
+        for r in dd.trim_duplicate_spans(
+            docs,
+            dd.contaminated_spans(docs, bench, "doc_id", "text", k=8),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert got[1] == "lead in tail out"
+    assert got[2] == clean
+    with pytest.raises(ValueError, match="envelope"):
+        dd.contaminated_spans(
+            docs, bench, "doc_id", "text", k=8, max_bench_grams=0
+        )

@@ -958,12 +958,18 @@ def strip_boilerplate_lines(
         ).alias("stripped")
     )
     # docs whose every line was hot drop out of the rebuild groupBy —
-    # left-join back so the contract stays one row per input doc
+    # left-join back so the contract stays one row per input doc.  NULL
+    # text stays NULL (posexplode drops those rows, so they also miss the
+    # rebuild — a bare coalesce('') would silently rewrite NULL to empty)
     return (
-        df.select(id_col)
+        df.select(id_col, F.col(text_col).alias("_orig"))
         .join(rebuilt, id_col, "left")
         .select(
-            F.col(id_col), F.coalesce(F.col("stripped"), F.lit("")).alias("stripped")
+            F.col(id_col),
+            F.when(
+                F.col("_orig").isNotNull(),
+                F.coalesce(F.col("stripped"), F.lit("")),
+            ).alias("stripped"),
         )
     )
 

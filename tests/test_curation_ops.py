@@ -560,6 +560,17 @@ def test_strip_boilerplate_lines_semantics(spark):
     assert got[2] == "body b\n"             # trailing empty line kept
     assert got[3] == ""                     # fully boilerplate
     assert got[4] == "\n\n"                 # empty lines are not boilerplate
+    # NULL text stays NULL — never silently rewritten to the empty string
+    docs_null = docs.union(
+        spark.createDataFrame([(5, None)], "doc_id long, text string")
+    )
+    got5 = {
+        r["doc_id"]: r["stripped"]
+        for r in dd.strip_boilerplate_lines(
+            docs_null, "doc_id", "text", min_df=2
+        ).collect()
+    }
+    assert got5[5] is None and got5[3] == ""
     hot = dd.boilerplate_lines(docs, "doc_id", "text", min_df=2).collect()
     assert len(hot) == 1 and hot[0]["df"] == 3
 

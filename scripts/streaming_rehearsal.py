@@ -296,6 +296,37 @@ def time_curate_batch(spark, path: str, n: int) -> float:
     return round(best, 3)
 
 
+def curation_longrun_report(
+    spark, n_batches: int = 60, compact_every: int = 16
+) -> dict:
+    """The curation sink's long-run question: steady-state per-batch cost
+    as batches accumulate, with and without compaction.  Cost has two
+    file-count terms — the hash-probe's published file list and the inner
+    dedup index's — both bounded by ``compact_every`` through the
+    transaction log; uncompacted, both grow linearly with batches."""
+    from chainweb_data_spark.streaming.curation import curate_batch
+    from chainweb_data_spark.streaming.publish import read_manifest
+
+    marks = sorted({15, max(16, n_batches // 2), n_batches})
+    report: dict = {"n_batches": n_batches, "compact_every": compact_every}
+    for label, ce in (("compacted", compact_every), ("uncompacted", None)):
+        out = os.path.join(WORK, f"cur_long_{label}")
+        checkpoints = {}
+        for b in range(n_batches):
+            curate_batch(
+                spark, _doc_batch(spark, b), out, batch_id=b, compact_every=ce
+            )
+            if b + 1 in marks:
+                checkpoints[str(b + 1)] = {
+                    "batch_s": time_curate_batch(spark, out, 2),
+                    "live_files": sum(
+                        len(v) for v in read_manifest(out)["tables"].values()
+                    ),
+                }
+        report[label] = checkpoints
+    return report
+
+
 def _vec_batch(spark, b: int, n: int = 300, dim: int = 32):
     from pyspark.sql import functions as F
 
@@ -372,6 +403,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     longrun = "--longrun" in sys.argv[1:]
     ann_longrun = "--annlongrun" in sys.argv[1:]
+    cur_longrun = "--curlongrun" in sys.argv[1:]
     mult = int(args[0]) if args else 10
     n = int(args[1]) if len(args) > 1 else 3
     spark = get_spark("cds-streaming-rehearsal")
@@ -386,6 +418,15 @@ def main() -> None:
         print(json.dumps({
             "regime": "ann_longrun",
             "ann_index": ann_longrun_report(
+                spark, n_batches=int(args[0]) if args else 60
+            ),
+        }))
+        return
+
+    if cur_longrun:
+        print(json.dumps({
+            "regime": "curation_longrun",
+            "curation": curation_longrun_report(
                 spark, n_batches=int(args[0]) if args else 60
             ),
         }))

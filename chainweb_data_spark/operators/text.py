@@ -762,6 +762,14 @@ def assign_splits(
     bins quantized to /65536 — same split for every row on every replay,
     in any engine, with no rand() and no shuffle (pure codegen CASE).
     Weights must sum to ≤ 1; any remainder falls to the LAST split."""
+    return df.withColumn("split", split_column(id_col, weights))
+
+
+def split_column(id_col: str, weights: dict[str, float]) -> Column:
+    """The split assignment as a bare Column over any id expression —
+    usable on BOTH ends of a pair relation (the split-leakage audit
+    computes split(id_a) and split(id_b) row-locally, never joining the
+    assignment back)."""
     names = list(weights)
     if not names:
         raise ValueError("need at least one split")
@@ -793,10 +801,9 @@ def assign_splits(
         chain = F.when(cond, F.lit(name)) if chain is None else chain.when(
             cond, F.lit(name)
         )
-    split = chain.otherwise(F.lit(names[-1])) if chain is not None else F.lit(
+    return chain.otherwise(F.lit(names[-1])) if chain is not None else F.lit(
         names[-1]
     )
-    return df.withColumn("split", split)
 
 
 def temperature_sample(

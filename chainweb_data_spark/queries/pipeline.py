@@ -3812,3 +3812,79 @@ def trim_contamination_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.trim_duplicate_spans(corpus, spans, "doc_id", "text").orderBy(
         "doc_id"
     )
+
+
+# --- split-leakage audit (near-dup pairs straddling dataset splits) ---------
+
+_SPLIT_CASE = (
+    "CASE WHEN substring(md5(CAST({id} AS VARCHAR)), 1, 4) < 'cccc'"
+    " THEN 'train'"
+    " WHEN substring(md5(CAST({id} AS VARCHAR)), 1, 4) < 'e666'"
+    " THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "split_leakage_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_cols_sql(16)} FROM sh GROUP BY doc_id),
+    banded AS ({_band_sql(16, 4)}),
+    kept AS (
+      SELECT banded.* FROM banded
+      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) k USING (band, bucket)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+             n_inter / (sa.n + sb.n - n_inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.2
+    )
+    SELECT id_a, id_b, jaccard,
+           {_SPLIT_CASE.format(id="id_a")} AS split_a,
+           {_SPLIT_CASE.format(id="id_b")} AS split_b
+    FROM verified
+    WHERE {_SPLIT_CASE.format(id="id_a")} <> {_SPLIT_CASE.format(id="id_b")}
+    ORDER BY id_a, id_b
+    """,
+)
+def split_leakage_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: verified near-duplicate pairs (the
+    ``minhash_verified_pairs`` chain, exact Jaccard ≥ 0.2) whose two docs
+    landed in DIFFERENT train/val/test splits — the silent evaluation bug
+    dedup exists to prevent (a test doc with a train-set twin scores as
+    memorization, not generalization).  Split membership is recomputed
+    ROW-LOCALLY on both pair ends (``split_column`` — a pure md5 CASE),
+    so the audit adds zero joins to the dedup chain it rides."""
+    docs = _t(spark, sf_dir, "documents")
+    sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
+    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
+    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = dd.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    jac = dd.jaccard_for_pairs_sets(sets_, cand, "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = (
+        jac.filter(F.col("jaccard") >= 0.2)
+        .withColumn("split_a", tx.split_column("id_a", w))
+        .withColumn("split_b", tx.split_column("id_b", w))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return out.orderBy("id_a", "id_b")

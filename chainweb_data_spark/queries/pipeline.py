@@ -3888,3 +3888,90 @@ def split_leakage_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
     )
     return out.orderBy("id_a", "id_b")
+
+
+@register(
+    "split_by_cluster_docs",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sig AS (SELECT doc_id, {_minhash_cols_sql(16)} FROM sh GROUP BY doc_id),
+    banded AS ({_band_sql(16, 4)}),
+    kept AS (
+      SELECT banded.* FROM banded
+      JOIN (SELECT band, bucket FROM banded GROUP BY band, bucket
+            HAVING COUNT(*) <= {_LSH_MAX_BUCKET}) k USING (band, bucket)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    vp AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.2
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION SELECT id_b, id_a FROM vp
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+    ),
+    lab AS (
+      SELECT src AS doc_id, least(src, MIN(dst)) AS rep
+      FROM reach GROUP BY src
+    ),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep
+      FROM documents d LEFT JOIN lab l USING (doc_id)
+    )
+    SELECT doc_id, rep,
+           {_SPLIT_CASE.format(id="rep")} AS split
+    FROM assigned ORDER BY doc_id
+    """,
+)
+def split_by_cluster_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dataset splits — the FIX for what
+    ``split_leakage_pairs`` audits: every member of a verified near-dup
+    component inherits its component representative's split (md5 CASE on
+    the rep id), so no near-dup pair can straddle train/test BY
+    CONSTRUCTION; singletons split on their own id exactly as
+    ``dataset_splits`` does, leaving the 80/10/10 proportions intact on
+    the deduplicated mass.  Costs the dedup chain (already run for dedup
+    itself) plus one left join of the tiny component relation."""
+    docs = _t(spark, sf_dir, "documents")
+    sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
+    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
+    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = dd.lsh_candidate_pairs(
+        sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
+    )
+    vp = dd.jaccard_for_pairs_sets(sets_, cand, "doc_id").filter(
+        F.col("jaccard") >= 0.2
+    )
+    comps = dd.duplicate_clusters(vp.select("id_a", "id_b")).select(
+        F.col("id").alias("doc_id"), F.col("cluster_rep").alias("_rep")
+    )
+    assigned = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("_rep"), F.col("doc_id")).alias("rep")
+        )
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    return assigned.withColumn("split", tx.split_column("rep", w)).orderBy(
+        "doc_id"
+    )

@@ -657,3 +657,33 @@ def test_contaminated_spans_and_trim(spark):
         dd.contaminated_spans(
             docs, bench, "doc_id", "text", k=8, max_bench_grams=0
         )
+
+
+def test_cluster_splits_eliminate_leakage(spark):
+    """The audit→fix arc: plain id-hash splits leak (the fixture has
+    real cross-split near-dup pairs); cluster-aware splits put every
+    verified near-dup component in one split, so the SAME pair relation
+    straddles nothing."""
+    from chainweb_data_spark.queries import query_fns
+
+    sf = "/root/testdata/sf0.01"
+    fns = query_fns()
+    leaks = fns["split_leakage_pairs"](spark, sf)
+    assert leaks.count() > 0  # the bug is real under id-hash splits
+    fixed = fns["split_by_cluster_docs"](spark, sf).select("doc_id", "split")
+    pairs = leaks.select("id_a", "id_b")  # the known-leaking pairs
+    joined = (
+        pairs.join(
+            fixed.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            fixed.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    assert joined.filter(F.col("sa") != F.col("sb")).count() == 0

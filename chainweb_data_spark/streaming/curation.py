@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import lang_id, normalize_text, quality_features
 from .corpus_stats import stats_delta
-from .dedup_index import _id_bucket, update_dedup_index
+from .dedup_index import _id_bucket, _read_if_exists, update_dedup_index
 from .listen import merge_batch
 from .publish import publish_batch, read_published
 
@@ -65,10 +65,6 @@ CURATED_TABLE = "curated_docs.parquet"
 REJECTS_TABLE = "curation_rejects.parquet"
 HASHES_TABLE = "content_hashes.parquet"
 INDEX_SUBDIR = "dedup_index"
-
-
-def _read_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
-    return spark.read.parquet(path) if os.path.exists(path) else None
 
 
 def curate_batch(
@@ -130,10 +126,13 @@ def curate_batch(
     if quality_model is not None:
         from ..operators.classifier import lr_logit_column
 
-        qpass_pred = F.col(text_col).isNotNull() & (
-            lr_logit_column(text_col, quality_model) > F.lit(0.0)
-        )
+        # ONE logit expression serves both the gate predicate and the
+        # reject-log detail, so the logged signal is provably the signal
+        # that gated
+        q_logit = lr_logit_column(text_col, quality_model)
+        qpass_pred = F.col(text_col).isNotNull() & (q_logit > F.lit(0.0))
     else:
+        q_logit = None
         qpass_pred = F.col(text_col).isNotNull() & (
             F.col("quality_score") >= min_quality
         )
@@ -171,7 +170,11 @@ def curate_batch(
             .distinct()
             .collect()
         ]
-        batch_ids = docs.select(F.col(id_col)).distinct()
+        # ids come from the CHECKPOINTED frame: listing them from the raw
+        # micro-batch would re-execute the streaming source plan (the
+        # foreachBatch re-execution pitfall scored's checkpoint exists to
+        # close) and could diverge from what was actually scored
+        batch_ids = scored.select(F.col(id_col)).distinct()
         new_side = exact_survivors.select(
             F.col(id_col).alias("_new_id"), "content_hash"
         )
@@ -226,10 +229,8 @@ def curate_batch(
     # the quality reject detail records the signal that actually gated:
     # the model's logit when a classifier is set, the heuristic score
     # otherwise (a NULL-text doc has a NULL signal either way)
-    if quality_model is not None:
-        from ..operators.classifier import lr_logit_column
-
-        q_detail = lr_logit_column(text_col, quality_model).cast("string")
+    if q_logit is not None:
+        q_detail = q_logit.cast("string")
     else:
         q_detail = F.format_number("quality_score", 4)
     rejects = (

@@ -943,18 +943,17 @@ def semdedup_prune(
     training-data literature."""
     from .dedup import duplicate_clusters
 
-    # two consumers (the per-cell pair kernel's re-attach join and the
-    # final output relation) — cache so the corpus-wide Arrow assignment
-    # pass runs once, not per consumer (the duplicate_spans grams-cache
-    # convention)
-    assign = (
-        cluster_assign(
-            df, id_col, vec_col, n_cells=n_cells, centroids=centroids,
-            train=train,
-        )
-        .withColumnRenamed("cosine", "cent_cosine")
-        .cache()
-    )
+    # assign has two consumers (the per-cell pair kernel's re-attach join
+    # and the output relation) but is deliberately NOT cached, breaking
+    # the module's grams-cache convention on MEASUREMENT: the assignment
+    # is a fully pipelined Arrow pass over broadcast centroids (no
+    # shuffle), so recomputing it streams at scan speed, while caching
+    # forces a stop-and-store materialization plus storage residency that
+    # measured 2.2x SLOWER end-to-end on the 10x family fixture
+    # (11.3s uncached vs 24-27s with assign/full cached)
+    assign = cluster_assign(
+        df, id_col, vec_col, n_cells=n_cells, centroids=centroids, train=train
+    ).withColumnRenamed("cosine", "cent_cosine")
     # re-attach vectors and shape the cell as a (band, key) bucket so the
     # per-cell pair kernel is the SAME bucket-local matmul the ANN rerank
     # uses — one code path for "all pairs inside a bounded bucket"
@@ -977,14 +976,18 @@ def semdedup_prune(
         F.col("cluster_rep").alias("_rep"),
         F.col("cluster_size").alias("_size"),
     )
-    # likewise two consumers: the keeper aggregation and the output join
+    # full also has two consumers (keeper aggregation + output join) but
+    # is NOT cached: it is a cheap join of the cached assignment with the
+    # tiny checkpointed component relation, and caching it would hold a
+    # second near-copy of the assignment in storage for no saved compute
+    # (measured SLOWER at 10x — eviction pressure outweighed the join)
     full = assign.join(comps, id_col, "left").select(
         id_col,
         "cell",
         F.coalesce(F.col("_rep"), F.col(id_col)).alias("group_rep"),
         F.coalesce(F.col("_size"), F.lit(1).cast("long")).alias("group_size"),
         "cent_cosine",
-    ).cache()
+    )
     # keeper per group = argmin (cent_cosine, id): min_by over an ordering
     # struct, computed ONLY over grouped ids (size > 1) — a singleton is
     # trivially its own keeper and must not inflate this relation to

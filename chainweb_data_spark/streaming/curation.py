@@ -348,6 +348,35 @@ def curate_batch(
     return summary
 
 
+def train_quality_model(
+    spark: SparkSession,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **fit_kwargs,
+) -> dict:
+    """Bootstrap a quality classifier FROM the sink's own curated history:
+    train on the published ``curated_docs`` snapshot (crash-consistent),
+    then pass the returned model back as ``quality_model`` — the
+    self-improving loop a long-running curation deployment actually runs
+    (heuristic gate for the cold start, trained gate once enough clean
+    history exists).  Same deterministic sampled fit as
+    ``operators/classifier.py train_quality_lr``; raises if nothing has
+    been curated yet (an untrained gate is a configuration error, not a
+    silent pass-through)."""
+    from ..operators.classifier import train_quality_lr
+
+    curated = read_published(spark, out_dir, "curated_docs")
+    if curated is None:
+        curated = _read_if_exists(spark, os.path.join(out_dir, CURATED_TABLE))
+    if curated is None:
+        raise ValueError(
+            f"train_quality_model: no curated history at {out_dir} — run "
+            "the sink with the heuristic gate first"
+        )
+    return train_quality_lr(curated, id_col, text_col, **fit_kwargs)
+
+
 def curation_sink(
     docs_stream: DataFrame,
     out_dir: str,

@@ -159,7 +159,7 @@ def update_dedup_index(
         keys = [
             r[0]
             for r in probe_banded.select(
-                F.substring("bucket", 1, 1).alias("kb")
+                F.concat(F.lit("h"), F.substring("bucket", 1, 1)).alias("kb")
             )
             .distinct()
             .collect()
@@ -239,8 +239,13 @@ def update_dedup_index(
     # test asserts); periodic sources/maintenance.py compaction remains
     # the long-run bound.
     to_merge = {
+        # 'h' prefix: a small batch can touch only DIGIT hex dirs, which
+        # partition-type inference reads back as INT — the next batch's
+        # letter bucket then fails the implicit cast in the pruned probe
+        # (curation.py's content_hashes hit the identical trap); the
+        # prefix pins the column to string at any batch size
         "minhash_bands": banded.withColumn(
-            "key_bucket", F.substring("bucket", 1, 1)
+            "key_bucket", F.concat(F.lit("h"), F.substring("bucket", 1, 1))
         ).coalesce(1),
         "shingle_sets": sets_.withColumn(
             "key_bucket", _id_bucket(id_col)

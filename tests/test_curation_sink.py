@@ -392,3 +392,32 @@ def test_trained_quality_model_gates_stage_one(spark, tmp_path):
     assert s["n_quality"] == 2  # the junk doc AND the NULL doc
     assert s["n_kept"] == 1
     assert _ids(spark, out, CURATED_TABLE) == [fluent[0][0]]
+
+
+def test_train_quality_model_from_history(spark, tmp_path):
+    """The self-improving loop: curate with the heuristic gate, train a
+    classifier from the published curated snapshot, and gate the next
+    batch with it; an empty history raises instead of silently passing."""
+    import pytest
+
+    from chainweb_data_spark.streaming.curation import train_quality_model
+
+    out = str(tmp_path / "cur")
+    with pytest.raises(ValueError, match="no curated history"):
+        train_quality_model(spark, out)
+    vocab = "the of and to a in is it you that he was for on are".split()
+    rows = [
+        (i, " ".join(vocab[(i + j) % len(vocab)] for j in range(30)))
+        for i in range(10)
+    ]
+    curate_batch(spark, _docs(spark, rows), out, batch_id=0, min_quality=MIN_Q)
+    model = train_quality_model(spark, out)
+    assert set(model) == {"features", "w", "b", "mu", "sd"}
+    s = curate_batch(
+        spark,
+        _docs(spark, [(50, rows[0][1] + " fresh tail marker")]),
+        out,
+        batch_id=1,
+        quality_model=model,
+    )
+    assert s["n_in"] == 1  # the model-gated path runs end to end

@@ -12,8 +12,14 @@ streaming/listen.py) so each batch costs O(batch + hits):
 
 - ``minhash_bands.parquet`` — (doc_id, band, bucket, key_bucket): the
   banded LSH index rows (operators/dedup.py ``banded_signatures``),
-  PK (doc_id, band), partitioned by ``key_bucket`` = bucket's first hex
-  char.  The cross-era probe BROADCASTS the batch's banded rows against
+  PK (doc_id, band), partitioned by ``key_bucket`` = ``'h'`` + the
+  bucket's first hex char (the letter prefix pins partition-type
+  inference to string — an all-digit dir set from a small batch would
+  read back as INT and crash the next probe's cast.  FORMAT NOTE: an
+  index written before the prefix existed has unprefixed dirs the
+  pruned probe no longer matches — migrate by reading the table,
+  re-deriving key_bucket, and republishing; per-partition compaction
+  keeps dir names and is NOT sufficient).  The cross-era probe BROADCASTS the batch's banded rows against
   this table — a map-side join: the index is never shuffled, only scanned
   (partition-pruned to the batch's key_buckets when the batch is narrow).
 - ``shingle_sets.parquet`` — (doc_id, _sh array, key_bucket): per-doc

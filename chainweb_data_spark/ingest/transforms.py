@@ -386,16 +386,26 @@ def transfers_from_events(events: DataFrame, event_min_height: int = 0) -> DataF
 # ---------------------------------------------------------------------------
 
 
+def _key_bucket_expr(pk_col: Column) -> Column:
+    """The un-aliased bucket expression: 'k' + the first base64url char
+    of the PK.  The 'k' prefix pins partition-type inference to STRING —
+    a tiny batch whose keys all start with digits would otherwise write
+    an all-numeric dir set that reads back as INT, and the next batch's
+    letter bucket crashes the pruned probe's cast (the dedup index and
+    the curation hash table hit the identical trap)."""
+    return F.concat(F.lit("k"), F.substring(pk_col, 1, 1))
+
+
 def _key_bucket(pk_col: Column) -> Column:
     """PK-prefix partition key for the height-less tables (signers /
-    minerkeys): the first base64url character of the leading PK column —
-    ~64 roughly-uniform buckets, and a FUNCTION OF THE PK, so a replayed or
-    orphan-twin row always lands in the same bucket as the original.  That
-    makes the ingest duplicate-probe prunable (scan only the buckets the
-    batch's keys map to) without the height-range assumption these tables
-    can't make: a requestkey re-mined after an orphan may land at ANY later
-    height, but its key bucket never changes."""
-    return F.substring(pk_col, 1, 1).alias("key_bucket")
+    minerkeys): ~64 roughly-uniform buckets, and a FUNCTION OF THE PK, so
+    a replayed or orphan-twin row always lands in the same bucket as the
+    original.  That makes the ingest duplicate-probe prunable (scan only
+    the buckets the batch's keys map to) without the height-range
+    assumption these tables can't make: a requestkey re-mined after an
+    orphan may land at ANY later height, but its key bucket never
+    changes."""
+    return _key_bucket_expr(pk_col).alias("key_bucket")
 
 
 def signers_from_raw(raw: DataFrame) -> DataFrame:

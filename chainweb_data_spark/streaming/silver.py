@@ -40,7 +40,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..ingest.transforms import _key_bucket
+from ..ingest.transforms import _key_bucket, _key_bucket_expr
 from .listen import merge_batch
 
 LINEAGE = "tx_lineage.parquet"
@@ -100,7 +100,7 @@ def update_continuation_history(
         need = [
             r[0]
             for r in frontier.select(
-                F.substring("_next", 1, 1).alias("b")
+                _key_bucket_expr(F.col("_next")).alias("b")
             )
             .distinct()
             .collect()
@@ -155,7 +155,7 @@ def lookup_history(spark: SparkSession, out_dir: str, start_rk: str) -> DataFram
     return (
         spark.read.parquet(os.path.join(out_dir, HISTORY))
         .filter(
-            (F.col("key_bucket") == start_rk[:1])
+            (F.col("key_bucket") == "k" + start_rk[:1])
             & (F.col("start_rk") == start_rk)
         )
         .orderBy("depth")

@@ -107,13 +107,13 @@ def test_lookup_reads_one_bucket_in_depth_order(spark, tx, silver_dir):
         f["fp"]
         for f in spark.read.parquet(os.path.join(silver_dir, HISTORY))
         .filter(
-            (F.col("key_bucket") == tip[:1]) & (F.col("start_rk") == tip)
+            (F.col("key_bucket") == "k" + tip[:1]) & (F.col("start_rk") == tip)
         )
         .select(F.input_file_name().alias("fp"))
         .distinct()
         .collect()
     ]
-    assert files and all(f"key_bucket={tip[:1]}" in f for f in files)
+    assert files and all(f"key_bucket=k{tip[:1]}" in f for f in files)
 
 
 def test_listen_stream_maintains_silver_history(spark, tx, tmp_path_factory):

@@ -436,3 +436,35 @@ def test_orphan_twins_coexist(spark, raw_rows):
     assert not twins.isEmpty(), "fixture must contain orphan twins"
     # twins have distinct hashes (PK) — both retained
     assert blocks.select("hash").distinct().count() == blocks.count()
+
+
+def test_key_bucket_survives_all_digit_first_batch(spark, tmp_path_factory):
+    """A tiny first batch whose PKs all start with digits must not poison
+    the table: without the 'k' prefix, partition inference read the
+    all-numeric dir set back as INT and the next batch's letter bucket
+    crashed the pruned probe's cast (CAST_INVALID_INPUT)."""
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.ingest.transforms import _key_bucket
+    from chainweb_data_spark.streaming.listen import merge_batch
+
+    path = str(tmp_path_factory.mktemp("kbdigit") / "signers.parquet")
+
+    def _batch(keys):
+        return spark.createDataFrame(
+            [(k, 0) for k in keys], "requestkey string, idx int"
+        ).select("requestkey", "idx", _key_bucket(F.col("requestkey")))
+
+    merge_batch(spark, _batch(["7abc", "3xyz"]), path, ("requestkey", "idx"))
+    # pre-fix: this second merge raised NumberFormatException in the probe
+    merge_batch(spark, _batch(["Babc"]), path, ("requestkey", "idx"))
+    back = spark.read.parquet(path)
+    assert back.count() == 3
+    assert sorted(r[0] for r in back.select("key_bucket").collect()) == [
+        "k3",
+        "k7",
+        "kB",
+    ]
+    # replay stays a no-op across the type boundary too
+    merge_batch(spark, _batch(["Babc", "7abc"]), path, ("requestkey", "idx"))
+    assert spark.read.parquet(path).count() == 3

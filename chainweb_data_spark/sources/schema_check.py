@@ -54,8 +54,10 @@ def _compatible(want, got) -> bool:
     return w is not None and g is not None and g <= w
 
 
-def check_table_schema(spark: SparkSession, path: str, table: str) -> SchemaReport:
-    expected = TABLE_SCHEMAS[table]
+def check_table_schema(
+    spark: SparkSession, path: str, table: str, expected=None
+) -> SchemaReport:
+    expected = TABLE_SCHEMAS[table] if expected is None else expected
     got = spark.read.parquet(path).schema
     got_types = {f.name: f.dataType for f in got.fields}
     rep = SchemaReport(table=table)
@@ -92,5 +94,38 @@ def check_store(spark: SparkSession, out_dir: str) -> dict[str, SchemaReport]:
         raise ValueError(
             "schema drift — refusing to run (reference Migration.hs "
             "behavior):\n" + "\n".join(lines)
+        )
+    return reports
+
+
+def check_curation_store(
+    spark: SparkSession, out_dir: str
+) -> dict[str, SchemaReport]:
+    """The same refuse-to-run guard over the curation sink's store: the
+    five out_dir tables plus the dedup index's three (schemas/curation.py)
+    — run it before resuming ``curation_sink`` against an existing
+    directory, exactly as ``check_store`` runs before the listen path."""
+    from ..schemas.curation import CURATION_SCHEMAS, DEDUP_INDEX_SCHEMAS
+
+    reports = {}
+    for table, expected in CURATION_SCHEMAS.items():
+        path = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(path) and _has_data_files(path):
+            reports[table] = check_table_schema(spark, path, table, expected)
+    for table, expected in DEDUP_INDEX_SCHEMAS.items():
+        path = os.path.join(out_dir, "dedup_index", f"{table}.parquet")
+        if os.path.exists(path) and _has_data_files(path):
+            reports[table] = check_table_schema(spark, path, table, expected)
+    bad = {t: r for t, r in reports.items() if not r.ok}
+    if bad:
+        lines = []
+        for t, r in bad.items():
+            if r.missing:
+                lines.append(f"{t}: missing columns {r.missing}")
+            for col, want, got in r.mistyped:
+                lines.append(f"{t}.{col}: expected {want}, stored {got}")
+        raise ValueError(
+            "curation store schema drift — refusing to resume:\n"
+            + "\n".join(lines)
         )
     return reports

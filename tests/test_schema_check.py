@@ -60,3 +60,48 @@ def test_extra_columns_tolerated(spark, tmp_path_factory):
     df.write.parquet(p)
     rep = check_table_schema(spark, p, "minerkeys")
     assert rep.ok and rep.extra == ["added_later"]
+
+
+def test_curation_store_guard(spark, tmp_path):
+    """check_curation_store passes on a store the sink just wrote (all
+    eight tables, declared vs stored), and refuses a drifted table with
+    the reference's refuse-to-run behavior."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from chainweb_data_spark.sources.schema_check import check_curation_store
+    from chainweb_data_spark.streaming.curation import curate_batch
+
+    out = str(tmp_path / "cur")
+    rows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa w%d" % i)
+        for i in range(5)
+    ]
+    curate_batch(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        out,
+        batch_id=0,
+        min_quality=0.3,
+    )
+    reports = check_curation_store(spark, out)
+    assert set(reports) == {
+        "curated_docs",
+        "curation_rejects",
+        "content_hashes",
+        "corpus_stats",
+        "curation_log",
+        "minhash_bands",
+        "shingle_sets",
+        "bucket_counts",
+    }
+    assert all(r.ok for r in reports.values())
+    # drift: retype a column in one table -> loud refusal naming it
+    # (materialize before overwriting the directory the plan reads from)
+    log_rows = spark.read.parquet(out + "/curation_log.parquet").collect()
+    bad = spark.createDataFrame(log_rows).withColumn(
+        "n_kept", F.col("n_kept").cast("string")
+    )
+    bad.write.mode("overwrite").parquet(out + "/curation_log.parquet")
+    with pytest.raises(ValueError, match="curation_log.n_kept"):
+        check_curation_store(spark, out)

@@ -2660,9 +2660,17 @@ def _trained_bpe_merges():
 _BPE_MERGES = _trained_bpe_merges()
 
 
+def _sql_str(s: str) -> str:
+    """Escape a corpus-derived symbol for embedding in a SQL string
+    literal — apostrophes are common in English tokens and an unescaped
+    one breaks the oracle at registration (round-6 advice)."""
+    return s.replace("'", "''")
+
+
 def _bpe_merges_oracle() -> str:
     rows = ",\n      ".join(
-        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(_BPE_MERGES)
+        f"({i}, '{_sql_str(a)}', '{_sql_str(b)}')"
+        for i, (a, b) in enumerate(_BPE_MERGES)
     )
     return f"""
     SELECT CAST(v.rank AS BIGINT) AS rank, v.left_sym, v.right_sym

@@ -312,6 +312,56 @@ def timed(fn, spark, sf_dir) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def bpe_vocab_report(spark, n_distinct_words: int) -> dict:
+    """High-cardinality-vocab rehearsal (round-6 verdict #1 'done'
+    criterion): a synthetic corpus with ~n_distinct_words DISTINCT
+    whitespace words — the web-text regime where 'vocabulary ≪ corpus'
+    fails — trained with the default cap.  The point shown: driver rows
+    stay bounded at max_vocab regardless of corpus vocabulary."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.operators import bpe as bp
+
+    words_per_doc = 100
+    n_docs = n_distinct_words // words_per_doc
+    # doc i holds words w{i*100}..w{i*100+99} — all globally distinct —
+    # plus a tiny Zipf head so the capped top-N has real mass to train on
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("lower lowest newest widest "),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(
+                        F.col("id") * words_per_doc,
+                        F.col("id") * words_per_doc + words_per_doc - 1,
+                    ),
+                    lambda x: F.concat(F.lit("w"), x.cast("string")),
+                ),
+            ),
+        ).alias("text"),
+    )
+    max_vocab = 100_000
+    t0 = time.perf_counter()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        counts = bp.collect_word_counts(docs, "text", max_vocab=max_vocab)
+        merges = bp.train_merges_from_counts(counts, 32)
+    wall = round(time.perf_counter() - t0, 3)
+    return {
+        "distinct_words_in_corpus": n_distinct_words + 4,
+        "max_vocab": max_vocab,
+        "driver_rows_collected": len(counts),
+        "bounded": len(counts) <= max_vocab,
+        "truncation_warned": any("truncated" in str(w.message) for w in caught),
+        "n_merges_trained": len(merges),
+        "wall_s": wall,
+    }
+
+
 def main() -> None:
     from chainweb_data_spark.queries import query_fns
     from chainweb_data_spark.session import get_spark
@@ -319,8 +369,16 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     distinct = "--distinct" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
+    bpevocab = "--bpevocab" in sys.argv[1:]
     mult = int(args[0]) if args else 10
     spark = get_spark("cds-scale-rehearsal")
+    if bpevocab:
+        n = int(args[0]) if args else 10_000_000
+        print(json.dumps({
+            "regime": "bpe_vocab",
+            "bpe": bpe_vocab_report(spark, n),
+        }))
+        return
     if skew:
         skew_dir = build_skewed(spark, mult)
         print(json.dumps({

@@ -280,6 +280,78 @@ def test_bpe_spark_encode_matches_pure_python(spark):
     assert merges == bp.bpe_train(df, "text", 16)
 
 
+def test_bpe_capped_train_matches_pure_twin(spark, tmp_path):
+    """Floor + top-N cap mirrored bit-exactly: Spark's TakeOrdered by
+    (count desc, word asc) and the pyarrow twin's pure sort must pick the
+    SAME capped vocabulary — including at a count-tie truncation boundary
+    — so the literal oracles survive the cap (round-6 verdict #1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chainweb_data_spark.operators import bpe as bp
+
+    # 40 distinct words, many tied counts, cap at 7 → the boundary cuts
+    # through a tie and only the lexicographic order decides membership
+    texts = [
+        " ".join(f"w{j:02d}" for j in range(i % 8, 40, 3)) for i in range(24)
+    ]
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in rows], "text": texts}), p
+    )
+    import warnings as w
+
+    for min_count, max_vocab in [(1, 7), (2, 5), (1, 1000)]:
+        with w.catch_warnings():
+            w.simplefilter("ignore")
+            spark_merges = bp.bpe_train(
+                df, "text", 12, min_count=min_count, max_vocab=max_vocab
+            )
+            twin_merges = bp.bpe_train_parquet(
+                p, "text", 12, min_count=min_count, max_vocab=max_vocab
+            )
+        assert spark_merges == twin_merges, (min_count, max_vocab)
+
+
+def test_bpe_train_collect_is_bounded_and_warns(spark):
+    """Truncation is loud, the driver never holds more than max_vocab
+    rows, and max_vocab above the ceiling refuses before any job runs."""
+    import pytest
+
+    from chainweb_data_spark.operators import bpe as bp
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"u{i}_{j}" for j in range(20))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    with pytest.warns(UserWarning, match="truncated to top 16"):
+        counts = bp.collect_word_counts(df, "text", max_vocab=16)
+    assert len(counts) == 16
+    with pytest.raises(ValueError, match="exceeds the driver-collect"):
+        bp.bpe_train(df, "text", 4, max_vocab=bp.BPE_VOCAB_CEILING + 1)
+    with pytest.raises(ValueError, match="exceeds the driver-collect"):
+        bp.bpe_train_parquet("/nonexistent", max_vocab=10**9)
+
+
+def test_bpe_min_count_floor_prunes_hapax_tail(spark):
+    """min_count=2 drops words seen once BEFORE the collect; merges then
+    come only from the floor-passing vocabulary, identically on both
+    paths."""
+    from chainweb_data_spark.operators import bpe as bp
+
+    df = spark.createDataFrame(
+        [(0, "low low low hapaxzz"), (1, "low lowest lowest")],
+        "doc_id long, text string",
+    )
+    counts = bp.collect_word_counts(df, "text", min_count=2)
+    assert counts == {"low": 4, "lowest": 2}
+    merges = bp.bpe_train(df, "text", 8, min_count=2)
+    flat = {s for pair in merges for s in pair}
+    assert not any("z" in s for s in flat)
+
+
 def test_dsir_scores_rank_target_like_docs_higher(spark):
     # target model trained on "a b"-ish docs; docs made of target tokens
     # must out-score docs of background-only tokens

@@ -7,7 +7,9 @@ index.  This module maintains that index with the listen pipeline's
 merge/replay discipline (the vector analog of
 ``streaming/dedup_index.py``):
 
-    ann_members table: (vec_id PK, key_bucket = IVF cell, codes m ints)
+    ann_members table: (vec_id PK, key_bucket = 'c' + IVF cell, codes
+    m ints) — the letter prefix pins partition-type inference to string
+    (digit-only dirs read back as INT; the 'h'/'k' trap elsewhere)
 
 - **Fold** (:func:`update_ann_index`): assign each arriving vector to its
   IVF cell (broadcast centroids, one Arrow pass), PQ-encode it (broadcast
@@ -47,6 +49,64 @@ MEMBERS_TABLE = "ann_members"
 _PKS = {MEMBERS_TABLE: ("vec_id",)}
 
 
+class AnnIndexFormatError(RuntimeError):
+    """A stored ``ann_members`` table predates the 'c'-prefixed key_bucket
+    format.  Digit-only partition values read back as INT under partition
+    type inference (the same fragility class the 'h'/'k' prefixes removed
+    elsewhere), and the pruned probe / merge probe filter on 'c'-prefixed
+    strings only — pre-migration members would silently stop matching and
+    replays would re-append.  Refusing at resume is the loud option."""
+
+
+def unprefixed_member_cells(out_dir: str) -> list[str]:
+    """LIVE key_bucket partition values lacking the 'c' prefix — one
+    manifest read / listdir, no Spark job."""
+    from .publish import live_partition_values
+
+    return [
+        v
+        for v in live_partition_values(out_dir, MEMBERS_TABLE)
+        if not v.startswith("c")
+    ]
+
+
+def check_members_format(out_dir: str) -> None:
+    bad = unprefixed_member_cells(out_dir)
+    if bad:
+        raise AnnIndexFormatError(
+            f"ann_members at {out_dir!r} has pre-migration key_bucket "
+            f"partitions {bad}: probes and merge pruning match only "
+            "'c'-prefixed cell values, so this history would be silently "
+            "skipped and replays would duplicate. Run "
+            "chainweb_data_spark.streaming.ann_index.migrate_ann_index("
+            "spark, out_dir) once to re-derive key_bucket and republish, "
+            "then resume the sink."
+        )
+
+
+def migrate_ann_index(spark: SparkSession, out_dir: str) -> int:
+    """One-shot format migration: re-derive ``key_bucket`` = 'c' + cell
+    over the whole members table and republish as ONE log commit
+    (``publish.rewrite_published``).  Idempotent: already-prefixed rows
+    re-derive to themselves.  Returns the row count migrated."""
+    from .publish import rewrite_published
+
+    members = read_published(spark, out_dir, MEMBERS_TABLE)
+    if members is None:
+        return 0
+    kb = F.col("key_bucket").cast("string")
+    fixed = (
+        members.withColumn(
+            "key_bucket",
+            F.when(kb.startswith("c"), kb).otherwise(F.concat(F.lit("c"), kb)),
+        )
+        .repartition("key_bucket")
+    )
+    n = fixed.count()
+    rewrite_published(spark, out_dir, MEMBERS_TABLE, fixed)
+    return n
+
+
 def update_ann_index(
     spark: SparkSession,
     vecs: DataFrame,
@@ -63,11 +123,19 @@ def update_ann_index(
     encoding run FUSED in one Arrow-batched pass over the BATCH only
     (``pq_index_rows``); the existing index is touched solely by the
     merge probe, pruned to the batch's key_buckets."""
+    check_members_format(out_dir)  # refuse pre-'c'-prefix history loudly
     members = (
         sim.pq_index_rows(vecs, id_col, vec_col, centroids, codebooks)
         .select(
             F.col(id_col).alias("vec_id"),
-            F.col("cell").cast("string").alias("key_bucket"),
+            # 'c' prefix pins partition-type inference to string: an
+            # all-digit cell-id dir set from a small batch reads back as
+            # INT, and the next probe's isin(string) / a later letter
+            # value then breaks — the same trap the 'h'/'k' prefixes
+            # closed in the curation and silver writers (round-6 advice)
+            F.concat(F.lit("c"), F.col("cell").cast("string")).alias(
+                "key_bucket"
+            ),
             "codes",
         )
         .coalesce(1)
@@ -112,6 +180,7 @@ def ann_index_search(
     whose vec_id collides with a query id.  Pass ``exclude_self=False``
     for foreign-id query batches — every member then competes, including
     id-equal ones."""
+    check_members_format(out_dir)
     members = read_published(spark, out_dir, MEMBERS_TABLE)
     if members is None:
         # schema-stable empty result: SAME columns as the non-empty path
@@ -136,11 +205,11 @@ def ann_index_search(
     )
     if prune_cells:
         cells = [
-            str(r["cell"]) for r in probes.select("cell").distinct().collect()
+            f"c{r['cell']}" for r in probes.select("cell").distinct().collect()
         ]
         members = members.filter(F.col("key_bucket").isin(cells))
     members = members.select(
-        F.col("key_bucket").cast("int").alias("cell"),
+        F.expr("cast(substring(key_bucket, 2) as int)").alias("cell"),
         F.col("vec_id").alias(id_col),
         "codes",
     )

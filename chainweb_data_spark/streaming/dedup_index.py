@@ -87,6 +87,88 @@ _PKS = {
 }
 
 
+class DedupIndexFormatError(RuntimeError):
+    """A stored ``minhash_bands`` table predates the 'h'-prefixed
+    key_bucket format.  The pruned cross-era probe filters on 'h'-prefixed
+    partition values only, so pre-migration history would silently stop
+    matching — every historical near-dup missed, no error.  Refusing at
+    resume is the only loud option (round-6 advice)."""
+
+
+def unprefixed_band_buckets(out_dir: str) -> list[str]:
+    """key_bucket partition values of the LIVE bands table that lack the
+    'h' prefix — one manifest read / listdir
+    (``publish.live_partition_values``); no Spark job, cheap per batch."""
+    from .publish import live_partition_values
+
+    return [
+        v
+        for v in live_partition_values(out_dir, "minhash_bands")
+        if not v.startswith("h")
+    ]
+
+
+def check_bands_format(out_dir: str) -> None:
+    bad = unprefixed_band_buckets(out_dir)
+    if bad:
+        raise DedupIndexFormatError(
+            f"minhash_bands at {out_dir!r} has pre-migration key_bucket "
+            f"partitions {bad}: the pruned cross-era probe matches only "
+            "'h'-prefixed values, so this history would be silently "
+            "skipped (missed near-dups). Run "
+            "chainweb_data_spark.streaming.dedup_index.migrate_dedup_index("
+            "spark, out_dir) once to re-derive key_bucket and republish, "
+            "then resume the sink."
+        )
+
+
+def migrate_dedup_index(
+    spark: SparkSession, out_dir: str, atomic: bool = True
+) -> int:
+    """One-shot format migration: re-derive ``key_bucket`` ('h' + first
+    hex char of bucket) over the whole bands table and republish.  On the
+    txlog layout the rewrite commits as ONE log entry
+    (``publish.rewrite_published`` — readers see old or migrated, never a
+    mix; per-partition compaction keeps dir names and is NOT sufficient);
+    the legacy layout swaps directories via the park-and-rename move
+    (``maintenance.migrate_flat_to_bucketed``'s discipline).  Idempotent:
+    already-prefixed rows re-derive to themselves.  Returns the row
+    count migrated."""
+    from .publish import _manifest_path, rewrite_published
+
+    stored = _read_table(
+        spark, out_dir, "minhash_bands",
+        atomic and os.path.isdir(_manifest_path(out_dir)),
+    )
+    if stored is None:
+        tdir = os.path.join(out_dir, BANDS_TABLE)
+        stored = _read_if_exists(spark, tdir)
+        if stored is None:
+            return 0
+    fixed = (
+        stored.drop("key_bucket")
+        .withColumn(
+            "key_bucket", F.concat(F.lit("h"), F.substring("bucket", 1, 1))
+        )
+        .repartition("key_bucket")
+    )
+    n = fixed.count()
+    if atomic and os.path.isdir(_manifest_path(out_dir)):
+        rewrite_published(spark, out_dir, "minhash_bands", fixed)
+    else:
+        import shutil
+        import uuid
+
+        tdir = os.path.join(out_dir, BANDS_TABLE)
+        tmp = f"{tdir}.migrating-{uuid.uuid4().hex}"
+        fixed.write.mode("overwrite").partitionBy("key_bucket").parquet(tmp)
+        park = f"{tdir}.pre-migration-{uuid.uuid4().hex}"
+        os.rename(tdir, park)
+        os.rename(tmp, tdir)
+        shutil.rmtree(park, ignore_errors=True)
+    return n
+
+
 def _read_table(
     spark: SparkSession, out_dir: str, table: str, atomic: bool
 ) -> DataFrame | None:
@@ -158,7 +240,11 @@ def update_dedup_index(
         probe_banded = banded
 
     # cross-era candidates: stored index rows sharing a (band, bucket) with
-    # the batch — batch side broadcast, index side scanned map-side only
+    # the batch — batch side broadcast, index side scanned map-side only.
+    # Refuse FIRST if the stored table predates the 'h'-prefixed
+    # key_bucket format: the pruned probe below would silently skip all of
+    # that history (one manifest/listdir check, no job)
+    check_bands_format(out_dir)
     stored = _read_table(spark, out_dir, "minhash_bands", atomic)
     cross: DataFrame | None = None
     if stored is not None:

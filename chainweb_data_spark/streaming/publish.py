@@ -750,6 +750,92 @@ def compact_published(
     raise AssertionError("unreachable")
 
 
+def live_partition_values(
+    out_dir: str, table: str, column: str = "key_bucket"
+) -> list[str]:
+    """Distinct values of a partition-directory column across the LIVE
+    snapshot — from the manifest file list when a log exists (replaced
+    files linger on disk for time travel, so a directory listing would
+    false-positive right after a format migration), else one listdir.
+    No Spark job; cheap enough for per-batch format guards."""
+    tdir = os.path.join(out_dir, f"{table}.parquet")
+    if not os.path.isdir(tdir):
+        return []
+    prefix = f"{column}="
+    vals: set[str] = set()
+    if os.path.isdir(_manifest_path(out_dir)):
+        for rel in read_manifest(out_dir)["tables"].get(table, []):
+            head = rel.replace(os.sep, "/").split("/", 1)[0]
+            if head.startswith(prefix):
+                vals.add(head.split("=", 1)[1])
+    else:
+        vals = {
+            d.split("=", 1)[1]
+            for d in os.listdir(tdir)
+            if d.startswith(prefix)
+        }
+    return sorted(vals)
+
+
+def rewrite_published(
+    spark: SparkSession,
+    out_dir: str,
+    table: str,
+    df: DataFrame,
+    keep_versions: int = MAINT_KEEP_VERSIONS,
+) -> dict:
+    """Replace ``table``'s ENTIRE live file list with a rewrite of ``df``
+    in ONE commit — the format-migration primitive.  ``compact_published``
+    deliberately keeps partition directory names, so it cannot express a
+    key_bucket FORMAT change (new partition values need new directories);
+    this op stages the rewrite partition-laid-out, then commits a manifest
+    whose file list for ``table`` is exactly the staged files.  A reader
+    sees the pre-migration snapshot or the migrated one, never a mix; the
+    replaced files stay readable for pinned readers / time travel until
+    the ``keep_versions`` vacuum horizon passes.  Migrations are
+    administrative single-writer operations: a version race raises
+    ``ConcurrentWriteError`` rather than rebasing (a rebase could silently
+    drop rows a racing publish added to the old format)."""
+    manifest = read_manifest(out_dir)
+    tdir = os.path.join(out_dir, f"{table}.parquet")
+    bucket_col = next(
+        (c for c in ("height_bucket", "key_bucket") if c in df.columns), None
+    )
+    staging = os.path.join(
+        out_dir, "_staging", f"rewrite-{table}-{uuid.uuid4().hex}"
+    )
+    writer = df.write.mode("overwrite")
+    if bucket_col is not None:
+        writer = writer.partitionBy(bucket_col)
+    writer.parquet(staging)
+    moved: list[str] = []
+    new_stats: dict[str, dict] = {}
+    for root, _dirs, files in os.walk(staging):
+        for fname in files:
+            if fname.startswith(("_", ".")):
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), staging)
+            dest = os.path.join(tdir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(root, fname), dest)
+            moved.append(rel)
+            fs = _file_stats(dest)
+            if fs:
+                new_stats[rel] = fs
+    shutil.rmtree(staging, ignore_errors=True)
+    stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
+    stats[table] = new_stats
+    committed = {
+        "version": manifest["version"] + 1,
+        "tables": {**manifest["tables"], table: sorted(moved)},
+        "stats": stats,
+        "op": "rewrite",
+    }
+    _write_manifest(out_dir, committed)
+    vacuum(out_dir, keep_versions=keep_versions, min_age_s=VACUUM_GRACE_S)
+    return committed
+
+
 def vacuum(
     out_dir: str, keep_versions: int = 0, min_age_s: float = 0.0
 ) -> list[str]:

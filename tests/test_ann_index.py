@@ -178,7 +178,7 @@ def test_search_prunes_to_probed_cells(spark, tmp_path):
     assert _pairs(pruned) == _pairs(loose)
 
     probed = {
-        str(r["cell"])
+        f"c{r['cell']}"
         for r in sim.pq_assign_cells(one, "vec_id", "embedding", cents, 1)
         .select(F.explode("probe_cells").alias("cell"))
         .collect()
@@ -193,3 +193,47 @@ def test_search_prunes_to_probed_cells(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(key_bucket" in plan
     assert f"= {next(iter(probed))}" in plan
+
+
+def test_pre_migration_members_refuse_and_migrate(spark, tmp_path):
+    """Round-6 advice: an index written with digit-only cell buckets must
+    refuse fold AND search loudly, and migrate_ann_index must restore
+    matching with identical results."""
+    import pytest as pt
+
+    from chainweb_data_spark.streaming.ann_index import (
+        AnnIndexFormatError,
+        migrate_ann_index,
+        unprefixed_member_cells,
+    )
+    from chainweb_data_spark.streaming.publish import rewrite_published
+
+    out = str(tmp_path / "idx6")
+    rows = _vec_rows(0, 60)
+    cents, cb = _quantizer(spark, rows)
+    update_ann_index(spark, _df(spark, rows), out, 0, cents, cb)
+    assert unprefixed_member_cells(out) == []
+    one = _df(spark, rows[:1])
+    want = _pairs(ann_index_search(spark, out, one, cents, cb, nprobe=1, k=K))
+
+    # forge the pre-migration digit-only format
+    members = read_published(spark, out, MEMBERS_TABLE)
+    legacy = members.withColumn(
+        "key_bucket", F.expr("substring(key_bucket, 2)")
+    ).repartition("key_bucket")
+    rewrite_published(spark, out, MEMBERS_TABLE, legacy)
+    assert unprefixed_member_cells(out) != []
+    with pt.raises(AnnIndexFormatError, match="migrate_ann_index"):
+        ann_index_search(spark, out, one, cents, cb, nprobe=1, k=K)
+    with pt.raises(AnnIndexFormatError):
+        update_ann_index(spark, _df(spark, rows[:5]), out, 1, cents, cb)
+
+    n = migrate_ann_index(spark, out)
+    assert n == 60
+    assert unprefixed_member_cells(out) == []
+    got = _pairs(ann_index_search(spark, out, one, cents, cb, nprobe=1, k=K))
+    assert got == want
+    # idempotent re-run, and the fold works again
+    assert migrate_ann_index(spark, out) == 60
+    update_ann_index(spark, _df(spark, rows[:5]), out, 1, cents, cb)
+    assert read_published(spark, out, MEMBERS_TABLE).count() == 60

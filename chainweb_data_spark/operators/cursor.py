@@ -132,6 +132,50 @@ def decode_next_token(token: str) -> tuple[list, int]:
     return payload[0], payload[1]
 
 
+def encode_pinned_token(
+    cursor: Sequence, version: int, remaining_offset: int = 0
+) -> str:
+    """Continuation token that ALSO carries the pinned transaction-log
+    version (SURVEY X6): base64url(JSON [cursor..., remaining_offset,
+    version]).  The reference holds one REPEATABLE READ snapshot across
+    the two-phase bounded scan (Server.hs:525); a stateless Spark server
+    gets the same isolation by resolving the log version on the first
+    request of a pagination session and riding it in the token, so every
+    resume reads the same snapshot no matter what committed since."""
+    import base64
+    import json
+
+    payload = json.dumps(
+        [list(cursor), remaining_offset, version], separators=(",", ":")
+    )
+    return base64.urlsafe_b64encode(payload.encode()).decode().rstrip("=")
+
+
+def decode_pinned_token(token: str) -> tuple[list, int, int]:
+    """Inverse of :func:`encode_pinned_token`; ``ValueError`` on malformed
+    tokens (the 400 contract), including a plain unpinned token."""
+    import base64
+    import binascii
+    import json
+
+    pad = "=" * (-len(token) % 4)
+    try:
+        payload = json.loads(base64.urlsafe_b64decode(token + pad))
+    except (binascii.Error, json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise ValueError(f"malformed continuation token: {token!r}") from e
+    if (
+        not isinstance(payload, list)
+        or len(payload) != 3
+        or not isinstance(payload[0], list)
+        or not isinstance(payload[1], int)
+        or isinstance(payload[1], bool)
+        or not isinstance(payload[2], int)
+        or isinstance(payload[2], bool)
+    ):
+        raise ValueError(f"malformed continuation token: {token!r}")
+    return payload[0], payload[1], payload[2]
+
+
 def offset_page(df: DataFrame, spec: CursorSpec, offset: int, limit: int) -> DataFrame:
     """Classic OFFSET/LIMIT (reference's Unbounded mode,
     ``BoundedScan.hs:232-245``).  Kept for API compat; discouraged at scale —

@@ -197,3 +197,41 @@ def bounded_scan_all(
         if res.next_cursor is None:
             return rows
         cursor = res.next_cursor
+
+
+def bounded_scan_published(
+    spark,
+    out_dir: str,
+    table: str,
+    predicate: Column,
+    spec: CursorSpec,
+    cursor: Sequence | None = None,
+    version: int | None = None,
+    **kw,
+) -> tuple[BoundedScanResult, int]:
+    """One governed request-iteration against a transaction-log table,
+    read through a PINNED log version — SURVEY X6.
+
+    The reference holds one ``REPEATABLE READ`` snapshot across the
+    two-phase bounded scan (``haskell-src/exec/Chainweb/Server.hs:525``):
+    a pagination session never sees rows committed after its first
+    request, so page N+1 can't shift under the cursor page N handed out.
+    The txlog analog: resolve the current version ONCE (first request,
+    ``version=None``), then read every slice — and every later request
+    that presents this session's token — through ``read_published(...,
+    version=pinned)``.  Returns ``(result, version)``; servers ride the
+    version in the continuation token (``operators/cursor.py
+    encode_pinned_token``) so resumption is stateless.  Committed-later
+    batches land in newer versions this session never reads; the vacuum
+    retention horizon (``publish.MAINT_KEEP_VERSIONS``) bounds how long a
+    parked session stays resumable, exactly like Postgres' snapshot
+    lifetime bounding the reference's."""
+    from ..streaming.publish import read_manifest, read_published
+
+    if version is None:
+        version = read_manifest(out_dir)["version"]
+    df = read_published(spark, out_dir, table, version=version)
+    if df is None:
+        return BoundedScanResult([], None, 0), version
+    res = bounded_scan(df, predicate, spec, cursor=cursor, **kw)
+    return res, version

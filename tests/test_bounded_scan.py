@@ -202,3 +202,65 @@ def test_concurrent_governed_scans_get_smaller_budgets(spark):
     assert res_loaded.slices_examined == 2
     assert res_loaded.next_cursor is not None, "throttled scan must resume"
     assert gauge.active == 0  # the governed call released its own slot
+
+
+def test_snapshot_pinned_pagination_is_isolated(spark, tmp_path):
+    """SURVEY X6: the reference holds ONE REPEATABLE READ snapshot across
+    the bounded scan (Server.hs:525).  A pagination session pinned to the
+    first request's log version must produce an IDENTICAL page stream —
+    token round-trip included — even when a conflicting batch commits
+    mid-pagination; an unpinned request sees the new rows (the pin is
+    load-bearing)."""
+    from chainweb_data_spark.operators.cursor import (
+        decode_pinned_token,
+        encode_pinned_token,
+    )
+    from chainweb_data_spark.plans.bounded_scan import bounded_scan_published
+    from chainweb_data_spark.streaming.publish import publish_batch
+
+    out = str(tmp_path / "log")
+    pks = {"idx": ("height", "rk")}
+    publish_batch(spark, {"idx": _table(spark, n=120, match_every=2)}, out, pks=pks)
+
+    pred = F.col("flag") == 1
+    kw = dict(limit=7, slice_width=30, budget_slices=2, floor=0)
+
+    def drain(perturb_after_first_page: bool):
+        pages, cursor, version = [], None, None
+        token = None
+        first = True
+        while True:
+            res, version = bounded_scan_published(
+                spark, out, "idx", pred, SPEC,
+                cursor=cursor, version=version, **kw,
+            )
+            pages.append([(r.height, r.rk) for r in res.rows])
+            if res.next_cursor is None:
+                return pages, version
+            # full token round-trip between requests, as a server would
+            token = encode_pinned_token(res.next_cursor, version)
+            if first and perturb_after_first_page:
+                extra = spark.createDataFrame(
+                    [(h, f"aa-{h:05d}", 1) for h in range(1, 120, 2)],
+                    "height long, rk string, flag int",
+                )
+                publish_batch(spark, {"idx": extra}, out, pks=pks)
+            first = False
+            cur, _off, ver = decode_pinned_token(token)
+            cursor, version = tuple(cur), ver
+
+    ref_pages, v0 = drain(perturb_after_first_page=False)
+    # rebuild a fresh log for the perturbed run so both start identical
+    out2 = str(tmp_path / "log2")
+    out = out2
+    publish_batch(spark, {"idx": _table(spark, n=120, match_every=2)}, out, pks=pks)
+    got_pages, v_pinned = drain(perturb_after_first_page=True)
+    assert got_pages == ref_pages
+    assert v_pinned == v0  # every request resolved through the pinned version
+
+    # unpinned: a fresh session at the live version sees the injected rows
+    res, v_live = bounded_scan_published(
+        spark, out, "idx", pred, SPEC, version=None, **kw
+    )
+    assert v_live > v_pinned
+    assert any(r.rk.startswith("aa-") for r in res.rows)

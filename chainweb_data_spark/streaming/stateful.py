@@ -431,7 +431,11 @@ def reorder_stream(
     that stops receiving data does not strand its tail.  Residual: at
     absolute end-of-stream the watermark stops advancing, so rows newer
     than (final watermark) stay buffered — the same final-window caveat as
-    any watermarked operator (send a closing heartbeat to flush).
+    any watermarked operator.  ``write_closing_heartbeat`` (this module)
+    is the provided flush: append one sentinel row past the horizon and
+    re-run the query ``availableNow`` — every buffered row and every
+    EventTimeTimeout behind it fires; ``strip_heartbeats`` removes any
+    sentinel rows a LATER heartbeat pushes through.
 
     State is O(rows inside the watermark horizon) per key — exactly the
     buffer any reordering must hold; emission drains it continuously.
@@ -461,10 +465,14 @@ def reorder_stream(
             state.update(
                 ([t[0] for t in keep], [t[1] for t in keep], max(wm_us, prev_wm))
             )
-            # flush-when-idle: fire once the global watermark passes the
-            # newest buffered row (strictly > current wm by construction,
-            # which setTimeoutTimestamp requires)
-            state.setTimeoutTimestamp(max(t[0] for t in keep) // 1000 + 1)
+            # flush-when-idle: fire as soon as the global watermark passes
+            # the OLDEST buffered row (every kept row is > current wm, so
+            # the timestamp is strictly ahead as setTimeoutTimestamp
+            # requires); the timeout invocation re-registers for whatever
+            # remains, so a partially-emittable buffer drains in stages
+            # instead of waiting for a watermark past its NEWEST row —
+            # which at end-of-stream may never come
+            state.setTimeoutTimestamp(min(t[0] for t in keep) // 1000 + 1)
         elif state.exists:
             # fully drained: DROP the state row, or every key ever seen
             # keeps an empty-buffer tombstone forever (state would grow
@@ -501,3 +509,114 @@ def reorder_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Closing heartbeat: the end-of-stream drain every watermarked operator
+# documents (round-6 verdict #5 — the docstrings said "send a closing
+# heartbeat" but gave users no way to do it)
+# ---------------------------------------------------------------------------
+
+#: reserved sentinel key for global-watermark heartbeats — far outside any
+#: real id space; strip_heartbeats removes rows it produced downstream
+HEARTBEAT_KEY = -(2**62)
+
+_WM_UNITS_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def watermark_horizon_us(watermark: str) -> int:
+    """Microseconds for a Spark watermark/gap duration string
+    ('10 minutes', '1 hour', '30 seconds' — the CalendarInterval subset
+    withWatermark accepts)."""
+    parts = watermark.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"unsupported watermark string: {watermark!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _WM_UNITS_US or not n.lstrip("-").isdigit():
+        raise ValueError(f"unsupported watermark string: {watermark!r}")
+    return int(n) * _WM_UNITS_US[unit]
+
+
+def closing_heartbeat_us(last_event_us: int, watermark: str) -> int:
+    """Event time for a heartbeat that flushes everything: once it is
+    processed, the watermark advances to (heartbeat − horizon) >
+    ``last_event_us``, so every buffered row and every
+    ``EventTimeTimeout`` behind it fires."""
+    return last_event_us + watermark_horizon_us(watermark) + 1_000_000
+
+
+def write_closing_heartbeat(
+    feed_dir: str,
+    last_event_us: int,
+    watermark: str,
+    columns: tuple[str, ...] = ("k", "us"),
+    keys: tuple = (HEARTBEAT_KEY,),
+    fill=0,
+) -> int:
+    """Append one heartbeat file to a file-based stream source so a final
+    ``availableNow`` pass drains buffered tails at absolute end-of-stream.
+
+    Watermarked operators hold rows newer than (final watermark) forever
+    once the feed stops, because the watermark only advances with new
+    data.  One row with event time ``closing_heartbeat_us`` fixes that for
+    GLOBAL-watermark mechanisms (``reorder_stream``'s EventTimeTimeout
+    drains every key); per-key-gap operators (``sessionize_stream``) need
+    one heartbeat per key whose open session should close — pass those
+    ``keys``.  Emits json-lines with ``columns`` = (key, event-us[,
+    extras...]); extras get ``fill``.  The file sorts/mtimes after
+    anything already in the feed so it is picked up LAST.  Returns the
+    heartbeat's event time (µs) for chaining into a later stage's drain.
+
+    Recipe (per watermarked stage, source → availableNow → sink):
+      1. run the stage with ``trigger(availableNow=True)`` to completion;
+      2. ``write_closing_heartbeat(stage_source_dir, last_us, wm)``;
+      3. re-run the same stage (same checkpoint) — the tail emits;
+      4. ``strip_heartbeats`` downstream of any operator that would emit
+         the sentinel rows themselves.
+    """
+    import json as _json
+    import os as _os
+    import time as _time
+
+    hb_us = closing_heartbeat_us(last_event_us, watermark)
+    _os.makedirs(feed_dir, exist_ok=True)
+    n = sum(1 for f in _os.listdir(feed_dir) if f.startswith("zzz-heartbeat"))
+    path = _os.path.join(feed_dir, f"zzz-heartbeat-{n:03d}.json")
+    with open(path, "w") as f:
+        for key in keys:
+            row = {columns[0]: key, columns[1]: hb_us}
+            for c in columns[2:]:
+                row[c] = fill
+            f.write(_json.dumps(row) + "\n")
+    # mtime strictly after every existing feed file: the file source picks
+    # oldest-first, and the heartbeat must not overtake real data
+    t = _time.time()
+    newest = max(
+        (
+            _os.path.getmtime(_os.path.join(feed_dir, f))
+            for f in _os.listdir(feed_dir)
+        ),
+        default=t,
+    )
+    stamp = max(t, newest + 1)
+    _os.utime(path, (stamp, stamp))
+    return hb_us
+
+
+def strip_heartbeats(
+    df: DataFrame, key_col: str = "k", keys: tuple = (HEARTBEAT_KEY,)
+) -> DataFrame:
+    """Remove sentinel-key rows a heartbeat pushed through an operator
+    that emits per-row output (e.g. ``reorder_stream`` emits the
+    heartbeat row itself once a LATER heartbeat passes it; a drained
+    feed's last heartbeat never emits)."""
+    return df.filter(~F.col(key_col).isin(list(keys)))

@@ -567,3 +567,168 @@ def test_advance_asof_tolerance():
     out, _ = advance_asof(None, rows, tolerance_us=5 * MIN)
     # fact at t4: age 4min ≤ 5min → matched; fact at t20: age 20min → stale
     assert out == [(7, t(4), (t(0), 1.0)), (8, t(20), None)]
+
+
+def _run_foreach(build, sink_rows, ckpt, timeout=300):
+    """availableNow pass through foreachBatch into a plain Python list —
+    unlike the memory sink, foreachBatch supports checkpoint RESUMPTION,
+    which the closing-heartbeat drain depends on (run, append heartbeat,
+    run again from the same checkpoint)."""
+
+    def _sink(bdf, _bid):
+        sink_rows.extend(tuple(r) for r in bdf.collect())
+
+    q = (
+        build()
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def test_closing_heartbeat_drains_reorder_tail(spark, tmp_path):
+    """Round-6 verdict #5: reorder_stream's documented residual (rows newer
+    than the final watermark stay buffered at absolute end-of-stream) now
+    has a provided fix — write_closing_heartbeat + one more availableNow
+    pass delivers the tail, and strip_heartbeats removes the sentinel a
+    later heartbeat pushes through."""
+    from chainweb_data_spark.streaming.stateful import (
+        HEARTBEAT_KEY,
+        reorder_stream,
+        strip_heartbeats,
+        write_closing_heartbeat,
+    )
+
+    t = lambda m: BASE + m * MIN
+    feed = _write_asof_feed(
+        str(tmp_path),
+        "hbfeed",
+        [[(1, t(5), 50), (1, t(2), 20)], [(1, t(60), 600)]],
+        ("k", "us", "val"),
+    )
+
+    def build():
+        raw = (
+            spark.readStream.schema("k long, us long, val long")
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        stream = raw.select(
+            "k", F.timestamp_micros(F.col("us")).alias("ts"), "val"
+        )
+        return reorder_stream(
+            stream, ts_col="ts", key_col="k", watermark="10 minutes"
+        )
+
+    rows: list = []
+    ckpt = str(tmp_path / "hb_ckpt")
+    _run_foreach(build, rows, ckpt)
+    assert (1, t(60), 600) not in rows  # the documented residual, live
+
+    hb1 = write_closing_heartbeat(
+        feed, t(60), "10 minutes", columns=("k", "us", "val")
+    )
+    _run_foreach(build, rows, ckpt)
+    assert (1, t(60), 600) in rows      # tail delivered
+
+    # a second heartbeat pushes the FIRST sentinel through the operator;
+    # a stripped pipeline never shows it while still carrying the tail
+    write_closing_heartbeat(feed, hb1, "10 minutes", columns=("k", "us", "val"))
+    _run_foreach(build, rows, ckpt)
+    assert any(k == HEARTBEAT_KEY for k, _, _ in rows)
+
+    stripped: list = []
+    _run_foreach(
+        lambda: strip_heartbeats(build(), "k"),
+        stripped,
+        str(tmp_path / "hb_ckpt2"),
+    )
+    assert (1, t(60), 600) in stripped
+    assert not any(k == HEARTBEAT_KEY for k, _, _ in stripped)
+
+
+def test_closing_heartbeat_composed_reorder_sessionize(spark, tmp_path):
+    """End-to-end drain of the documented composition reorder_stream →
+    sessionize_stream: stage 1 drains via a global-watermark heartbeat,
+    stage 2 closes the final open session via a per-key heartbeat — the
+    idle tail row t(99) ends up in an emitted session."""
+    import glob
+
+    from chainweb_data_spark.streaming.stateful import (
+        reorder_stream,
+        sessionize_stream,
+        write_closing_heartbeat,
+    )
+
+    t = lambda m: BASE + m * MIN
+    gap_us = 10 * MIN
+    feed = _write_asof_feed(
+        str(tmp_path),
+        "cfeed",
+        [[(1, t(5), 50), (1, t(0), 0)], [(1, t(30), 300)], [(1, t(99), 990)]],
+        ("k", "us", "val"),
+    )
+    mid = str(tmp_path / "mid")
+
+    def stage1():
+        raw = (
+            spark.readStream.schema("k long, us long, val long")
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        stream = raw.select(
+            "k", F.timestamp_micros(F.col("us")).alias("ts"), "val"
+        )
+        return reorder_stream(
+            stream, ts_col="ts", key_col="k", watermark="10 minutes"
+        )
+
+    ckpt1 = str(tmp_path / "c_ckpt1")
+
+    def run_stage1():
+        def _sink(bdf, _bid):
+            if not bdf.isEmpty():
+                bdf.write.mode("append").json(mid)
+
+        q = (
+            stage1()
+            .writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt1)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_stage1()
+    write_closing_heartbeat(feed, t(99), "10 minutes", columns=("k", "us", "val"))
+    run_stage1()
+    assert glob.glob(os.path.join(mid, "*.json"))
+
+    def stage2():
+        raw = spark.readStream.schema("k long, us long, val long").json(mid)
+        events = raw.select(
+            "k", F.timestamp_micros(F.col("us")).alias("ts")
+        )
+        return sessionize_stream(
+            events, gap_us=gap_us, ts_col="ts", key_col="k"
+        )
+
+    sessions: list = []
+    ckpt2 = str(tmp_path / "c_ckpt2")
+    _run_foreach(stage2, sessions, ckpt2)
+    got = {(s[1], s[2], s[3]) for s in sessions}
+    assert (t(0), t(5), 2) in got
+    assert (t(30), t(30), 1) in got
+    assert not any(s[0] == t(99) for s in got)  # still open pre-heartbeat
+
+    # per-key heartbeat: gap-based operators close per key, not globally
+    write_closing_heartbeat(
+        mid, t(99), "10 minutes", columns=("k", "us", "val"), keys=(1,)
+    )
+    _run_foreach(stage2, sessions, ckpt2)
+    got = {(s[1], s[2], s[3]) for s in sessions}
+    assert (t(99), t(99), 1) in got  # the idle tail row, delivered

@@ -83,22 +83,10 @@ def _py_features(text: str) -> list[float]:
 _EN_STOP = set(LANG_STOPWORDS["en"])
 
 
-def fit_quality_lr_rows(
-    ids: np.ndarray,
-    texts: list[str],
-    iters: int = LR_ITERS,
-    rate: float = LR_RATE,
-) -> dict:
-    """Deterministic core shared by both trainers: proxy-label the
-    (already sampled, id-sorted) rows by sample-vocabulary unigram NLL,
-    standardize, and fit logistic regression by fixed-iteration
-    full-batch gradient descent.  Same rows ⇒ bit-identical model."""
-    # NULL text behaves like empty text (the scorer's features are all
-    # NULL-propagating, but a crashed TRAINER on one bad row would be
-    # worse than a neutral example)
-    texts = ["" if t is None else t for t in texts]
-    X = np.asarray([_py_features(t) for t in texts], dtype=np.float64)
-    # proxy labels: add-one-smoothed unigram NLL vs the sample's vocab
+def proxy_labels(texts: list[str]) -> np.ndarray:
+    """CCNet-style proxy labels for (cleaned) sample texts: add-one-
+    smoothed unigram NLL against the sample's own vocabulary, label 1
+    (keep) at or below the median NLL.  Deterministic."""
     counts: dict[str, int] = {}
     total = 0
     for t in texts:
@@ -119,10 +107,16 @@ def fit_quality_lr_rows(
         nlls.append(s / len(toks))
     finite = sorted(v for v in nlls if v != math.inf)
     if not finite:
-        raise ValueError("fit_quality_lr_rows: sample has no non-empty docs")
+        raise ValueError("proxy_labels: sample has no non-empty docs")
     med = finite[(len(finite) - 1) // 2]
-    y = np.array([1.0 if v <= med else 0.0 for v in nlls])
+    return np.array([1.0 if v <= med else 0.0 for v in nlls])
 
+
+def _fit_lr(
+    X: np.ndarray, y: np.ndarray, iters: int, rate: float
+) -> dict:
+    """Standardize + fixed-iteration full-batch gradient descent —
+    zero-init, float64, no RNG: same (X, y) ⇒ bit-identical weights."""
     mu = X.mean(axis=0)
     sd = np.maximum(X.std(axis=0), 1e-9)
     Xs = (X - mu) / sd
@@ -143,6 +137,81 @@ def fit_quality_lr_rows(
     }
 
 
+def fit_quality_lr_rows(
+    ids: np.ndarray,
+    texts: list[str],
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+) -> dict:
+    """Deterministic core shared by both trainers: proxy-label the
+    (already sampled, id-sorted) rows by sample-vocabulary unigram NLL,
+    standardize, and fit logistic regression by fixed-iteration
+    full-batch gradient descent.  Same rows ⇒ bit-identical model."""
+    # NULL text behaves like empty text (the scorer's features are all
+    # NULL-propagating, but a crashed TRAINER on one bad row would be
+    # worse than a neutral example)
+    texts = ["" if t is None else t for t in texts]
+    X = np.asarray([_py_features(t) for t in texts], dtype=np.float64)
+    y = proxy_labels(texts)
+    return _fit_lr(X, y, iters, rate)
+
+
+def holdout_eval_lr(
+    ids: np.ndarray,
+    texts: list[str],
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+) -> dict:
+    """Held-out quality measurement for the trained gate (round-6 verdict
+    #8): the gated oracle proves the SCORING arithmetic; this measures
+    whether the gate is any GOOD.  Deterministic even/odd positional
+    split of the id-sorted sample (no RNG), proxy labels computed ONCE on
+    the full sample (the ground truth both halves share), fit on the even
+    half, score the odd half with the trained weights, report rank AUC
+    (Mann-Whitney with tie-average ranks) and precision of the production
+    threshold (logit > 0).  Returns ``{"auc", "precision_at_0",
+    "n_train", "n_holdout", "base_rate"}``; ``auc`` is None when the
+    holdout is single-class (undefined, not zero)."""
+    texts = ["" if t is None else t for t in texts]
+    X = np.asarray([_py_features(t) for t in texts], dtype=np.float64)
+    y = proxy_labels(texts)
+    tr, ho = slice(0, None, 2), slice(1, None, 2)
+    if len(y[ho]) == 0:
+        raise ValueError("holdout_eval_lr: sample too small to split")
+    m = _fit_lr(X[tr], y[tr], iters, rate)
+    w = np.asarray(m["w"])
+    z = m["b"] + ((X[ho] - np.asarray(m["mu"])) / np.asarray(m["sd"])) @ w
+    yh = y[ho]
+    n_pos, n_neg = int(yh.sum()), int((1 - yh).sum())
+    auc = None
+    if n_pos and n_neg:
+        order = np.argsort(z, kind="stable")
+        ranks = np.empty(len(z), dtype=np.float64)
+        sz = z[order]
+        i = 0
+        while i < len(sz):  # tie-average ranks
+            j = i
+            while j + 1 < len(sz) and sz[j + 1] == sz[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        auc = float(
+            (ranks[yh == 1.0].sum() - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * n_neg)
+        )
+    kept = z > 0.0
+    precision = (
+        float(yh[kept].mean()) if kept.any() else None
+    )
+    return {
+        "auc": auc,
+        "precision_at_0": precision,
+        "n_train": int(len(y) - len(yh)),
+        "n_holdout": int(len(yh)),
+        "base_rate": float(yh.mean()),
+    }
+
+
 def _md5_keep_mask(ids: np.ndarray, sample_size: int) -> np.ndarray:
     m = max(1, len(ids) // max(1, sample_size))
     if m <= 1:
@@ -155,19 +224,17 @@ def _md5_keep_mask(ids: np.ndarray, sample_size: int) -> np.ndarray:
     )
 
 
-def train_quality_lr(
+def collect_lr_sample(
     df: DataFrame,
     id_col: str,
     text_col: str,
     sample_size: int = LR_SAMPLE,
-    iters: int = LR_ITERS,
-    rate: float = LR_RATE,
-) -> dict:
-    """Distributed-sample trainer: the md5-mod filter runs JVM-side (no
-    sort, no full collect — the ``_collect_train_sample`` rule), ≈
-    ``sample_size`` (id, text) rows reach the driver, and the fit is the
-    deterministic shared core.  O(sample) driver memory at any corpus
-    size."""
+) -> tuple[np.ndarray, list[str]]:
+    """The distributed sample rule, shared by training and held-out
+    evaluation: md5-mod filter JVM-side (no sort, no full collect — the
+    ``_collect_train_sample`` rule), ≈ ``sample_size`` (id, text) rows
+    reach the driver, returned id-sorted.  O(sample) driver memory at
+    any corpus size."""
     n = df.count()
     m = max(1, n // max(1, sample_size))
     samp = df.select(id_col, text_col)
@@ -180,7 +247,21 @@ def train_quality_lr(
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     order = np.argsort(ids)
     texts = [rows[i][1] for i in order]
-    return fit_quality_lr_rows(ids[order], texts, iters, rate)
+    return ids[order], texts
+
+
+def train_quality_lr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_size: int = LR_SAMPLE,
+    iters: int = LR_ITERS,
+    rate: float = LR_RATE,
+) -> dict:
+    """Distributed-sample trainer: :func:`collect_lr_sample` + the
+    deterministic shared fit core."""
+    ids, texts = collect_lr_sample(df, id_col, text_col, sample_size)
+    return fit_quality_lr_rows(ids, texts, iters, rate)
 
 
 def train_quality_lr_parquet(

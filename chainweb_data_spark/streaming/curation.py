@@ -65,6 +65,74 @@ CURATED_TABLE = "curated_docs.parquet"
 REJECTS_TABLE = "curation_rejects.parquet"
 HASHES_TABLE = "content_hashes.parquet"
 INDEX_SUBDIR = "dedup_index"
+#: manifest table-name prefix for the index tables inside the UNIFIED log
+#: — same physical directories as the standalone index layout
+INDEX_PREFIX = INDEX_SUBDIR + "/"
+
+
+class CurationStoreFormatError(RuntimeError):
+    """The store was written by the pre-round-7 TWO-log layout (the dedup
+    index committed separately under ``dedup_index/_manifest``).  The
+    unified single-commit sink reads the index through the PARENT log, so
+    resuming against a two-log store would silently see an EMPTY index —
+    every historical near-dup missed.  Refusing at resume is the loud
+    option; ``migrate_curation_store`` adopts the index tables into the
+    parent log (metadata-only, no data rewrite)."""
+
+
+def _is_legacy_two_log_store(out_dir: str) -> bool:
+    from .publish import _manifest_path, read_manifest
+
+    sub = os.path.join(out_dir, INDEX_SUBDIR)
+    if not os.path.isdir(_manifest_path(sub)):
+        return False
+    if not os.path.isdir(_manifest_path(out_dir)):
+        return True  # index log exists but no parent log at all
+    tables = read_manifest(out_dir)["tables"]
+    return not any(t.startswith(INDEX_PREFIX) for t in tables)
+
+
+def migrate_curation_store(spark: SparkSession, out_dir: str) -> list[str]:
+    """Adopt a two-log store's dedup-index tables into the parent
+    transaction log as ``dedup_index/<table>`` entries — ONE parent
+    commit, metadata only (the physical directories are identical in both
+    layouts, so file lists and footer stats copy over verbatim).  The
+    sub-log is then retired (renamed ``_manifest.migrated``) so the old
+    path cannot resume divergently.  Idempotent: a store already unified
+    returns [] untouched.  Returns the adopted table names."""
+    from .publish import (
+        _manifest_path,
+        _write_manifest,
+        ensure_manifest,
+        read_manifest,
+    )
+
+    if not _is_legacy_two_log_store(out_dir):
+        return []
+    sub = os.path.join(out_dir, INDEX_SUBDIR)
+    sub_manifest = read_manifest(sub)
+    parent = ensure_manifest(out_dir)
+    new_tables = dict(parent["tables"])
+    new_stats = {t: dict(s) for t, s in parent.get("stats", {}).items()}
+    adopted = []
+    for name, files in sub_manifest["tables"].items():
+        unified = INDEX_PREFIX + name
+        new_tables[unified] = list(files)
+        st = sub_manifest.get("stats", {}).get(name)
+        if st:
+            new_stats[unified] = dict(st)
+        adopted.append(unified)
+    _write_manifest(
+        out_dir,
+        {
+            "version": parent["version"] + 1,
+            "tables": new_tables,
+            "stats": new_stats,
+            "op": "adopt-index",
+        },
+    )
+    os.rename(_manifest_path(sub), _manifest_path(sub) + ".migrated")
+    return sorted(adopted)
 
 
 def curate_batch(
@@ -91,13 +159,16 @@ def curate_batch(
     admits only documents that could actually be kept.
 
     ``atomic`` (default, matching listen_stream and the dedup index):
-    curated docs, rejects, content hashes, the stats delta, and the
-    per-batch summary log commit through ONE transaction-log flip
-    (publish_batch) — a crash leaves the batch wholly absent, never a
-    hash without its curated row; the probe
-    then reads the PUBLISHED snapshot.  The dedup index keeps its own
-    atomic commit in its subdirectory, so a crash between the two commits
-    still converges on replay (every write is PK-idempotent).
+    ALL EIGHT tables — curated docs, rejects, content hashes, the stats
+    delta, the per-batch summary log, AND the dedup index's three — commit
+    through ONE transaction-log flip (publish_batch; the index tables are
+    staged via ``update_dedup_index(defer_publish=True)`` under
+    ``dedup_index/<table>`` names in the parent log, same physical
+    directories as before).  A crash anywhere leaves the batch wholly
+    absent; the old "between the two commits" window (index folded, batch
+    not yet curated) no longer exists.  Stores written by the pre-unified
+    two-log layout refuse to resume with ``CurationStoreFormatError`` —
+    ``migrate_curation_store`` adopts them (metadata-only).
     ``atomic=False`` falls back to per-table merge appends.
 
     ``compact_every`` — the long-run file bound, same knob as
@@ -107,6 +178,14 @@ def curate_batch(
     curation tables compact through a manifest flip (atomic path;
     ``maintenance.compact_table`` otherwise) and the SAME knob passes to
     the dedup index's own compaction."""
+    if atomic and _is_legacy_two_log_store(out_dir):
+        raise CurationStoreFormatError(
+            f"curation store at {out_dir!r} was written by the two-log "
+            "layout (dedup_index/_manifest exists, parent log has no "
+            "dedup_index/* tables): the unified sink would silently probe "
+            "an EMPTY index. Run migrate_curation_store(spark, out_dir) "
+            "once, then resume."
+        )
     scored = (
         lang_id(quality_features(docs, text_col), text_col)
         .withColumn("lang", F.col("lang_pred"))
@@ -198,19 +277,42 @@ def curate_batch(
     exact_dup = exact_dup.localCheckpoint(eager=True)
     exact_survivors = exact_survivors.localCheckpoint(eager=True)
 
-    # --- stage 3: near-dup probe + fold (atomic 3-table commit) ----------
-    flags = update_dedup_index(
-        spark,
-        exact_survivors.select(id_col, text_col),
-        os.path.join(out_dir, INDEX_SUBDIR),
-        batch_id=batch_id,
-        id_col=id_col,
-        text_col=text_col,
-        min_jaccard=min_jaccard,
-        atomic=index_kwargs.pop("atomic", atomic),
-        compact_every=index_kwargs.pop("compact_every", compact_every),
-        **index_kwargs,
-    )
+    # --- stage 3: near-dup probe + fold ----------------------------------
+    # atomic: the index's three tables are STAGED here (defer_publish) and
+    # committed below in the SAME publish_batch as the five curation
+    # tables — one manifest flip over all eight, so the old "between the
+    # two commits" crash window no longer exists (round-6 verdict #6).
+    # The physical directories are unchanged (dedup_index/<table>.parquet);
+    # only the parent log tracks them, as "dedup_index/<table>".
+    idx_tables: dict = {}
+    idx_pks: dict = {}
+    if atomic:
+        flags, idx_tables, idx_pks = update_dedup_index(
+            spark,
+            exact_survivors.select(id_col, text_col),
+            out_dir,
+            batch_id=batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            min_jaccard=min_jaccard,
+            atomic=True,
+            table_prefix=INDEX_PREFIX,
+            defer_publish=True,
+            **index_kwargs,
+        )
+    else:
+        flags = update_dedup_index(
+            spark,
+            exact_survivors.select(id_col, text_col),
+            os.path.join(out_dir, INDEX_SUBDIR),
+            batch_id=batch_id,
+            id_col=id_col,
+            text_col=text_col,
+            min_jaccard=min_jaccard,
+            atomic=False,
+            compact_every=index_kwargs.pop("compact_every", compact_every),
+            **index_kwargs,
+        )
     near_ids = flags.select(id_col).distinct()
     kept = exact_survivors.join(near_ids, id_col, "left_anti")
 
@@ -327,6 +429,9 @@ def curate_batch(
         "curation_log": ("batch_id",),
     }
     if atomic:
+        # ONE commit over all eight tables: five curation + three index
+        tables = {**tables, **idx_tables}
+        pks = {**pks, **idx_pks}
         publish_batch(spark, tables, out_dir, pks=pks)
     else:
         for name, df in tables.items():
@@ -348,11 +453,23 @@ def curate_batch(
     return summary
 
 
+#: default held-out AUC floor for a trained gate — below this the model
+#: ranks the proxy signal barely better than a coin flip and deploying it
+#: as the admission gate is a configuration error, not a judgment call.
+#: A separable corpus (fluent prose vs gibberish) measures ≈1.0; the
+#: HOMOGENEOUS synthetic sf fixtures measure 0.44–0.63 (pinned bit-exact
+#: by tests/test_quality_classifier.py) — which is the floor working as
+#: designed: a history with no quality spread cannot train a gate, and
+#: refusing beats silently deploying a coin flip.
+MIN_GATE_AUC = 0.7
+
+
 def train_quality_model(
     spark: SparkSession,
     out_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_auc: float | None = MIN_GATE_AUC,
     **fit_kwargs,
 ) -> dict:
     """Bootstrap a quality classifier FROM the sink's own curated history:
@@ -363,8 +480,21 @@ def train_quality_model(
     history exists).  Same deterministic sampled fit as
     ``operators/classifier.py train_quality_lr``; raises if nothing has
     been curated yet (an untrained gate is a configuration error, not a
-    silent pass-through)."""
-    from ..operators.classifier import train_quality_lr
+    silent pass-through).
+
+    Round-7 addition: the bootstrap MEASURES itself before it is allowed
+    to gate — a deterministic even/odd held-out split of the same sample
+    (``classifier.holdout_eval_lr``), reported under ``model["eval"]``
+    (AUC, precision at the logit>0 threshold, split sizes); below
+    ``min_auc`` the bootstrap REFUSES (pass ``min_auc=None`` to get the
+    model + metrics anyway, e.g. for diagnostics).  The returned weights
+    are bit-identical to ``train_quality_lr`` on the same history — the
+    eval fits a separate half-sample model that is thrown away."""
+    from ..operators.classifier import (
+        collect_lr_sample,
+        fit_quality_lr_rows,
+        holdout_eval_lr,
+    )
 
     curated = read_published(spark, out_dir, "curated_docs")
     if curated is None:
@@ -374,7 +504,33 @@ def train_quality_model(
             f"train_quality_model: no curated history at {out_dir} — run "
             "the sink with the heuristic gate first"
         )
-    return train_quality_lr(curated, id_col, text_col, **fit_kwargs)
+    sample_size = fit_kwargs.pop("sample_size", None)
+    ids, texts = collect_lr_sample(
+        curated,
+        id_col,
+        text_col,
+        **({"sample_size": sample_size} if sample_size is not None else {}),
+    )
+    model = fit_quality_lr_rows(ids, texts, **fit_kwargs)
+    try:
+        metrics = holdout_eval_lr(ids, texts, **fit_kwargs)
+    except ValueError:
+        metrics = None  # history too small to split (< 2 sampled docs)
+    model["eval"] = metrics
+    if min_auc is not None and (
+        metrics is None
+        or metrics["auc"] is None
+        or metrics["auc"] < min_auc
+    ):
+        got = metrics["auc"] if metrics else None
+        raise ValueError(
+            f"train_quality_model: held-out AUC {got} is below the "
+            f"{min_auc} floor (sampled n={len(ids)}) — the bootstrap "
+            "history is too small or too uniform to train a gate; keep "
+            "the heuristic gate, or pass min_auc=None to inspect the "
+            "model anyway"
+        )
+    return model
 
 
 def curation_sink(

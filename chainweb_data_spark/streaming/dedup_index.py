@@ -95,7 +95,9 @@ class DedupIndexFormatError(RuntimeError):
     resume is the only loud option (round-6 advice)."""
 
 
-def unprefixed_band_buckets(out_dir: str) -> list[str]:
+def unprefixed_band_buckets(
+    out_dir: str, table: str = "minhash_bands"
+) -> list[str]:
     """key_bucket partition values of the LIVE bands table that lack the
     'h' prefix — one manifest read / listdir
     (``publish.live_partition_values``); no Spark job, cheap per batch."""
@@ -103,13 +105,13 @@ def unprefixed_band_buckets(out_dir: str) -> list[str]:
 
     return [
         v
-        for v in live_partition_values(out_dir, "minhash_bands")
+        for v in live_partition_values(out_dir, table)
         if not v.startswith("h")
     ]
 
 
-def check_bands_format(out_dir: str) -> None:
-    bad = unprefixed_band_buckets(out_dir)
+def check_bands_format(out_dir: str, table: str = "minhash_bands") -> None:
+    bad = unprefixed_band_buckets(out_dir, table)
     if bad:
         raise DedupIndexFormatError(
             f"minhash_bands at {out_dir!r} has pre-migration key_bucket "
@@ -191,11 +193,24 @@ def update_dedup_index(
     max_bucket_size: int = 50,
     atomic: bool = True,
     compact_every: int | None = None,
-) -> DataFrame:
+    table_prefix: str = "",
+    defer_publish: bool = False,
+):
     """Flag near-dups of ``docs`` against the index AND within the batch,
     then fold the batch into the index.  Returns the flagged rows, eagerly
     checkpointed (the probe must run before the merge appends to the
     tables its lazy plan reads).
+
+    ``table_prefix`` / ``defer_publish`` — the UNIFIED-commit embedding
+    (round-6 verdict #6): a caller holding its own transaction log (the
+    curation sink) passes its ``out_dir``, a prefix like
+    ``"dedup_index/"`` (same physical directories as the standalone
+    layout), and ``defer_publish=True`` — the function then probes through
+    the CALLER's log, stages nothing, and returns ``(flags, tables, pks)``
+    for the caller to fold into ONE ``publish_batch`` covering all of its
+    tables; the crash window between two commits ceases to exist.  With
+    ``defer_publish`` the caller owns compaction too (``compact_every`` is
+    ignored here).
 
     ``atomic`` (default) commits all three tables through ONE manifest
     flip (streaming/publish.py) — a crash mid-fold leaves the index
@@ -213,6 +228,10 @@ def update_dedup_index(
     100-batch streaming rehearsal measures probe time FLAT with this on
     and linearly degrading without."""
 
+    t_bands = table_prefix + "minhash_bands"
+    t_sets = table_prefix + "shingle_sets"
+    t_counts = table_prefix + "bucket_counts"
+
     sets_ = dd.shingle_set_arrays(docs, id_col, text_col, k).cache()
     sh = sets_.select(id_col, F.explode("_sh").alias("shingle"))
     sig = dd.minhash_signatures(sh, id_col, num_hashes)
@@ -224,7 +243,7 @@ def update_dedup_index(
     # first run's own counts are already stored, and including them would
     # make the replay see a hotter history than the original run did
     # (fewer flags ⇒ the idempotence contract breaks exactly at the cap).
-    counts = _read_table(spark, out_dir, "bucket_counts", atomic)
+    counts = _read_table(spark, out_dir, t_counts, atomic)
     if counts is not None:
         counts = counts.filter(F.col("batch_id") != batch_id)
         hot = (
@@ -244,8 +263,8 @@ def update_dedup_index(
     # Refuse FIRST if the stored table predates the 'h'-prefixed
     # key_bucket format: the pruned probe below would silently skip all of
     # that history (one manifest/listdir check, no job)
-    check_bands_format(out_dir)
-    stored = _read_table(spark, out_dir, "minhash_bands", atomic)
+    check_bands_format(out_dir, t_bands)
+    stored = _read_table(spark, out_dir, t_bands, atomic)
     cross: DataFrame | None = None
     if stored is not None:
         keys = [
@@ -291,7 +310,7 @@ def update_dedup_index(
     verify_sets = sets_
     if cross is not None:
         old_ids = cand.select(F.col("id_old").alias(id_col)).distinct()
-        stored_sets = _read_table(spark, out_dir, "shingle_sets", atomic)
+        stored_sets = _read_table(spark, out_dir, t_sets, atomic)
         if stored_sets is not None:
             fetched = stored_sets.join(F.broadcast(old_ids), id_col, "left_semi")
             verify_sets = (
@@ -336,34 +355,53 @@ def update_dedup_index(
         # letter bucket then fails the implicit cast in the pruned probe
         # (curation.py's content_hashes hit the identical trap); the
         # prefix pins the column to string at any batch size
-        "minhash_bands": banded.withColumn(
+        t_bands: banded.withColumn(
             "key_bucket", F.concat(F.lit("h"), F.substring("bucket", 1, 1))
         ).coalesce(1),
-        "shingle_sets": sets_.withColumn(
+        t_sets: sets_.withColumn(
             "key_bucket", _id_bucket(id_col)
         ).coalesce(1),
-        "bucket_counts": banded.groupBy("band", "bucket")
+        t_counts: banded.groupBy("band", "bucket")
         .agg(F.count("*").alias("n"))
         .withColumn("batch_id", F.lit(batch_id))
         .coalesce(1),
     }
+    pks = {
+        t_bands: _PKS["minhash_bands"],
+        t_sets: _PKS["shingle_sets"],
+        t_counts: _PKS["bucket_counts"],
+    }
+    if defer_publish:
+        # freeze the staged frames off the caches we are about to drop
+        # (the caller publishes later, after this function unpersists)
+        to_merge = {
+            name: df.localCheckpoint(eager=True)
+            for name, df in to_merge.items()
+        }
+        sets_.unpersist()
+        if probe_banded is not banded:
+            probe_banded.unpersist()
+        if verify_sets is not sets_:
+            verify_sets.unpersist()
+        banded.unpersist()
+        return result, to_merge, pks
     if atomic:
-        publish_batch(spark, to_merge, out_dir, pks=_PKS)
+        publish_batch(spark, to_merge, out_dir, pks=pks)
     else:
         for name, df in to_merge.items():
             merge_batch(
-                spark, df, os.path.join(out_dir, f"{name}.parquet"), _PKS[name]
+                spark, df, os.path.join(out_dir, f"{name}.parquet"), pks[name]
             )
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         if atomic:
             from .publish import compact_published
 
-            for name in _PKS:
+            for name in pks:
                 compact_published(spark, out_dir, name)
         else:
             from ..sources.maintenance import compact_table
 
-            for name in _PKS:
+            for name in pks:
                 compact_table(spark, os.path.join(out_dir, f"{name}.parquet"))
     sets_.unpersist()
     if probe_banded is not banded:

@@ -888,10 +888,19 @@ def vacuum(
                 shutil.rmtree(p, ignore_errors=True)
     if not os.path.isdir(out_dir):
         return removed
-    for entry in os.listdir(out_dir):
-        if not entry.endswith(".parquet"):
-            continue
-        table = entry[: -len(".parquet")]
+    # candidate tables: top-level <table>.parquet dirs PLUS every name the
+    # retained snapshots reference — manifest table names may be nested
+    # ("dedup_index/minhash_bands", the curation sink's unified commit),
+    # which a flat listdir would never visit, leaving compacted-away index
+    # files unreclaimable forever
+    candidates = {
+        entry[: -len(".parquet")]
+        for entry in os.listdir(out_dir)
+        if entry.endswith(".parquet")
+    }
+    candidates |= set(live)
+    for table in sorted(candidates):
+        entry = f"{table}.parquet"
         keep = live.get(table, set())
         tdir = os.path.join(out_dir, entry)
         if not os.path.isdir(tdir):

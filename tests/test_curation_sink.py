@@ -207,15 +207,23 @@ def test_atomic_commit_covers_all_four_tables(spark, tmp_path):
         min_quality=MIN_Q,
     )
     m = read_manifest(out)
+    # round 7: ONE commit covers all EIGHT tables — the five curation
+    # tables AND the dedup index's three (unified log; the old two-log
+    # "between the commits" crash window no longer exists)
     assert set(m["tables"]) == {
         "content_hashes",
         "curation_rejects",
         "curated_docs",
         "corpus_stats",
         "curation_log",
+        "dedup_index/minhash_bands",
+        "dedup_index/shingle_sets",
+        "dedup_index/bucket_counts",
     }
     # one publish after the empty adoption commit
     assert m["version"] == 2
+    # and the index's OWN log does not exist (no second commit anywhere)
+    assert not os.path.exists(os.path.join(out, "dedup_index", "_manifest"))
     for t in ("curated_docs", "curation_rejects", "content_hashes"):
         pub = read_published(spark, out, t)
         plain = spark.read.parquet(os.path.join(out, f"{t}.parquet"))
@@ -287,12 +295,14 @@ def test_compaction_bounds_files_and_preserves_rows(spark, tmp_path):
     assert s["n_exact"] == 1
 
 
-def test_crash_between_index_and_curation_commits(spark, tmp_path, monkeypatch):
-    """The documented crash window: the dedup index commits, then the
-    process dies BEFORE the curation publish.  The replay (same batch_id)
-    must converge to exactly the state of a crash-free run — the index
-    fold replays as a no-op and the four-table commit lands."""
+def test_crash_at_the_single_commit_leaves_nothing(spark, tmp_path, monkeypatch):
+    """Round 7 unified the sink's two commits into ONE manifest flip over
+    all eight tables, so the old crash window ("index folded, batch not
+    yet curated") cannot exist: a crash at the commit point leaves the
+    WHOLE batch absent — dedup index included — and the replay converges
+    to exactly the crash-free state, byte-idempotent."""
     import chainweb_data_spark.streaming.curation as cur
+    from chainweb_data_spark.streaming.publish import read_published
 
     rows = [(10, BASE_TEXT + " tail"), (11, OTHER_TEXT), (12, "zz")]
     seed = [(1, BASE_TEXT)]
@@ -302,13 +312,14 @@ def test_crash_between_index_and_curation_commits(spark, tmp_path, monkeypatch):
     curate_batch(spark, _docs(spark, seed), ref, batch_id=0, min_quality=MIN_Q)
     curate_batch(spark, _docs(spark, rows), ref, batch_id=1, min_quality=MIN_Q)
 
-    # crashed run: batch 1's curation publish raises AFTER the index fold
+    # crashed run: the single publish raises — NOTHING of batch 1 commits
     out = str(tmp_path / "cur")
     curate_batch(spark, _docs(spark, seed), out, batch_id=0, min_quality=MIN_Q)
+    bands_pre = read_published(spark, out, "dedup_index/minhash_bands").count()
     real_publish = cur.publish_batch
 
     def boom(*a, **kw):
-        raise RuntimeError("simulated crash before the curation commit")
+        raise RuntimeError("simulated crash at the unified commit")
 
     monkeypatch.setattr(cur, "publish_batch", boom)
     import pytest as _pytest
@@ -317,8 +328,12 @@ def test_crash_between_index_and_curation_commits(spark, tmp_path, monkeypatch):
         curate_batch(
             spark, _docs(spark, rows), out, batch_id=1, min_quality=MIN_Q
         )
-    # the window is visible: index folded, batch not curated
+    # the old window is GONE: batch not curated AND index not folded
     assert _ids(spark, out, CURATED_TABLE) == [1]
+    assert (
+        read_published(spark, out, "dedup_index/minhash_bands").count()
+        == bands_pre
+    )
     monkeypatch.setattr(cur, "publish_batch", real_publish)
     s = curate_batch(spark, _docs(spark, rows), out, batch_id=1, min_quality=MIN_Q)
     assert (s["n_kept"], s["n_near"], s["n_quality"]) == (1, 1, 1)
@@ -330,6 +345,73 @@ def test_crash_between_index_and_curation_commits(spark, tmp_path, monkeypatch):
             map(tuple, spark.read.parquet(os.path.join(ref, t)).collect())
         )
         assert got == want, t
+    # the index folds identically too (read through each store's log)
+    for t in ("dedup_index/minhash_bands", "dedup_index/shingle_sets"):
+        got = sorted(
+            map(tuple, read_published(spark, out, t).drop("key_bucket").collect())
+        )
+        want = sorted(
+            map(tuple, read_published(spark, ref, t).drop("key_bucket").collect())
+        )
+        assert got == want, t
+
+
+def test_legacy_two_log_store_refuses_and_migrates(spark, tmp_path):
+    """A store written by the pre-unified layout (index under its own log)
+    must REFUSE to resume (the unified probe would silently see an empty
+    index) and migrate_curation_store must adopt it metadata-only, after
+    which near-dups against the legacy history flag again."""
+    import pytest as _pytest
+
+    from chainweb_data_spark.streaming.curation import (
+        CurationStoreFormatError,
+        migrate_curation_store,
+    )
+    from chainweb_data_spark.streaming.dedup_index import update_dedup_index
+    from chainweb_data_spark.streaming.publish import (
+        publish_batch,
+        read_published,
+    )
+
+    out = str(tmp_path / "cur")
+    # forge a legacy store: batch 0 curated via the old two-log shape —
+    # curation tables in the parent log, index folded under its own log
+    seed = _docs(spark, [(1, BASE_TEXT)])
+    update_dedup_index(
+        spark, seed, os.path.join(out, "dedup_index"), batch_id=0
+    )
+    publish_batch(
+        spark,
+        {"curated_docs": seed.withColumn("batch_id", F.lit(0))},
+        out,
+        pks={"curated_docs": ("doc_id",)},
+    )
+    with _pytest.raises(CurationStoreFormatError, match="migrate_curation_store"):
+        curate_batch(
+            spark,
+            _docs(spark, [(10, BASE_TEXT + " tail")]),
+            out,
+            batch_id=1,
+            min_quality=MIN_Q,
+        )
+    adopted = migrate_curation_store(spark, out)
+    assert adopted == [
+        "dedup_index/bucket_counts",
+        "dedup_index/minhash_bands",
+        "dedup_index/shingle_sets",
+    ]
+    assert migrate_curation_store(spark, out) == []  # idempotent
+    # the legacy fold is visible through the parent log...
+    assert read_published(spark, out, "dedup_index/minhash_bands").count() > 0
+    # ...and a resumed batch flags a near-dup of the LEGACY history
+    s = curate_batch(
+        spark,
+        _docs(spark, [(10, BASE_TEXT + " tail")]),
+        out,
+        batch_id=1,
+        min_quality=MIN_Q,
+    )
+    assert s["n_near"] == 1
 
 
 def test_null_text_rejects_at_quality(spark, tmp_path):
@@ -397,7 +479,10 @@ def test_trained_quality_model_gates_stage_one(spark, tmp_path):
 def test_train_quality_model_from_history(spark, tmp_path):
     """The self-improving loop: curate with the heuristic gate, train a
     classifier from the published curated snapshot, and gate the next
-    batch with it; an empty history raises instead of silently passing."""
+    batch with it; an empty history raises instead of silently passing.
+    Round 7: the bootstrap self-measures — ``model["eval"]`` carries the
+    held-out AUC/precision, and a uniform history (all docs the same
+    rotating vocab, no quality spread) REFUSES under the default floor."""
     import pytest
 
     from chainweb_data_spark.streaming.curation import train_quality_model
@@ -411,8 +496,17 @@ def test_train_quality_model_from_history(spark, tmp_path):
         for i in range(10)
     ]
     curate_batch(spark, _docs(spark, rows), out, batch_id=0, min_quality=MIN_Q)
-    model = train_quality_model(spark, out)
-    assert set(model) == {"features", "w", "b", "mu", "sd"}
+    # the rotating-vocab docs are near-dups of each other, so the curated
+    # history is tiny and uniform — it cannot beat the AUC floor:
+    # refusal, not a silently-deployed coin flip
+    with pytest.raises(ValueError, match="held-out AUC"):
+        train_quality_model(spark, out)
+    # min_auc=None returns the model + its (honest, poor) metrics anyway
+    model = train_quality_model(spark, out, min_auc=None)
+    assert set(model) == {"features", "w", "b", "mu", "sd", "eval"}
+    ev = model["eval"]
+    if ev is not None:
+        assert ev["auc"] is None or 0.0 <= ev["auc"] <= 1.0
     s = curate_batch(
         spark,
         _docs(spark, [(50, rows[0][1] + " fresh tail marker")]),
@@ -421,3 +515,53 @@ def test_train_quality_model_from_history(spark, tmp_path):
         quality_model=model,
     )
     assert s["n_in"] == 1  # the model-gated path runs end to end
+
+
+def test_train_quality_model_separable_history_passes_floor(spark, tmp_path):
+    """A history with genuine quality spread (fluent prose + repetitive
+    filler that still clears the heuristic gate) trains a gate whose
+    held-out AUC beats the floor — the bootstrap returns weights
+    bit-identical to the plain trainer plus the eval block."""
+    from chainweb_data_spark.operators.classifier import train_quality_lr
+    from chainweb_data_spark.streaming.curation import (
+        MIN_GATE_AUC,
+        train_quality_model,
+    )
+
+    vocab = "the of and to a in is it you that he was for on are".split()
+    # every 3rd token is a per-doc unique marker so the fluent docs are
+    # NOT near-dups of each other (every shingle contains a unique token)
+    fluent = [
+        (
+            i,
+            " ".join(
+                f"t{i}n{j}" if j % 3 == 0 else vocab[(i + j) % len(vocab)]
+                for j in range(40)
+            ),
+        )
+        for i in range(30)
+    ]
+    # repetitive filler: one unique token per doc repeated (distinct text
+    # per doc, so exact/near dedup keeps all) — low distinct-token ratio,
+    # zero stopwords: passes the disabled heuristic gate, separably worse
+    filler = [
+        (i, " ".join(f"blob{i}" for _ in range(40)))
+        for i in range(30, 60)
+    ]
+    out = str(tmp_path / "cur")
+    curate_batch(
+        spark,
+        _docs(spark, fluent + filler),
+        out,
+        batch_id=0,
+        min_quality=-1e9,
+    )
+    assert _ids(spark, out, CURATED_TABLE) == list(range(60))
+    model = train_quality_model(spark, out)
+    assert model["eval"]["auc"] >= MIN_GATE_AUC
+    plain = train_quality_lr(
+        spark.read.parquet(os.path.join(out, CURATED_TABLE)),
+        "doc_id",
+        "text",
+    )
+    assert {k: model[k] for k in plain} == plain  # weights bit-identical

@@ -143,10 +143,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # simhash_near_pairs consumes the same signature relation, so signature
     # drift breaks that gated query too — the slot funds ann_ivfpq_topk
     "simhash_near_pairs",
-    # text_tokens + doc_fingerprint demoted r6 (still hash-checked by the
-    # local harness): doc_features — gated below — fuses both signals, so
-    # drift breaks it; the slots fund the round-6 flagships below
-    "text_quality",
+    # text_tokens + doc_fingerprint demoted r6, text_quality demoted r7
+    # (all still hash-checked by the local harness): doc_features — gated
+    # below — fuses all three signals (quality_features, lang_id,
+    # fingerprint) in one scan, so drift in any breaks it; the slots fund
+    # the round-6/7 flagships below
     "text_langid",
     "embed_cosine_topk",
     # embed_near_dup demoted late r6 (still hash-checked by the local
@@ -155,7 +156,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # path — which itself exercises the bucket-local pair kernel,
     # cluster assignment, components, and keeper selection end-to-end
     "semdedup_prune_auto_docs",
-    "ann_lsh_topk",
+    # ann_lsh_topk (pinned-plane exhibit) demoted r7: the auto sibling
+    # below gates the same hyperplane-signature + banded-join kernel with
+    # the production plane count, and the pinned wall is documented in the
+    # README growth table; the slot funds bm25_top_terms
     "ann_lsh_auto_topk",
     # ann_ivfpq_topk -> rerank swap (r6): the rerank gate embeds the FULL
     # ADC pipeline (train, encode, probe, LUT, shortlist) plus the
@@ -176,6 +180,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "epoch_pipeline",
     "dsir_sample_docs",
     "dedup_canonical_docs",
+    # round-7 promotions: the text-analysis scorers a data-quality
+    # pipeline actually runs (retrieval salience + LM perplexity filter)
+    "bm25_top_terms",
+    "bigram_ppl_docs",
 )
 
 

@@ -66,6 +66,10 @@ CURATION_SCHEMAS: dict[str, StructType] = {
         ("n_kept", LongType()),
         ("n_quality", LongType()),
         ("n_exact", LongType()),
+        # round 7: the sink gained the decontamination stage; the guard
+        # refuses pre-r7 stores on the missing column (backfill = rewrite
+        # curation_log with n_contam = 0)
+        ("n_contam", LongType()),
         ("n_near", LongType()),
     ),
 }

@@ -135,6 +135,40 @@ def migrate_curation_store(spark: SparkSession, out_dir: str) -> list[str]:
     return sorted(adopted)
 
 
+def prepare_benchmark(
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_bench_shingles: int | None = None,
+) -> DataFrame:
+    """Precompute the benchmark's distinct word-``k``-gram shingle set for
+    the sink's decontamination stage — ONCE, not per micro-batch: the
+    result is eagerly localCheckpointed so every ``curate_batch`` call
+    broadcasts a frozen relation instead of re-shingling the benchmark.
+    Same envelope refusal as the batch operator
+    (``operators/dedup.py contaminated_docs``): a benchmark too large to
+    broadcast raises loudly.  Pass the SAME ``k`` to ``curate_batch`` as
+    ``bench_k``."""
+    from ..operators import dedup as dd
+
+    cap = dd.BENCH_MAX_SHINGLES if max_bench_shingles is None else max_bench_shingles
+    sh = (
+        dd.word_shingles(bench, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = sh.count()
+    if n > cap:
+        raise ValueError(
+            f"prepare_benchmark: {n} distinct benchmark shingles exceeds "
+            f"the {cap} broadcast envelope — shuffle-join the shingle "
+            "streams instead (operators/dedup.py contaminated_docs policy)"
+        )
+    return sh
+
+
 def curate_batch(
     spark: SparkSession,
     docs: DataFrame,
@@ -147,16 +181,23 @@ def curate_batch(
     atomic: bool = True,
     compact_every: int | None = 16,
     quality_model: dict | None = None,
+    bench_shingles: DataFrame | None = None,
+    bench_k: int = 3,
     **index_kwargs,
 ) -> dict:
     """Curate one micro-batch against all history; returns a summary dict
-    ``{"batch_id", "n_in", "n_kept", "n_quality", "n_exact", "n_near"}``
-    (also persisted as one ``curation_log`` row inside the batch commit).
+    ``{"batch_id", "n_in", "n_kept", "n_quality", "n_exact", "n_contam",
+    "n_near"}`` (also persisted as one ``curation_log`` row inside the
+    batch commit).
 
     Stage order is cheapest-filter-first (quality is row-local, exact
-    dedup is a hash probe, near-dup pays signatures): each stage only
-    sees the previous stage's survivors, so the expensive MinHash fold
-    admits only documents that could actually be kept.
+    dedup is a hash probe, decontamination is a broadcast shingle join,
+    near-dup pays signatures): each stage only sees the previous stage's
+    survivors, so the expensive MinHash fold admits only documents that
+    could actually be kept.  ``bench_shingles`` (from
+    :func:`prepare_benchmark`, with the matching ``bench_k``) switches the
+    decontamination stage on — the batch pipeline's ``contaminated_docs``
+    semantics running continuously, reject reason ``"contaminated"``.
 
     ``atomic`` (default, matching listen_stream and the dedup index):
     ALL EIGHT tables — curated docs, rejects, content hashes, the stats
@@ -277,6 +318,34 @@ def curate_batch(
     exact_dup = exact_dup.localCheckpoint(eager=True)
     exact_survivors = exact_survivors.localCheckpoint(eager=True)
 
+    # --- stage 2.5: benchmark decontamination (optional) ------------------
+    # the batch pipeline's contaminated_docs semantics inside the sink:
+    # the benchmark's distinct shingle set (pre-frozen by
+    # prepare_benchmark, envelope-guarded there) broadcasts onto the
+    # batch's survivor shingle stream — no shuffle but the per-doc hit agg.
+    # Runs AFTER exact dedup (cheaper probe first, and a dup of a
+    # contaminated doc should log as the dup it is) and BEFORE the
+    # near-dup fold, so contaminated docs never enter the index: they are
+    # not corpus members, and a future near-dup of one must not be
+    # suppressed on their account.
+    contam = None
+    if bench_shingles is not None:
+        from ..operators import dedup as dd
+
+        contam = (
+            dd.word_shingles(exact_survivors, id_col, text_col, bench_k)
+            .join(F.broadcast(bench_shingles), "shingle")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_hits"),
+                F.min("shingle").alias("first_shingle"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        exact_survivors = exact_survivors.join(
+            contam.select(id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+
     # --- stage 3: near-dup probe + fold ----------------------------------
     # atomic: the index's three tables are STAGED here (defer_publish) and
     # committed below in the SAME publish_batch as the five curation
@@ -335,19 +404,31 @@ def curate_batch(
         q_detail = q_logit.cast("string")
     else:
         q_detail = F.format_number("quality_score", 4)
-    rejects = (
-        qfail.select(
+    rejects = qfail.select(
+        id_col,
+        F.lit("quality").alias("reason"),
+        q_detail.alias("detail"),
+    ).unionByName(
+        exact_dup.select(
             id_col,
-            F.lit("quality").alias("reason"),
-            q_detail.alias("detail"),
+            F.lit("exact_dup").alias("reason"),
+            F.col("_dup_of").cast("string").alias("detail"),
         )
-        .unionByName(
-            exact_dup.select(
+    )
+    if contam is not None:
+        rejects = rejects.unionByName(
+            contam.select(
                 id_col,
-                F.lit("exact_dup").alias("reason"),
-                F.col("_dup_of").cast("string").alias("detail"),
+                F.lit("contaminated").alias("reason"),
+                F.concat_ws(
+                    ":",
+                    F.col("first_shingle"),
+                    F.col("n_hits").cast("string"),
+                ).alias("detail"),
             )
         )
+    rejects = (
+        rejects
         .unionByName(
             # a doc can match SEVERAL historical near-dups; the reject log
             # is one row per (doc, reason), so keep the strongest match
@@ -397,15 +478,17 @@ def curate_batch(
         "n_kept": n_in
         - by_reason.get("quality", 0)
         - by_reason.get("exact_dup", 0)
+        - by_reason.get("contaminated", 0)
         - by_reason.get("near_dup", 0),
         "n_quality": by_reason.get("quality", 0),
         "n_exact": by_reason.get("exact_dup", 0),
+        "n_contam": by_reason.get("contaminated", 0),
         "n_near": by_reason.get("near_dup", 0),
     }
     log_row = spark.createDataFrame(
         [summary],
         "batch_id long, n_in long, n_kept long, n_quality long, "
-        "n_exact long, n_near long",
+        "n_exact long, n_contam long, n_near long",
     )
 
     # coalesce(1) on every write input: a micro-batch is small, and letting

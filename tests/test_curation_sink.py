@@ -64,6 +64,7 @@ def test_stages_and_summary(spark, tmp_path):
         "n_kept": 2,
         "n_quality": 1,
         "n_exact": 1,
+        "n_contam": 0,
         "n_near": 1,
     }
     assert _ids(spark, out, CURATED_TABLE) == [1, 4]
@@ -565,3 +566,91 @@ def test_train_quality_model_separable_history_passes_floor(spark, tmp_path):
         "text",
     )
     assert {k: model[k] for k in plain} == plain  # weights bit-identical
+
+
+def test_decontamination_stage(spark, tmp_path):
+    """The sink's optional stage 2.5: a doc sharing a 3-gram with the
+    benchmark rejects with reason 'contaminated' (detail = first shingle +
+    hit count), never enters the dedup index (a later near-dup of it must
+    NOT be suppressed on its account), and the summary adds up."""
+    from chainweb_data_spark.streaming.curation import (
+        curate_batch,
+        prepare_benchmark,
+    )
+
+    bench = _docs(spark, [(900, "gamma delta epsilon question answer")])
+    sh = prepare_benchmark(bench, k=3)
+
+    out = str(tmp_path / "cur")
+    s = curate_batch(
+        spark,
+        # doc 1 shares the 'gamma delta epsilon' 3-gram; doc 2 is clean
+        _docs(spark, [(1, BASE_TEXT), (2, OTHER_TEXT)]),
+        out,
+        batch_id=0,
+        min_quality=MIN_Q,
+        bench_shingles=sh,
+        bench_k=3,
+    )
+    assert (s["n_in"], s["n_kept"], s["n_contam"]) == (2, 1, 1)
+    assert _ids(spark, out, CURATED_TABLE) == [2]
+    rej = {
+        r["doc_id"]: (r["reason"], r["detail"])
+        for r in spark.read.parquet(os.path.join(out, REJECTS_TABLE)).collect()
+    }
+    assert rej[1][0] == "contaminated"
+    assert rej[1][1].startswith("gamma delta epsilon:")
+    # the contaminated doc is NOT in the index: a near-variant of it in
+    # the next batch sails through (no false near-dup suppression)
+    s2 = curate_batch(
+        spark,
+        _docs(spark, [(10, BASE_TEXT.replace("gamma delta epsilon", "x y z"))]),
+        out,
+        batch_id=1,
+        min_quality=MIN_Q,
+        bench_shingles=sh,
+        bench_k=3,
+    )
+    assert (s2["n_kept"], s2["n_near"], s2["n_contam"]) == (1, 0, 0)
+    # and the curation_log row carries the n_contam column
+    log = spark.read.parquet(os.path.join(out, "curation_log.parquet"))
+    assert {r["batch_id"]: r["n_contam"] for r in log.collect()} == {0: 1, 1: 0}
+
+
+def test_decontamination_replay_idempotent(spark, tmp_path):
+    """Replaying a contaminated batch (same batch_id) converges: no
+    doubled rejects, no resurrected docs."""
+    from chainweb_data_spark.streaming.curation import (
+        curate_batch,
+        prepare_benchmark,
+    )
+
+    bench = _docs(spark, [(900, "gamma delta epsilon question answer")])
+    sh = prepare_benchmark(bench, k=3)
+    out = str(tmp_path / "cur")
+    for _ in range(2):
+        s = curate_batch(
+            spark,
+            _docs(spark, [(1, BASE_TEXT), (2, OTHER_TEXT)]),
+            out,
+            batch_id=0,
+            min_quality=MIN_Q,
+            bench_shingles=sh,
+        )
+        assert (s["n_kept"], s["n_contam"]) == (1, 1)
+    rej = spark.read.parquet(os.path.join(out, REJECTS_TABLE)).collect()
+    assert len(rej) == 1
+    log = spark.read.parquet(os.path.join(out, "curation_log.parquet"))
+    assert log.count() == 1
+
+
+def test_prepare_benchmark_envelope_refuses(spark):
+    """The broadcast envelope is enforced at preparation time, before any
+    per-batch work."""
+    import pytest
+
+    from chainweb_data_spark.streaming.curation import prepare_benchmark
+
+    bench = _docs(spark, [(900, " ".join(f"tok{i}" for i in range(30)))])
+    with pytest.raises(ValueError, match="broadcast envelope"):
+        prepare_benchmark(bench, k=3, max_bench_shingles=5)

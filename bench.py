@@ -71,6 +71,7 @@ HEADLINE = [
     "dsir_sample_docs",     # DSIR: log-ratio scores + Gumbel top-k
     "epoch_pipeline",       # r6 composition: oversample → sharded shuffle
     "bm25_top_terms",       # BM25 retrieval scoring (saturating tf)
+    "gopher_repetition_docs",  # within-doc repetition rules (Gopher A1)
     "ann_ivfpq_rerank_topk",  # the production ANN tier: ADC + raw rerank
     "semdedup_prune_docs",  # SemDeDup: cluster-then-prune semantic dedup
     "quality_classifier_docs",  # trained linear gate: sampled fit + codegen score

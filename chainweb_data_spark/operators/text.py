@@ -633,6 +633,100 @@ def tfidf_topk_terms(
     return _topk_terms(scored, id_col, k, ["token", "tf", "df", "score"])
 
 
+def _gram_stream(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """ALL word k-gram occurrences per document (id, gram) — the counting
+    twin of ``dedup.word_shingles`` (which distincts): same
+    sequence+transform+slice windowing, same materialize-the-token-array
+    rule (one split per doc, not one per window)."""
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return base.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 2,
+    dup_k: int = 5,
+    top_frac_max: float = 0.2,
+    dup_frac_max: float = 0.15,
+) -> DataFrame:
+    """Within-document repetition signals, the Gopher rules (Rae et al.
+    2021, Table A1) re-expressed for the corpus convention: per document,
+    the most frequent word-``top_k``-gram and the fraction of characters
+    its occurrences account for (``top_char_frac`` — Gopher flags > 0.2
+    for 2-grams), and the duplicate-``dup_k``-gram fraction
+    (``dup_gram_frac`` = duplicated windows / windows; Gopher's variant
+    counts duplicated CHARACTERS with position-coverage semantics — the
+    token-window fraction used here flags the same pathology with
+    engine-exact rational arithmetic and no order-dependent coverage
+    scan).  ``flagged`` applies both thresholds to the 6-dp-rounded
+    fractions, so the boolean is cross-engine exact too.
+
+    Plan shape: two map-side-combined aggregations over the gram streams
+    — (id, gram) counts for the top gram, per-id count/countDistinct for
+    the duplicate fraction — then two per-id joins back onto the row-local
+    dims projection (AQE picks the strategy; all three relations are
+    per-document cardinality, so the join keys are never skewed beyond
+    the corpus's own id distribution).  No windows, no driver state; ties
+    for the top gram break (count desc, gram asc) — a total order, so the
+    result is replay- and engine-stable.
+    """
+    c_top = _gram_stream(df, id_col, text_col, top_k).groupBy(
+        id_col, "gram"
+    ).agg(F.count("*").alias("cnt"))
+    top = (
+        c_top.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("gram"), F.col("cnt")),
+                F.struct((-F.col("cnt")).alias("_nc"), F.col("gram")),
+            ).alias("_t")
+        )
+        .select(
+            id_col,
+            F.col("_t.gram").alias("top_gram"),
+            F.col("_t.cnt").alias("top_count"),
+        )
+    )
+    d5 = _gram_stream(df, id_col, text_col, dup_k).groupBy(id_col).agg(
+        F.count("*").alias("_n"),
+        F.countDistinct("gram").alias("_d"),
+    )
+    dims = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    out = (
+        dims.join(top, id_col)
+        .join(d5, id_col)
+        .select(
+            id_col,
+            "n_tokens",
+            "top_gram",
+            "top_count",
+            F.round(
+                F.col("top_count") * F.length("top_gram") / F.col("n_chars"), 6
+            ).alias("top_char_frac"),
+            F.round((F.col("_n") - F.col("_d")) / F.col("_n"), 6).alias(
+                "dup_gram_frac"
+            ),
+        )
+    )
+    return out.withColumn(
+        "flagged",
+        (F.col("top_char_frac") > F.lit(top_frac_max))
+        | (F.col("dup_gram_frac") > F.lit(dup_frac_max)),
+    )
+
+
 def normalize_text(col: Column) -> Column:
     """Canonicalize text for dedup/fingerprinting: lowercase, collapse any
     whitespace run to one space, trim.  Pure JVM-side built-ins (codegen);

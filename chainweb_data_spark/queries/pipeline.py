@@ -3522,6 +3522,66 @@ def bm25_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gopher_repetition_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t)-1, 1)+1),
+               i -> array_to_string(t[i:i+1], ' '))) AS gram
+      FROM toks
+    ),
+    c2 AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, gram),
+    top2 AS (
+      SELECT doc_id, gram AS top_gram, cnt AS top_count
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    ),
+    g5 AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t)-4, 1)+1),
+               i -> array_to_string(t[i:i+4], ' '))) AS gram
+      FROM toks
+    ),
+    d5 AS (
+      SELECT doc_id, COUNT(*) AS n5, COUNT(DISTINCT gram) AS dd5
+      FROM g5 GROUP BY doc_id
+    ),
+    dims AS (
+      SELECT doc_id, length(text) AS n_chars, CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, top_gram, top_count, top_char_frac,
+           dup_gram_frac,
+           (top_char_frac > 0.2 OR dup_gram_frac > 0.15) AS flagged
+    FROM (
+      SELECT d.doc_id, d.n_tokens, t2.top_gram, t2.top_count,
+             ROUND(CAST(t2.top_count * length(t2.top_gram) AS DOUBLE)
+                   / d.n_chars, 6) AS top_char_frac,
+             ROUND(CAST(d5.n5 - d5.dd5 AS DOUBLE) / d5.n5, 6) AS dup_gram_frac
+      FROM dims d JOIN top2 t2 USING (doc_id) JOIN d5 USING (doc_id)
+    )
+    ORDER BY doc_id
+    """,
+)
+def gopher_repetition_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules per document (operators/text.py
+    gopher_repetition): most frequent 2-gram + the character fraction its
+    occurrences cover (flag > 0.2) and the duplicate-5-gram window
+    fraction (flag > 0.15) — the within-document repetition filter next
+    to the cross-document ones (line dedup, dup-span trim).  All rational
+    arithmetic over integer counts, rounded 6 dp, so the flag boolean
+    itself is engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.gopher_repetition(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def _ann_ivfpq_rerank_oracle(
     nprobe: int = _IVF_NPROBE, k: int = _IVF_K, shortlist: int = 32
 ) -> str:

@@ -390,3 +390,31 @@ def test_dsir_gumbel_topk_is_deterministic_and_weighted(spark):
     # different seed -> different noise -> (almost surely) different order
     got3 = tx.dsir_gumbel_topk(scores, "doc_id", k=20, seed="u").collect()
     assert [r["gumbel_key"] for r in got3] != [r["gumbel_key"] for r in got]
+
+
+def test_gopher_repetition_flags(spark):
+    """Hand-checkable repetition cases: a 2-gram-dominated doc flags on
+    top_char_frac, a cycling phrase flags on dup_gram_frac, clean prose
+    flags on neither."""
+    from chainweb_data_spark.operators.text import gopher_repetition
+
+    rows = [
+        # "spam ham" x3 of 26 chars: top2 cnt=3, len("spam ham")=8 -> 24/26
+        (1, "spam ham spam ham spam ham"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # period-5 cycle, 15 tokens -> 11 5-gram windows, 5 distinct
+        (3, "one two three four five " * 3),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_repetition(docs, "doc_id", "text").collect()
+    }
+    assert got[1]["top_gram"] == "spam ham" and got[1]["top_count"] == 3
+    assert abs(got[1]["top_char_frac"] - round(24 / 26, 6)) < 1e-12
+    assert got[1]["flagged"] is True
+    assert got[2]["flagged"] is False and got[2]["dup_gram_frac"] == 0.0
+    assert abs(got[3]["dup_gram_frac"] - round(6 / 11, 6)) < 1e-12
+    assert got[3]["flagged"] is True

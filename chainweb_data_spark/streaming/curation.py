@@ -315,8 +315,15 @@ def curate_batch(
     )
     # freeze the stage-2 outputs BEFORE any table below is appended to —
     # their lazy plans read the hash table this very batch merges into
-    exact_dup = exact_dup.localCheckpoint(eager=True)
-    exact_survivors = exact_survivors.localCheckpoint(eager=True)
+    # (the two checkpoints are independent: submit both, wait once —
+    # per-batch wall is job-scheduling-bound, same rationale as
+    # publish_batch's threaded staging)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _ex:
+        _f1 = _ex.submit(exact_dup.localCheckpoint, eager=True)
+        _f2 = _ex.submit(exact_survivors.localCheckpoint, eager=True)
+        exact_dup, exact_survivors = _f1.result(), _f2.result()
 
     # --- stage 2.5: benchmark decontamination (optional) ------------------
     # the batch pipeline's contaminated_docs semantics inside the sink:
@@ -355,8 +362,9 @@ def curate_batch(
     # only the parent log tracks them, as "dedup_index/<table>".
     idx_tables: dict = {}
     idx_pks: dict = {}
+    idx_cleanup = None
     if atomic:
-        flags, idx_tables, idx_pks = update_dedup_index(
+        flags, idx_tables, idx_pks, idx_cleanup = update_dedup_index(
             spark,
             exact_survivors.select(id_col, text_col),
             out_dir,
@@ -515,7 +523,11 @@ def curate_batch(
         # ONE commit over all eight tables: five curation + three index
         tables = {**tables, **idx_tables}
         pks = {**pks, **idx_pks}
-        publish_batch(spark, tables, out_dir, pks=pks)
+        try:
+            publish_batch(spark, tables, out_dir, pks=pks)
+        finally:
+            if idx_cleanup is not None:
+                idx_cleanup()
     else:
         for name, df in tables.items():
             merge_batch(

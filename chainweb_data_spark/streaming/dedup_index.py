@@ -206,11 +206,12 @@ def update_dedup_index(
     curation sink) passes its ``out_dir``, a prefix like
     ``"dedup_index/"`` (same physical directories as the standalone
     layout), and ``defer_publish=True`` — the function then probes through
-    the CALLER's log, stages nothing, and returns ``(flags, tables, pks)``
-    for the caller to fold into ONE ``publish_batch`` covering all of its
-    tables; the crash window between two commits ceases to exist.  With
-    ``defer_publish`` the caller owns compaction too (``compact_every`` is
-    ignored here).
+    the CALLER's log, stages nothing, and returns ``(flags, tables, pks,
+    cleanup)`` for the caller to fold into ONE ``publish_batch`` covering
+    all of its tables, then ``cleanup()`` to drop the caches the staged
+    plans read; the crash window between two commits ceases to exist.
+    With ``defer_publish`` the caller owns compaction too
+    (``compact_every`` is ignored here).
 
     ``atomic`` (default) commits all three tables through ONE manifest
     flip (streaming/publish.py) — a crash mid-fold leaves the index
@@ -372,19 +373,19 @@ def update_dedup_index(
         t_counts: _PKS["bucket_counts"],
     }
     if defer_publish:
-        # freeze the staged frames off the caches we are about to drop
-        # (the caller publishes later, after this function unpersists)
-        to_merge = {
-            name: df.localCheckpoint(eager=True)
-            for name, df in to_merge.items()
-        }
-        sets_.unpersist()
-        if probe_banded is not banded:
-            probe_banded.unpersist()
-        if verify_sets is not sets_:
-            verify_sets.unpersist()
-        banded.unpersist()
-        return result, to_merge, pks
+        # the staged plans read the caches built above — leave them alive
+        # (checkpointing them here would re-execute every plan eagerly, 3
+        # extra blocking jobs per batch) and hand the caller a cleanup to
+        # run AFTER its publish_batch has consumed them
+        def _cleanup() -> None:
+            sets_.unpersist()
+            if probe_banded is not banded:
+                probe_banded.unpersist()
+            if verify_sets is not sets_:
+                verify_sets.unpersist()
+            banded.unpersist()
+
+        return result, to_merge, pks, _cleanup
     if atomic:
         publish_batch(spark, to_merge, out_dir, pks=pks)
     else:

@@ -312,7 +312,10 @@ def test_crash_mid_atomic_batch_is_invisible_then_heals(
 
     def dying_stage(spark_, df, out_dir, table, pk):
         calls["n"] += 1
-        # batch 0 stages 6 tables cleanly; die mid-batch-1 (after 2 of 6)
+        # batch 0 stages 6 tables cleanly; die mid-batch-1.  Staging is
+        # THREADED (publish_batch submits all six concurrently), so the
+        # dying call's siblings may still complete after it raises —
+        # more staged orphans, same guarantee: the commit never happens.
         if calls["n"] == 9:
             raise RuntimeError("injected crash mid-atomic-batch")
         return real_stage(spark_, df, out_dir, table, pk)
@@ -324,7 +327,7 @@ def test_crash_mid_atomic_batch_is_invisible_then_heals(
         q.awaitTermination(300)
     except Exception:
         pass
-    assert calls["n"] == 9, "crash injection did not fire"
+    assert calls["n"] >= 9, "crash injection did not fire"
 
     # snapshot isolation: published view == exactly batch 0's commit for
     # EVERY table, while batch 1's staged orphans physically exist on disk

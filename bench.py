@@ -72,6 +72,7 @@ HEADLINE = [
     "epoch_pipeline",       # r6 composition: oversample → sharded shuffle
     "bm25_top_terms",       # BM25 retrieval scoring (saturating tf)
     "gopher_repetition_docs",  # within-doc repetition rules (Gopher A1)
+    "corpus_report",        # per-source dataset card (one stratum agg)
     "ann_ivfpq_rerank_topk",  # the production ANN tier: ADC + raw rerank
     "semdedup_prune_docs",  # SemDeDup: cluster-then-prune semantic dedup
     "quality_classifier_docs",  # trained linear gate: sampled fit + codegen score

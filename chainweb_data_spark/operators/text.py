@@ -633,6 +633,56 @@ def tfidf_topk_terms(
     return _topk_terms(scored, id_col, k, ["token", "tf", "df", "score"])
 
 
+def corpus_report(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    quality_threshold: float = 0.35,
+) -> DataFrame:
+    """Per-stratum dataset card: the summary table a curation run publishes
+    alongside the corpus (docs, token volume, length shape, language
+    spread, heuristic-quality tail, exact-dup rate) — one groupBy on the
+    stratum key, every aggregate map-side combined except the median.
+
+    All arithmetic is engine-exact: counts and token sums are integers,
+    the fractions are int/int rounded 6 dp, `quality_score` is the gated
+    `quality_features` formula (rational doubles — comparisons against the
+    threshold match any engine that computes the same formula), and the
+    median is the EXACT interpolated percentile over integer char counts
+    (x.0 / x.5 — representable).  Scale note: exact `percentile` buffers a
+    group's values; strata are few and this gate needs bit-parity, but an
+    open-scale report should swap in `approx_percentile` — the swap is one
+    argument, not a redesign.  `dup_text_frac` counts distinct md5(text)
+    against docs — the exact-dup rate per stratum without running the
+    dedup itself."""
+    feat = quality_features(df, text_col)
+    n = F.count("*")
+    return (
+        feat.groupBy(group_col)
+        .agg(
+            n.alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / n, 6).alias("avg_tokens"),
+            F.percentile(F.length(text_col), F.lit(0.5)).alias("median_chars"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("quality_score") < quality_threshold, 1
+                    ).otherwise(0)
+                )
+                / n,
+                6,
+            ).alias("low_quality_frac"),
+            F.round(
+                F.lit(1.0) - F.countDistinct(F.md5(F.col(text_col))) / n, 6
+            ).alias("dup_text_frac"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def _gram_stream(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """ALL word k-gram occurrences per document (id, gram) — the counting
     twin of ``dedup.word_shingles`` (which distincts): same

@@ -3582,6 +3582,56 @@ def gopher_repetition_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.gopher_repetition(docs, "doc_id", "text").orderBy("doc_id")
 
 
+@register(
+    "corpus_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang, text, length(text) AS nc,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+               AS nsp
+      FROM documents
+    ),
+    feat AS (
+      SELECT source, lang, text, nc,
+             CASE WHEN nc = 0 THEN 0 ELSE nsp + 1 END AS nt,
+             (least((CASE WHEN nc = 0 THEN 0 ELSE nsp + 1 END) / 100.0, 1.0)
+              + (CASE WHEN (nc - nsp)
+                         / greatest(CASE WHEN nc = 0 THEN 0
+                                         ELSE nsp + 1 END, 1) >= 3
+                       AND (nc - nsp)
+                         / greatest(CASE WHEN nc = 0 THEN 0
+                                         ELSE nsp + 1 END, 1) <= 10
+                      THEN 1.0 ELSE 0.5 END)
+              + least({_stop_hits_sql(tx.LANG_STOPWORDS["en"])}
+                      / greatest(CASE WHEN nc = 0 THEN 0
+                                      ELSE nsp + 1 END, 1) * 4, 1.0)
+             ) / 3.0 AS quality_score
+      FROM base
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(nt) AS total_tokens,
+           ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           quantile_cont(nc, 0.5) AS median_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           ROUND(CAST(SUM(CASE WHEN quality_score < 0.35 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS low_quality_frac,
+           ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_text_frac
+    FROM feat
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card (operators/text.py corpus_report): the
+    summary a curation run publishes with the corpus — doc/token volume,
+    exact median length, language spread, heuristic-quality tail, and the
+    exact-dup rate — in one stratum-keyed aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.corpus_report(docs, "source", "text")
+
+
 def _ann_ivfpq_rerank_oracle(
     nprobe: int = _IVF_NPROBE, k: int = _IVF_K, shortlist: int = 32
 ) -> str:

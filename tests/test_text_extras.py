@@ -418,3 +418,35 @@ def test_gopher_repetition_flags(spark):
     assert got[2]["flagged"] is False and got[2]["dup_gram_frac"] == 0.0
     assert abs(got[3]["dup_gram_frac"] - round(6 / 11, 6)) < 1e-12
     assert got[3]["flagged"] is True
+
+
+def test_corpus_report_hand_computed(spark):
+    """Dataset card semantics on a crafted stratum: counts, exact median
+    (interpolated — even group), duplicate-text rate, quality tail."""
+    from chainweb_data_spark.operators.text import corpus_report
+
+    rows = [
+        # src a: 4 docs, one exact dup pair, one junk doc
+        (1, "alpha beta gamma delta epsilon zeta", "en", "a"),
+        (2, "alpha beta gamma delta epsilon zeta", "en", "a"),  # dup of 1
+        (3, "one two three four five six seven eight", "fr", "a"),
+        (4, "zz", "en", "a"),
+        # src b: 1 doc
+        (5, "the of and to a in is it", "en", "b"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {
+        r["source"]: r
+        for r in corpus_report(docs, "source", "text").collect()
+    }
+    a = got["a"]
+    assert a["n_docs"] == 4 and a["n_langs"] == 2
+    assert a["total_tokens"] == 6 + 6 + 8 + 1
+    # char lengths: 35, 35, 39, 2 -> sorted 2,35,35,39 -> median 35.0
+    assert a["median_chars"] == 35.0
+    assert abs(a["dup_text_frac"] - 0.25) < 1e-12  # 3 distinct / 4 docs
+    assert a["low_quality_frac"] > 0.0  # the "zz" doc
+    b = got["b"]
+    assert (b["n_docs"], b["dup_text_frac"]) == (1, 0.0)

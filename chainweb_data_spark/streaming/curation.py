@@ -51,6 +51,7 @@ continuous form a 100 TB training-data pipeline runs.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,10 +99,15 @@ def migrate_curation_store(spark: SparkSession, out_dir: str) -> list[str]:
     commit, metadata only (the physical directories are identical in both
     layouts, so file lists and footer stats copy over verbatim).  The
     sub-log is then retired (renamed ``_manifest.migrated``) so the old
-    path cannot resume divergently.  Idempotent: a store already unified
-    returns [] untouched.  Returns the adopted table names."""
+    path cannot resume divergently.  A pre-decontamination
+    ``curation_log`` (no ``n_contam`` column) is backfilled with 0 in the
+    SAME commit — the table is one row per batch, so the rewrite is tiny,
+    and leaving it would hand the resumed sink a mixed-schema table the
+    check-schema guard rightly refuses.  Idempotent: a store already
+    unified returns [] untouched.  Returns the adopted table names."""
     from .publish import (
         _manifest_path,
+        _stage_table,
         _write_manifest,
         ensure_manifest,
         read_manifest,
@@ -122,6 +128,43 @@ def migrate_curation_store(spark: SparkSession, out_dir: str) -> list[str]:
         if st:
             new_stats[unified] = dict(st)
         adopted.append(unified)
+    # n_contam backfill: rewrite the (tiny) summary table with the round-7
+    # column so the resumed sink never appends a second schema beside the
+    # old one.  Staged like any publish; the swap rides the adoption commit.
+    log_files = new_tables.get("curation_log", [])
+    ldir = os.path.join(out_dir, "curation_log.parquet")
+    if log_files:
+        old = spark.read.parquet(*[os.path.join(ldir, f) for f in log_files])
+        if "n_contam" not in old.columns:
+            rewritten = old.select(
+                "batch_id",
+                "n_in",
+                "n_kept",
+                "n_quality",
+                "n_exact",
+                F.lit(0).cast("long").alias("n_contam"),
+                "n_near",
+            ).coalesce(1)
+            # stage against an EMPTY probe view (unique batch_ids already)
+            files, fstats = _stage_table(
+                spark,
+                rewritten,
+                out_dir,
+                "curation_log__migrated",
+                ("batch_id",),
+            )
+            mdir = os.path.join(out_dir, "curation_log__migrated.parquet")
+            moved, mstats = [], {}
+            for rel in files:
+                dest = os.path.join(ldir, rel)
+                os.makedirs(os.path.dirname(dest) or ldir, exist_ok=True)
+                os.rename(os.path.join(mdir, rel), dest)
+                moved.append(rel)
+                if rel in fstats:
+                    mstats[rel] = fstats[rel]
+            shutil.rmtree(mdir, ignore_errors=True)
+            new_tables["curation_log"] = sorted(moved)
+            new_stats["curation_log"] = mstats
     _write_manifest(
         out_dir,
         {

@@ -397,6 +397,176 @@ def ann_longrun_report(
     return report
 
 
+_VOCAB = "the of and to a in is it you that he was for on are".split()
+
+
+def _mixed_doc_batch(spark, b: int, n: int = 500):
+    """A batch with a genuine QUALITY GRADIENT (the uniform _doc_batch
+    corpus cannot bootstrap a trained gate — every doc's proxy NLL is
+    identical, the labels collapse to one class, and train_quality_model
+    rightly refuses): even positions are per-doc unique markers (so no
+    two docs are near-dups — every shingle contains one), odd positions
+    are common-vocabulary words for the first ``20 - 4·(id % 5)`` slots
+    and additional unique markers after — id%5 is the doc's quality tier,
+    giving a stopword-ratio AND rare-token-NLL gradient the proxy labels
+    and the five features both see."""
+    from pyspark.sql import functions as F
+
+    varr = F.array(*[F.lit(w) for w in _VOCAB])
+    tier = F.pmod(F.col("id"), F.lit(5))  # 0 best .. 4 worst
+    toks = []
+    for i in range(40):
+        if i % 2 == 0:
+            toks.append(F.concat(F.lit(f"u{b}x{i}n"), F.col("id")))
+        else:
+            vocab_tok = F.element_at(
+                varr,
+                (F.pmod(F.col("id") + F.lit(i), F.lit(15)) + 1).cast("int"),
+            )
+            rare_tok = F.concat(F.lit(f"r{b}x{i}n"), F.col("id"))
+            toks.append(
+                F.when(F.lit(i // 2) < 20 - tier * 4, vocab_tok).otherwise(
+                    rare_tok
+                )
+            )
+    return spark.range(b * n, (b + 1) * n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *toks).alias("text"),
+    )
+
+
+def _time_fullstack_batch(spark, path: str, model: dict, n: int) -> float:
+    """Steady-state per-arrival cost of the TRAINED-GATE sink against the
+    accumulated history — same rollback discipline as time_curate_batch
+    (copy aside, time a fresh batch, restore) so every timing faces
+    identical history."""
+    import shutil as _sh
+
+    from chainweb_data_spark.streaming.curation import curate_batch
+
+    probe = _mixed_doc_batch(spark, 20_000)
+    backup = path + "_backup"
+    _sh.copytree(path, backup)
+    best = float("inf")
+    for _ in range(max(1, n)):
+        t0 = time.perf_counter()
+        curate_batch(
+            spark, probe, path, batch_id=999_999, quality_model=model
+        )
+        best = min(best, time.perf_counter() - t0)
+        _sh.rmtree(path)
+        _sh.copytree(backup, path)
+    _sh.rmtree(backup)
+    return round(best, 3)
+
+
+def fullstack_report(
+    spark,
+    n_batches: int = 100,
+    compact_every: int = 16,
+    bootstrap_at: int = 10,
+) -> dict:
+    """The FULL continuous-curation stack in one rehearsal (round-6
+    verdict #9): the unified curation sink (all eight tables — five
+    curation + the embedded dedup index — in one commit per batch) with
+    the TRAINED quality gate active from batch ``bootstrap_at`` onward,
+    and the streaming ANN index sink folding a vector batch beside it,
+    for ``n_batches`` batches.  The long-run claims under test:
+
+    - per-batch curation cost FLAT (hash probe + index probe are pruned
+      to the batch's buckets; compaction bounds the live-file term),
+    - ANN search cost growing only with CORPUS (members per probed
+      cell), its file term bounded by compaction,
+    - live file counts bounded across BOTH logs simultaneously.
+
+    Batches 0..bootstrap_at-1 run the permissive heuristic cold start
+    (min_quality low so the filler stratum reaches the curated history —
+    a gate can only learn a contrast it has seen); then
+    ``train_quality_model`` bootstraps the trained gate from the sink's
+    own history, self-measured against its held-out AUC floor, and every
+    later batch gates on the model logit."""
+    import time as _time
+
+    from chainweb_data_spark.operators import similarity as sim
+    from chainweb_data_spark.streaming.ann_index import (
+        MEMBERS_TABLE,
+        ann_index_search,
+        update_ann_index,
+    )
+    from chainweb_data_spark.streaming.curation import (
+        curate_batch,
+        train_quality_model,
+    )
+    from chainweb_data_spark.streaming.publish import read_manifest
+
+    out_cur = os.path.join(WORK, "fullstack_cur")
+    out_ann = os.path.join(WORK, "fullstack_ann")
+    train = _vec_batch(spark, 0)
+    cents = sim.ivf_train_kmeans(train, "vec_id", "embedding", 16)
+    cb = sim.pq_train(train, "vec_id", "embedding", m=8, k=16)
+    queries = _vec_batch(spark, 10_000, n=100).localCheckpoint(eager=True)
+
+    marks = sorted(
+        {max(bootstrap_at + 5, n_batches // 4), n_batches // 2, n_batches}
+    )
+    report: dict = {
+        "n_batches": n_batches,
+        "compact_every": compact_every,
+        "bootstrap_at": bootstrap_at,
+    }
+    model: dict | None = None
+    checkpoints: dict = {}
+    for b in range(n_batches):
+        if b == bootstrap_at:
+            model = train_quality_model(spark, out_cur)
+            ev = model["eval"]
+            report["gate_eval"] = {
+                "auc": round(ev["auc"], 4),
+                "precision_at_0": (
+                    None
+                    if ev["precision_at_0"] is None
+                    else round(ev["precision_at_0"], 4)
+                ),
+                "n_train": ev["n_train"],
+                "n_holdout": ev["n_holdout"],
+            }
+        s = curate_batch(
+            spark,
+            _mixed_doc_batch(spark, b),
+            out_cur,
+            batch_id=b,
+            compact_every=compact_every,
+            quality_model=model,
+            **({} if model is not None else {"min_quality": 0.05}),
+        )
+        update_ann_index(
+            spark, _vec_batch(spark, b), out_ann, b, cents, cb,
+            compact_every=compact_every,
+        )
+        if b + 1 in marks:
+            best = float("inf")
+            for _ in range(2):
+                t0 = _time.perf_counter()
+                ann_index_search(
+                    spark, out_ann, queries, cents, cb, nprobe=2, k=5
+                ).collect()
+                best = min(best, _time.perf_counter() - t0)
+            mc = read_manifest(out_cur)
+            ma = read_manifest(out_ann)
+            checkpoints[str(b + 1)] = {
+                "curate_s": _time_fullstack_batch(spark, out_cur, model, 2),
+                "cur_live_files": sum(
+                    len(v) for v in mc["tables"].values()
+                ),
+                "ann_search_s": round(best, 3),
+                "ann_live_files": len(ma["tables"].get(MEMBERS_TABLE, [])),
+                "n_kept_last": s["n_kept"],
+                "n_quality_last": s["n_quality"],
+            }
+    report["checkpoints"] = checkpoints
+    return report
+
+
 def main() -> None:
     from chainweb_data_spark.session import get_spark
 
@@ -404,6 +574,7 @@ def main() -> None:
     longrun = "--longrun" in sys.argv[1:]
     ann_longrun = "--annlongrun" in sys.argv[1:]
     cur_longrun = "--curlongrun" in sys.argv[1:]
+    fullstack = "--fullstack" in sys.argv[1:]
     mult = int(args[0]) if args else 10
     n = int(args[1]) if len(args) > 1 else 3
     spark = get_spark("cds-streaming-rehearsal")
@@ -414,6 +585,15 @@ def main() -> None:
     # (100 dedup / 60 ann batches), never the multiplier default of 10
     # (at 10 batches compact_every=16 would never fire and the
     # compacted-vs-raw comparison would be vacuous)
+    if fullstack:
+        print(json.dumps({
+            "regime": "fullstack",
+            "fullstack": fullstack_report(
+                spark, n_batches=int(args[0]) if args else 100
+            ),
+        }))
+        return
+
     if ann_longrun:
         print(json.dumps({
             "regime": "ann_longrun",

@@ -71,6 +71,7 @@ HEADLINE = [
     "dsir_sample_docs",     # DSIR: log-ratio scores + Gumbel top-k
     "epoch_pipeline",       # r6 composition: oversample → sharded shuffle
     "bm25_top_terms",       # BM25 retrieval scoring (saturating tf)
+    "bm25_search_docs",     # BM25 query→top-docs search (filtered tf)
     "gopher_repetition_docs",  # within-doc repetition rules (Gopher A1)
     "corpus_report",        # per-source dataset card (one stratum agg)
     "ann_ivfpq_rerank_topk",  # the production ANN tier: ADC + raw rerank

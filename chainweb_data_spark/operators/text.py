@@ -1355,3 +1355,72 @@ def bm25_topk_terms(
     return _topk_terms(
         scored, id_col, k, ["token", "tf", "df", "dl", "score"]
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Query-against-corpus BM25 retrieval: the top-``k`` documents for a
+    query string — what :func:`bm25_topk_terms` scores per document, this
+    runs as the SEARCH a retrieval-based data-selection pass issues
+    (mine positives for a classifier, pull benchmark-neighborhood docs
+    for decontamination review).
+
+    Plan shape: the query's term set is a driver-side literal, so the
+    token stream filters to query terms BEFORE the tf aggregation — the
+    expensive shuffle is over (doc, query-term) pairs only, a tiny slice
+    of the corpus; document lengths (the full-stream aggregate) shuffle
+    once as (doc, count) pairs; the final top-k is one TakeOrdered, no
+    window.  Per-term weights follow bm25_topk_terms exactly (6-dp
+    rounded idf and contribution); the per-doc SUM runs in DECIMAL(18,6)
+    — integer-exact and order-independent, so the engines agree
+    bit-for-bit without trusting float summation order.  Ties break
+    (score desc, id asc)."""
+    terms = sorted({t for t in query.split(" ") if t})
+    if not terms:
+        raise ValueError("bm25_search: empty query")
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()
+    toks, _tf, _dfreq = _term_freq_scaffold(df, id_col, text_col)
+    qtoks = toks.filter(F.col("token").isin(terms))
+    tf = qtoks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avg = dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"))
+    idf = F.round(
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    contrib = F.round(
+        idf
+        * (
+            F.col("tf").cast("double") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avg))
+        .select(F.col(id_col), contrib.cast("decimal(18,6)").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("_s"))
+        .select(F.col(id_col), F.col("_s").cast("double").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

@@ -3632,6 +3632,52 @@ def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.corpus_report(docs, "source", "text")
 
 
+_BM25_QUERY = "merge scan table"
+
+
+@register(
+    "bm25_search_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), ft AS (
+      SELECT doc_id, token FROM toks WHERE len(token) > 0
+    ),
+    qt AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM ft
+      WHERE token IN ('merge', 'scan', 'table')
+      GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, COUNT(*) AS df FROM qt GROUP BY token),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM ft GROUP BY doc_id),
+    avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(CAST(round(
+               round(ln((CAST((SELECT n_docs FROM n) AS DOUBLE) - f.df + 0.5)
+                        / (f.df + 0.5) + 1.0), 6)
+               * (CAST(t.tf AS DOUBLE) * 2.2
+                  / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                   / (SELECT avgdl FROM avgdl)))),
+               6) AS DECIMAL(18,6))) AS s
+      FROM qt t JOIN dfq f USING (token) JOIN dl l USING (doc_id)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(s AS DOUBLE) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/text.py bm25_search): top-10 documents
+    for the literal query '{q}' — the search a retrieval-based selection
+    pass issues, with the query-term filter applied BEFORE the tf shuffle
+    and the per-doc sum in DECIMAL(18,6) so it is order-independent and
+    engine-exact.""".format(q=_BM25_QUERY)
+    docs = _t(spark, sf_dir, "documents")
+    return tx.bm25_search(docs, "doc_id", "text", _BM25_QUERY, k=10)
+
+
 def _ann_ivfpq_rerank_oracle(
     nprobe: int = _IVF_NPROBE, k: int = _IVF_K, shortlist: int = 32
 ) -> str:

@@ -450,3 +450,29 @@ def test_corpus_report_hand_computed(spark):
     assert a["low_quality_frac"] > 0.0  # the "zz" doc
     b = got["b"]
     assert (b["n_docs"], b["dup_text_frac"]) == (1, 0.0)
+
+
+def test_bm25_search_ranks_and_tiebreaks(spark):
+    """Query-term density wins; length normalization damps padding; ties
+    break on ascending id; empty query refuses."""
+    import pytest
+
+    from chainweb_data_spark.operators.text import bm25_search
+
+    rows = [
+        (1, "scan table merge scan table"),          # dense, short
+        (2, "scan " + "filler " * 30),               # one term, padded long
+        (3, "alpha beta gamma"),                     # no query terms
+        (4, "scan table merge scan table"),          # identical to 1 -> tie
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_search(docs, "doc_id", "text", "merge scan table", k=3).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[:2] == [1, 4]                         # tie -> id ascending
+    assert got[0]["score"] == got[1]["score"]
+    assert 3 not in ids                              # zero-match doc absent
+    assert got[0]["score"] > (
+        [r["score"] for r in got if r["doc_id"] == 2] or [0.0]
+    )[0]
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_search(docs, "doc_id", "text", "  ")

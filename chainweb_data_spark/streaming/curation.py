@@ -671,6 +671,32 @@ def train_quality_model(
     return model
 
 
+def dataset_snapshot(
+    spark: SparkSession,
+    out_dir: str,
+    version: int | None = None,
+) -> tuple[int, DataFrame]:
+    """A REPRODUCIBLE training set: ``(version, curated_docs-as-of-it)``.
+    Called without a version it resolves the store's CURRENT log version
+    once and reads through it — record the returned version beside the
+    training run, and any later ``dataset_snapshot(spark, out, version=v)``
+    re-reads the byte-identical document set no matter how many batches,
+    compactions, or migrations landed since (bounded by the store's
+    ``vacuum`` retention horizon, the same contract as any pinned
+    reader).  This is the dataset-versioning story the transaction log
+    buys the curation sink: training-data provenance is a log version
+    number, not a directory copy."""
+    from .publish import read_manifest
+
+    v = read_manifest(out_dir, version=version)["version"]
+    df = read_published(spark, out_dir, "curated_docs", version=v)
+    if df is None:
+        raise ValueError(
+            f"dataset_snapshot: no curated_docs at {out_dir!r} version {v}"
+        )
+    return v, df
+
+
 def curation_sink(
     docs_stream: DataFrame,
     out_dir: str,

@@ -669,3 +669,40 @@ def test_prepare_benchmark_envelope_refuses(spark):
     bench = _docs(spark, [(900, " ".join(f"tok{i}" for i in range(30)))])
     with pytest.raises(ValueError, match="broadcast envelope"):
         prepare_benchmark(bench, k=3, max_bench_shingles=5)
+
+
+def test_dataset_snapshot_reproducible(spark, tmp_path):
+    """Training-data provenance as a log version: the snapshot taken
+    before more batches land re-reads byte-identical afterwards — through
+    appends AND a compaction rewrite."""
+    from chainweb_data_spark.streaming.curation import dataset_snapshot
+
+    out = str(tmp_path / "cur")
+    curate_batch(
+        spark, _docs(spark, [(1, BASE_TEXT)]), out, batch_id=0,
+        min_quality=MIN_Q,
+    )
+    v, ds = dataset_snapshot(spark, out)
+    frozen = sorted(map(tuple, ds.collect()))
+    assert frozen and isinstance(v, int)
+
+    # land more batches, force a compaction commit on the curated table
+    curate_batch(
+        spark, _docs(spark, [(10, OTHER_TEXT)]), out, batch_id=1,
+        min_quality=MIN_Q, compact_every=1,
+    )
+    curate_batch(
+        spark,
+        _docs(spark, [(20, "ten eleven twelve thirteen fourteen fifteen")]),
+        out,
+        batch_id=2,
+        min_quality=MIN_Q,
+        compact_every=1,
+    )
+    # the live view moved on...
+    _v2, live = dataset_snapshot(spark, out)
+    assert live.count() == 3 and _v2 > v
+    # ...the pinned version has not
+    v_again, ds_again = dataset_snapshot(spark, out, version=v)
+    assert v_again == v
+    assert sorted(map(tuple, ds_again.collect())) == frozen

@@ -70,6 +70,9 @@ QUERIES = [
     "bm25_top_terms",       # saturating-tf retrieval scoring
     "contamination_score_docs",  # graded benchmark-overlap fraction
     "strip_boilerplate_docs",  # cross-doc line dedup (hot-set broadcast)
+    "gopher_repetition_docs",  # two map-combined gram aggregations (r7)
+    "corpus_report",           # stratum-keyed dataset card (r7)
+    "bm25_search_docs",        # query-filtered tf + TakeOrdered (r7)
 ]
 
 

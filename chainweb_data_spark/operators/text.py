@@ -1394,6 +1394,26 @@ def bm25_search(
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     avg = dl.agg((F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"))
+    contrib = bm25_contrib_expr(n_docs, k1, b)
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avg))
+        .select(F.col(id_col), contrib.cast("decimal(18,6)").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("_s"))
+        .select(F.col(id_col), F.col("_s").cast("double").alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def bm25_contrib_expr(n_docs: int, k1: float, b: float):
+    """The per-(doc, term) BM25 contribution over columns ``tf`` / ``df``
+    / ``dl`` / ``_avgdl`` — ONE expression shared by :func:`bm25_search`
+    (the corpus-scan path) and the persisted-index probe
+    (:mod:`..operators.bm25_index`), so the two retrieval paths can never
+    silently diverge: 6-dp rounded Lucene idf
+    ``ln((N−df+0.5)/(df+0.5)+1)`` times the 6-dp rounded saturation term."""
     idf = F.round(
         F.log(
             (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
@@ -1402,7 +1422,7 @@ def bm25_search(
         ),
         6,
     )
-    contrib = F.round(
+    return F.round(
         idf
         * (
             F.col("tf").cast("double") * F.lit(k1 + 1.0)
@@ -1414,13 +1434,3 @@ def bm25_search(
         ),
         6,
     )
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(avg))
-        .select(F.col(id_col), contrib.cast("decimal(18,6)").alias("_c"))
-        .groupBy(id_col)
-        .agg(F.sum("_c").alias("_s"))
-        .select(F.col(id_col), F.col("_s").cast("double").alias("score"))
-    )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)

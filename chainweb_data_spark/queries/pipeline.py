@@ -3670,12 +3670,83 @@ _BM25_QUERY = "merge scan table"
 )
 def bm25_search_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval (operators/text.py bm25_search): top-10 documents
-    for the literal query '{q}' — the search a retrieval-based selection
-    pass issues, with the query-term filter applied BEFORE the tf shuffle
-    and the per-doc sum in DECIMAL(18,6) so it is order-independent and
-    engine-exact.""".format(q=_BM25_QUERY)
+    for the literal query 'merge scan table' — the search a
+    retrieval-based selection pass issues, with the query-term filter
+    applied BEFORE the tf shuffle and the per-doc sum in DECIMAL(18,6) so
+    it is order-independent and engine-exact.  The per-query corpus
+    re-scan this path pays is what the persisted-index twin
+    (bm25_search_indexed_docs) eliminates."""
     docs = _t(spark, sf_dir, "documents")
     return tx.bm25_search(docs, "doc_id", "text", _BM25_QUERY, k=10)
+
+
+_BM25_SEARCH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), ft AS (
+      SELECT doc_id, token FROM toks WHERE len(token) > 0
+    ),
+    qt AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM ft
+      WHERE token IN ('merge', 'scan', 'table')
+      GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, COUNT(*) AS df FROM qt GROUP BY token),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM ft GROUP BY doc_id),
+    avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(CAST(round(
+               round(ln((CAST((SELECT n_docs FROM n) AS DOUBLE) - f.df + 0.5)
+                        / (f.df + 0.5) + 1.0), 6)
+               * (CAST(t.tf AS DOUBLE) * 2.2
+                  / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                   / (SELECT avgdl FROM avgdl)))),
+               6) AS DECIMAL(18,6))) AS s
+      FROM qt t JOIN dfq f USING (token) JOIN dl l USING (doc_id)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(s AS DOUBLE) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+#: built BM25 indexes keyed by sf_dir — the gated probe builds once per
+#: process and the benched number is then the PROBE (build cost is the
+#: rehearsal's subject, not the per-query one; min-of-3 takes the probe)
+_BM25_INDEX_CACHE: dict[str, str] = {}
+
+
+def _bm25_index_for(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..operators.bm25_index import bm25_build_index
+
+    d = _BM25_INDEX_CACHE.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="bm25idx-")
+        bm25_build_index(spark, _t(spark, sf_dir, "documents"), d)
+        _BM25_INDEX_CACHE[sf_dir] = d
+    return d
+
+
+@register("bm25_search_indexed_docs", oracle=_BM25_SEARCH_ORACLE)
+def bm25_search_indexed_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval as an INDEX PROBE (operators/bm25_index.py): the
+    same top-10 for 'merge scan table' — the oracle is bm25_search_docs's
+    verbatim — but answered from the persisted term-bucketed postings
+    index, reading only the query terms' key_bucket partitions plus the
+    batch-sized meta table: O(query terms), not O(corpus), per query.
+    The index is built once per process per sf_dir (one txlog flip) and
+    every probe after that is the flat-cost search path a repeated
+    retrieval workload (positives mining, benchmark-neighborhood review)
+    actually runs at 100 TB."""
+    from ..operators.bm25_index import bm25_search_indexed
+
+    return bm25_search_indexed(
+        spark, _bm25_index_for(spark, sf_dir), _BM25_QUERY, k=10
+    )
 
 
 def _ann_ivfpq_rerank_oracle(

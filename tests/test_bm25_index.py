@@ -1,0 +1,119 @@
+"""Persisted BM25 index (operators/bm25_index.py): probe ≡ corpus scan
+bit-for-bit, append-only incremental parity, crash-replay idempotence,
+and the scale property the index exists for — the probe reads ONLY the
+query terms' key_bucket partitions, never the whole postings table."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainweb_data_spark.operators.bm25_index import (
+    _term_bucket_py,
+    bm25_build_index,
+    bm25_index_stats,
+    bm25_search_indexed,
+    bm25_update_index,
+)
+from chainweb_data_spark.operators.text import bm25_search
+from chainweb_data_spark.streaming.publish import read_manifest
+
+from tests.conftest import SF001
+from tests.test_layout import _scan_files_read
+
+QUERY = "merge scan table"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bm25idx"))
+    bm25_build_index(spark, _docs(spark), out, source_version=42)
+    return out
+
+
+def _pairs(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_probe_matches_corpus_scan_bitwise(spark, index_dir):
+    scan = bm25_search(_docs(spark), "doc_id", "text", QUERY, k=10)
+    probe = bm25_search_indexed(spark, index_dir, QUERY, k=10)
+    assert _pairs(probe) == _pairs(scan)
+
+
+def test_incremental_batches_match_full_build(spark, index_dir, tmp_path):
+    out = str(tmp_path / "inc")
+    docs = _docs(spark)
+    for i in range(3):
+        bm25_update_index(
+            spark,
+            docs.filter(F.col("doc_id") % 3 == i),
+            out,
+            batch_id=i,
+            source_version=100 + i,
+        )
+    assert _pairs(bm25_search_indexed(spark, out, QUERY, k=10)) == _pairs(
+        bm25_search_indexed(spark, index_dir, QUERY, k=10)
+    )
+    stats = bm25_index_stats(spark, out)
+    assert stats["n_batches"] == 3
+    assert stats["source_versions"] == [100, 101, 102]
+    assert stats == {
+        **bm25_index_stats(spark, index_dir),
+        "n_batches": 3,
+        "source_versions": [100, 101, 102],
+    }
+
+
+def test_replay_same_batch_is_noop(spark, tmp_path):
+    out = str(tmp_path / "replay")
+    docs = _docs(spark)
+    bm25_update_index(spark, docs, out, batch_id=0)
+    before = read_manifest(out)
+    stats_before = bm25_index_stats(spark, out)
+    # crash replay: the SAME batch arrives again — PK anti-joins drop
+    # every row, no version is burned, totals don't double
+    bm25_update_index(spark, docs, out, batch_id=0)
+    assert read_manifest(out)["version"] == before["version"]
+    assert bm25_index_stats(spark, out) == stats_before
+
+
+def test_probe_scans_only_matching_buckets(spark, index_dir):
+    manifest = read_manifest(index_dir)
+    postings = manifest["tables"]["bm25_postings"]
+    dft = manifest["tables"]["bm25_df"]
+    # the fixture corpus spreads terms over many buckets — the pruning
+    # claim is vacuous otherwise
+    all_buckets = {f.split(os.sep, 1)[0] for f in postings}
+    assert len(all_buckets) > 8
+    want = {f"key_bucket={_term_bucket_py(t)}" for t in QUERY.split(" ")}
+    matching = [
+        f for f in postings if f.split(os.sep, 1)[0] in want
+    ] + [f for f in dft if f.split(os.sep, 1)[0] in want]
+    meta = manifest["tables"]["bm25_meta"]
+    probe = bm25_search_indexed(spark, index_dir, QUERY, k=10)
+    n_read = _scan_files_read(probe)
+    total = len(postings) + len(dft) + len(meta)
+    assert n_read <= len(matching) + len(meta)
+    assert n_read < total
+
+
+def test_empty_query_refused(spark, index_dir):
+    with pytest.raises(ValueError, match="empty query"):
+        bm25_search_indexed(spark, index_dir, "  ")
+
+
+def test_missing_index_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="bm25_meta"):
+        bm25_search_indexed(spark, str(tmp_path / "nothing"), QUERY)
+
+
+def test_term_absent_from_index(spark, index_dir):
+    # a query of out-of-vocabulary terms scores nothing — empty result,
+    # same contract as bm25_search over a corpus without the terms
+    out = bm25_search_indexed(spark, index_dir, "zzzznotaterm", k=5)
+    assert out.count() == 0

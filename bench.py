@@ -72,6 +72,9 @@ HEADLINE = [
     "epoch_pipeline",       # r6 composition: oversample → sharded shuffle
     "bm25_top_terms",       # BM25 retrieval scoring (saturating tf)
     "bm25_search_docs",     # BM25 query→top-docs search (filtered tf)
+    "bm25_search_indexed_docs",  # BM25 as an index PROBE (r8): run 1 pays
+                            # the one-time index build; min-of-3 records
+                            # the steady-state bucket-pruned probe
     "gopher_repetition_docs",  # within-doc repetition rules (Gopher A1)
     "corpus_report",        # per-source dataset card (one stratum agg)
     "ann_ivfpq_rerank_topk",  # the production ANN tier: ADC + raw rerank
@@ -236,10 +239,16 @@ def main() -> None:
                     else "reproduces_isolated"
                 ),
             }
-            # the isolated fresh-session number is the honest steady-state
-            # cost when the in-session one carried cache pressure from the
-            # 38 queries before it
-            timings[n] = round(min(timings[n], iso[n]), 4)
+            # headline protocol (round-7 advice): the isolated number
+            # replaces the in-session one ONLY when the verdict is
+            # session_artifact (the in-session reading carried cache
+            # pressure from the queries before it — the isolated run is
+            # the honest steady-state).  When the regression REPRODUCES
+            # isolated, the in-session figure stands: taking min() of two
+            # differently-conditioned protocols would bias round-over-round
+            # totals downward and hide real regressions
+            if remeasured[n]["verdict"] == "session_artifact":
+                timings[n] = round(iso[n], 4)
 
     result = {
         "metric": "headline_queries_total_wall",

@@ -762,8 +762,16 @@ def gopher_repetition(
             "n_tokens",
             "top_gram",
             "top_count",
+            # greatest(n_chars, 1): a doc row reaching this inner join has
+            # ≥1 gram and therefore ≥1 char, but the guard keeps `flagged`
+            # a PROVABLY concrete boolean (never a divide-by-zero NULL that
+            # a ~flagged filter would silently drop) under any future
+            # join-shape change — and keeps Spark and the DuckDB oracle's
+            # zero-division behaviors out of the contract entirely
             F.round(
-                F.col("top_count") * F.length("top_gram") / F.col("n_chars"), 6
+                F.col("top_count") * F.length("top_gram")
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
             ).alias("top_char_frac"),
             F.round((F.col("_n") - F.col("_d")) / F.col("_n"), 6).alias(
                 "dup_gram_frac"

@@ -3563,7 +3563,7 @@ def bm25_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT d.doc_id, d.n_tokens, t2.top_gram, t2.top_count,
              ROUND(CAST(t2.top_count * length(t2.top_gram) AS DOUBLE)
-                   / d.n_chars, 6) AS top_char_frac,
+                   / greatest(d.n_chars, 1), 6) AS top_char_frac,
              ROUND(CAST(d5.n5 - d5.dd5 AS DOUBLE) / d5.n5, 6) AS dup_gram_frac
       FROM dims d JOIN top2 t2 USING (doc_id) JOIN d5 USING (doc_id)
     )

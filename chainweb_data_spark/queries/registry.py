@@ -128,8 +128,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "semi_join_exists",
     "latest_per_user",
     "gap_detection",
-    "running_counters",
-    "json_extract_agg",
+    # running_counters + json_extract_agg demoted r8 (still hash-checked
+    # by the local harness): the W2/W3 running-scan window is the same
+    # partitioned-window kernel gated epoch_pipeline and pack_sequences
+    # run on, and json_amount_coercion — gated below — exercises the
+    # identical get_json_object path machinery plus the harder coercion
+    # precedence; the slots fund the round-8 flagships (the dataset-card
+    # and repetition-filter operators a curation run actually publishes)
     "json_amount_coercion",
     "union_legs",
     # training-data pipeline (north-star extensions)
@@ -143,12 +148,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # simhash_near_pairs consumes the same signature relation, so signature
     # drift breaks that gated query too — the slot funds ann_ivfpq_topk
     "simhash_near_pairs",
-    # text_tokens + doc_fingerprint demoted r6, text_quality demoted r7
-    # (all still hash-checked by the local harness): doc_features — gated
-    # below — fuses all three signals (quality_features, lang_id,
-    # fingerprint) in one scan, so drift in any breaks it; the slots fund
-    # the round-6/7 flagships below
-    "text_langid",
+    # text_tokens + doc_fingerprint demoted r6, text_quality demoted r7,
+    # text_langid demoted r8 (all still hash-checked by the local
+    # harness): doc_features — gated below — fuses all three signals
+    # (quality_features, lang_id, fingerprint) in one scan, so drift in
+    # any breaks it; the slots fund the round-6/7/8 flagships below
     "embed_cosine_topk",
     # embed_near_dup demoted late r6 (still hash-checked by the local
     # harness): its exact-tier matmul kernel is the same one
@@ -184,6 +188,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     # pipeline actually runs (retrieval salience + LM perplexity filter)
     "bm25_top_terms",
     "bigram_ppl_docs",
+    # round-8 promotions: the curation-run publishables — the Gopher
+    # repetition filter and the per-source dataset card — plus the
+    # persisted-index BM25 probe (the O(query-terms) retrieval path that
+    # replaces bm25_search's per-query corpus re-scan; its oracle is
+    # bm25_search_docs's verbatim, so index and scan can't drift apart)
+    "gopher_repetition_docs",
+    "corpus_report",
+    "bm25_search_indexed_docs",
 )
 
 

@@ -675,20 +675,29 @@ def dataset_snapshot(
     spark: SparkSession,
     out_dir: str,
     version: int | None = None,
+    pin: bool = False,
 ) -> tuple[int, DataFrame]:
     """A REPRODUCIBLE training set: ``(version, curated_docs-as-of-it)``.
     Called without a version it resolves the store's CURRENT log version
     once and reads through it — record the returned version beside the
     training run, and any later ``dataset_snapshot(spark, out, version=v)``
     re-reads the byte-identical document set no matter how many batches,
-    compactions, or migrations landed since (bounded by the store's
-    ``vacuum`` retention horizon, the same contract as any pinned
-    reader).  This is the dataset-versioning story the transaction log
-    buys the curation sink: training-data provenance is a log version
-    number, not a directory copy."""
-    from .publish import read_manifest
+    compactions, or migrations landed since.
+
+    Without ``pin`` that promise is bounded by the store's ``vacuum``
+    retention horizon (``MAINT_KEEP_VERSIONS`` of compaction churn can
+    reclaim the version's files — the read then fails loudly but
+    permanently).  ``pin=True`` takes a RETENTION LEASE
+    (:func:`..streaming.publish.pin_version`) on the resolved version in
+    the same commit log, which every vacuum/compaction honors until
+    :func:`..streaming.publish.unpin_version` releases it — the
+    training-run lifetime contract.  Training-data provenance is a log
+    version number, not a directory copy."""
+    from .publish import pin_version, read_manifest
 
     v = read_manifest(out_dir, version=version)["version"]
+    if pin:
+        pin_version(out_dir, v, name="dataset_snapshot")
     df = read_published(spark, out_dir, "curated_docs", version=v)
     if df is None:
         raise ValueError(

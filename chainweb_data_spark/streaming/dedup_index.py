@@ -113,19 +113,26 @@ def unprefixed_band_buckets(
 def check_bands_format(out_dir: str, table: str = "minhash_bands") -> None:
     bad = unprefixed_band_buckets(out_dir, table)
     if bad:
+        prefix = table[: -len("minhash_bands")]
+        fix = (
+            f"migrate_dedup_index(spark, {out_dir!r}"
+            + (f", table_prefix={prefix!r})" if prefix else ")")
+        )
         raise DedupIndexFormatError(
-            f"minhash_bands at {out_dir!r} has pre-migration key_bucket "
+            f"{table} at {out_dir!r} has pre-migration key_bucket "
             f"partitions {bad}: the pruned cross-era probe matches only "
             "'h'-prefixed values, so this history would be silently "
             "skipped (missed near-dups). Run "
-            "chainweb_data_spark.streaming.dedup_index.migrate_dedup_index("
-            "spark, out_dir) once to re-derive key_bucket and republish, "
-            "then resume the sink."
+            f"chainweb_data_spark.streaming.dedup_index.{fix} once to "
+            "re-derive key_bucket and republish, then resume the sink."
         )
 
 
 def migrate_dedup_index(
-    spark: SparkSession, out_dir: str, atomic: bool = True
+    spark: SparkSession,
+    out_dir: str,
+    atomic: bool = True,
+    table_prefix: str = "",
 ) -> int:
     """One-shot format migration: re-derive ``key_bucket`` ('h' + first
     hex char of bucket) over the whole bands table and republish.  On the
@@ -134,16 +141,22 @@ def migrate_dedup_index(
     mix; per-partition compaction keeps dir names and is NOT sufficient);
     the legacy layout swaps directories via the park-and-rename move
     (``maintenance.migrate_flat_to_bucketed``'s discipline).  Idempotent:
-    already-prefixed rows re-derive to themselves.  Returns the row
-    count migrated."""
+    already-prefixed rows re-derive to themselves.
+
+    ``table_prefix`` mirrors :func:`update_dedup_index`'s: a unified
+    curation store keeps the bands under ``dedup_index/minhash_bands`` in
+    the PARENT log, and migrating the unprefixed name there would resolve
+    an empty table, "succeed" with 0 rows, and leave the store
+    unresumable (round-7 advice).  Returns the row count migrated."""
     from .publish import _manifest_path, rewrite_published
 
+    t_bands = table_prefix + "minhash_bands"
     stored = _read_table(
-        spark, out_dir, "minhash_bands",
+        spark, out_dir, t_bands,
         atomic and os.path.isdir(_manifest_path(out_dir)),
     )
     if stored is None:
-        tdir = os.path.join(out_dir, BANDS_TABLE)
+        tdir = os.path.join(out_dir, f"{t_bands}.parquet")
         stored = _read_if_exists(spark, tdir)
         if stored is None:
             return 0
@@ -156,12 +169,12 @@ def migrate_dedup_index(
     )
     n = fixed.count()
     if atomic and os.path.isdir(_manifest_path(out_dir)):
-        rewrite_published(spark, out_dir, "minhash_bands", fixed)
+        rewrite_published(spark, out_dir, t_bands, fixed)
     else:
         import shutil
         import uuid
 
-        tdir = os.path.join(out_dir, BANDS_TABLE)
+        tdir = os.path.join(out_dir, f"{t_bands}.parquet")
         tmp = f"{tdir}.migrating-{uuid.uuid4().hex}"
         fixed.write.mode("overwrite").partitionBy("key_bucket").parquet(tmp)
         park = f"{tdir}.pre-migration-{uuid.uuid4().hex}"

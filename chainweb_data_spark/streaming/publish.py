@@ -285,6 +285,8 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         }
         if stats:
             commit["stats"] = stats
+        if "pin" in manifest:
+            commit["pin"] = manifest["pin"]
     else:
         base = _resolve(out_dir, version - 1)
         add: dict[str, list[str]] = {}
@@ -317,6 +319,8 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             commit["remove"] = remove
         if stats_add:
             commit["stats_add"] = stats_add
+        if "pin" in manifest:
+            commit["pin"] = manifest["pin"]
 
     name = _commit_name(version)
     tmp = os.path.join(mdir, f".{name}.{uuid.uuid4().hex}.tmp")
@@ -365,6 +369,102 @@ def history(out_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def pinned_versions(out_dir: str) -> dict[int, str | None]:
+    """The ACTIVE retention leases: ``{pinned version: name}``, folded
+    from the ``pin`` / ``unpin`` ops in the commit log (the registry
+    lives IN the log — a pin is itself a commit, so it is atomic,
+    crash-durable, and visible to every concurrent maintenance writer
+    through the same protocol as data)."""
+    pins: dict[int, str | None] = {}
+    for v in range(1, _latest_version(out_dir) + 1):
+        c = _load_commit(out_dir, v)
+        p = c.get("pin")
+        if not p:
+            continue
+        if c.get("op") == "pin":
+            pins[int(p["version"])] = p.get("name")
+        elif c.get("op") == "unpin":
+            pins.pop(int(p["version"]), None)
+    return pins
+
+
+def pin_version(
+    out_dir: str, version: int, name: str | None = None
+) -> dict:
+    """Take a RETENTION LEASE on snapshot ``version``: commit a ``pin``
+    log entry that :func:`vacuum` (and therefore every maintenance op's
+    auto-vacuum) must honor — the pinned snapshot's data files survive
+    any number of compaction/vacuum cycles past ``MAINT_KEEP_VERSIONS``,
+    so a training run's ``dataset_snapshot`` provenance version stays
+    byte-identically re-readable until :func:`unpin_version` releases it.
+    Refuses a version that is uncommitted or whose files are ALREADY
+    reclaimed (a lease on an unreadable snapshot would promise the
+    impossible).  Returns the new live snapshot."""
+    latest = _latest_version(out_dir)
+    if not 1 <= version <= latest:
+        raise ValueError(
+            f"pin_version: version {version} not in committed range "
+            f"1..{latest} of {out_dir!r}"
+        )
+    snap = _resolve(out_dir, version)
+    for t, fs in snap["tables"].items():
+        tdir = os.path.join(out_dir, f"{t}.parquet")
+        for rel in fs:
+            if not os.path.exists(os.path.join(tdir, rel)):
+                raise ValueError(
+                    f"pin_version: version {version} is no longer "
+                    f"re-readable — {t}/{rel} was already vacuumed; "
+                    "pin BEFORE the retention horizon passes"
+                )
+    for _ in range(2):
+        manifest = read_manifest(out_dir)
+        commit = {
+            "version": manifest["version"] + 1,
+            "tables": manifest["tables"],
+            "stats": manifest.get("stats", {}),
+            "op": "pin",
+            "pin": {"version": version, "name": name},
+        }
+        try:
+            _write_manifest(out_dir, commit)
+            return commit
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"pin_version: lost the commit race twice in {out_dir!r}"
+    )
+
+
+def unpin_version(out_dir: str, version: int) -> dict:
+    """Release the retention lease on ``version`` (a ``unpin`` log
+    entry); its files become reclaimable by the next :func:`vacuum` when
+    outside the normal retention horizon.  Refuses when no active pin
+    exists — an unpin that silently no-ops would mask a double-release
+    bug in the caller's provenance bookkeeping."""
+    if version not in pinned_versions(out_dir):
+        raise ValueError(
+            f"unpin_version: version {version} holds no active pin in "
+            f"{out_dir!r}"
+        )
+    for _ in range(2):
+        manifest = read_manifest(out_dir)
+        commit = {
+            "version": manifest["version"] + 1,
+            "tables": manifest["tables"],
+            "stats": manifest.get("stats", {}),
+            "op": "unpin",
+            "pin": {"version": version},
+        }
+        try:
+            _write_manifest(out_dir, commit)
+            return commit
+        except ConcurrentWriteError:
+            continue
+    raise ConcurrentWriteError(
+        f"unpin_version: lost the commit race twice in {out_dir!r}"
+    )
 
 
 def ensure_manifest(out_dir: str) -> dict:
@@ -890,7 +990,12 @@ def vacuum(
         except OSError:
             return False  # vanished concurrently — another vacuum got it
     live: dict[str, set] = {}
-    for v in range(max(1, latest - keep_versions), latest + 1):
+    retained = set(range(max(1, latest - keep_versions), latest + 1))
+    # retention leases: every PINNED snapshot stays fully readable no
+    # matter how far past the keep_versions horizon it falls — the
+    # dataset_snapshot provenance contract (pin_version)
+    retained.update(pinned_versions(out_dir))
+    for v in sorted(retained):
         snap = _resolve(out_dir, v)
         for t, fs in snap["tables"].items():
             live.setdefault(t, set()).update(fs)

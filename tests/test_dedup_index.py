@@ -490,3 +490,61 @@ def test_pre_migration_detection_legacy_layout(spark, tmp_path):
         update_dedup_index(spark, b1, out, batch_id=1, atomic=False)
     )
     assert (10, 1) in got
+
+
+def test_pre_migration_bands_prefixed_unified_store(spark, tmp_path):
+    """Round-7 advice: in a UNIFIED curation store the bands live under
+    'dedup_index/minhash_bands' in the parent log — migrate_dedup_index
+    must take the same table_prefix as update_dedup_index, and the
+    format error must name the PREFIXED table with the prefixed fix
+    (the unprefixed call would resolve an empty table and 'migrate'
+    0 rows, leaving the store unresumable)."""
+    import pytest as pt
+
+    from chainweb_data_spark.streaming.dedup_index import (
+        DedupIndexFormatError,
+        check_bands_format,
+        migrate_dedup_index,
+        unprefixed_band_buckets,
+        update_dedup_index,
+    )
+    from chainweb_data_spark.streaming.publish import (
+        publish_batch,
+        read_published,
+        rewrite_published,
+    )
+
+    out = str(tmp_path / "store")
+    prefix = "dedup_index/"
+    t_bands = prefix + "minhash_bands"
+    b0 = _docs(spark, [(1, BASE_TEXT)])
+    flags, tables, pks, cleanup = update_dedup_index(
+        spark, b0, out, batch_id=0, table_prefix=prefix, defer_publish=True
+    )
+    flags.count()
+    publish_batch(spark, tables, out, pks=pks)
+    cleanup()
+    assert unprefixed_band_buckets(out, t_bands) == []
+
+    # forge the pre-migration format on the PREFIXED table
+    bands = read_published(spark, out, t_bands)
+    legacy = (
+        bands.drop("key_bucket")
+        .withColumn("key_bucket", F.substring("bucket", 1, 1))
+        .repartition("key_bucket")
+    )
+    rewrite_published(spark, out, t_bands, legacy)
+    assert unprefixed_band_buckets(out, t_bands) != []
+    # the error names the prefixed table AND the prefixed fix
+    with pt.raises(
+        DedupIndexFormatError, match="table_prefix='dedup_index/'"
+    ):
+        check_bands_format(out, t_bands)
+
+    # the advertised fix actually migrates the prefixed table
+    n = migrate_dedup_index(spark, out, table_prefix=prefix)
+    assert n == bands.count() and n > 0
+    assert unprefixed_band_buckets(out, t_bands) == []
+    # and the unprefixed call on this store is the 0-row trap the
+    # prefix parameter exists to avoid
+    assert migrate_dedup_index(spark, out) == 0

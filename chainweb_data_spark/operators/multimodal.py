@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_image`` raises ``NotImplementedError`` unless a known deterministic
-fake format (see ``fake_image_bytes``) is detected, in which case a
-deterministic fake decode runs.  Everything Spark-side — schema, batch
-iteration, partitioning, UDF signatures — is real and tested.
+The container has no image/audio libraries, so most decode paths are
+pluggable registry entries: ``decode_image`` raises ``NotImplementedError``
+unless a registered codec matches the payload magic.  Registered here: the
+deterministic fake formats (``fake_image_bytes`` et al.) AND one real
+codec — the pure-stdlib PNG decoder (``operators/png.py``: zlib + the five
+scanline filters, CRC-verified), so PNG payloads genuinely decode in this
+container.  Everything Spark-side — schema, batch iteration, partitioning,
+UDF signatures — is real and tested.
 
 At 100 TB: binaries ride in their own column (Parquet keeps them in separate
 column chunks → metadata-only queries never read the bytes); feature
@@ -184,6 +187,45 @@ def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
 register_codec("image", FAKE_MAGIC, _decode_fake_image)
 register_codec("video", FAKE_VIDEO_MAGIC, _decode_fake_video)
 register_codec("audio", FAKE_AUDIO_MAGIC, _decode_fake_audio)
+
+# ... and one REAL codec registers through it too (round-7 advice #4): the
+# pure-stdlib PNG decoder (operators/png.py — zlib + the five scanline
+# filters, 8-bit non-interlaced profile, CRC-verified).  PNG payloads in a
+# media column now actually decode; JPEG/ffmpeg/soundfile remain the
+# documented pluggable boundary for environments that have them.
+from .png import PNG_MAGIC, decode_png, encode_png  # noqa: E402
+
+register_codec("image", PNG_MAGIC, decode_png)
+
+
+def png_image_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
+    """A REAL PNG (RGB8, filter-0 scanlines) with seed-derived pixels —
+    the deterministic fixture for exercising the genuine decode path
+    end-to-end without any third-party imaging library."""
+    rng = np.random.default_rng(seed * 31337 + 5)
+    px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+    return encode_png(px)
+
+
+def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a deterministic REAL-PNG media column from an id column
+    (same plumbing as attach_fake_media, genuine codec underneath)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: png_image_bytes(int(i)))
+
+    return df.withColumn("media", _mk(F.col(id_col))).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+        ),
+    )
 
 
 def attach_fake_video(df: DataFrame, id_col: str) -> DataFrame:

@@ -1241,6 +1241,63 @@ def multimodal_image_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.image_resize(with_media, "doc_id", _RESIZE_W, _RESIZE_H).orderBy("id")
 
 
+def _png_oracle() -> str:
+    """Same literal-VALUES pattern as _multimodal_oracle, but over REAL
+    PNG bytes: png_image_bytes encodes seed-derived pixels through the
+    pure-stdlib encoder and decode_png inverts the zlib+filter pipeline —
+    both evaluated here at registration, asserting Spark's distributed
+    mapInPandas path (registry dispatch on the \\x89PNG magic included)
+    reproduces the genuine codec bit-for-bit."""
+    import hashlib
+
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(_MM_N_SMALL):
+        data = mm.png_image_bytes(i)
+        img = mm.decode_png(data)
+        rows.append(
+            (
+                i,
+                hashlib.sha256(data).hexdigest()[:16],
+                len(data),
+                img[:, :, 0].mean(),
+                img[:, :, 1].mean(),
+                img[:, :, 2].mean(),
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("id", "BIGINT"),
+            ("sha16", "VARCHAR"),
+            ("n_bytes", "BIGINT"),
+            ("mean_r", "DOUBLE"),
+            ("mean_g", "DOUBLE"),
+            ("mean_b", "DOUBLE"),
+        ],
+    )
+
+
+@register("multimodal_png_features", oracle=_png_oracle())
+def multimodal_png_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-media pipeline over a REAL codec (round-7 advice #4):
+    deterministic PNG payloads (operators/png.py — stdlib zlib + the five
+    scanline filters, CRC-verified) attached per doc_id, decoded inside
+    mapInPandas via the same codec registry the fake formats use, features
+    oracle-checked against the pure-Python evaluation of the identical
+    bytes.  The codec boundary is no longer a stub for PNG."""
+    from ..operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _MM_N_SMALL)
+    )
+    with_media = mm.attach_png_media(docs, "doc_id")
+    return mm.image_features(with_media, "doc_id").orderBy("id")
+
+
 def _frames_oracle() -> str:
     import numpy as np
 

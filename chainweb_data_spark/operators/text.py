@@ -906,6 +906,174 @@ def bigram_backoff_scores(
     )
 
 
+def trigram_kn_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document NLL/perplexity under an interpolated Kneser–Ney
+    TRIGRAM model trained on the corpus itself — the standard
+    quality-filtering LM (the CCNet filter's shape), one order past
+    :func:`bigram_backoff_scores`:
+
+        P(w3|w1 w2) = (c(w1 w2 w3) − d)/c(w1 w2)
+                      + λ(w1 w2) · P_mid(w3|w2)
+        λ(w1 w2)    = d · N1+(w1 w2 •) / c(w1 w2)
+        P_mid(w3|w2) = (N1+(• w2 w3) − d)/N1+(• w2 •)
+                      + d · N1+(w2 •)/N1+(• w2 •) · P_cont(w3)
+        P_cont(w)   = N1+(• w) / |bigram types|
+
+    where N1+ are type (continuation) counts — KN's defining move: a
+    word's backoff weight is how many distinct CONTEXTS it follows, not
+    how often.  Position conventions: token 1 scores under the Laplace
+    unigram (the corpus convention shared with the other scorers — the
+    continuation unigram can be zero for a word seen only in one-token
+    documents, Laplace never is); token 2 under bigram-KN with raw
+    highest-order counts; tokens ≥3 under the trigram.  Trained-on-equals-
+    scored means every n-gram scored was counted, so with d < 1 no
+    max(·,0) clamp can bind and no zero-probability branch exists — every
+    probability is a fixed dag of exact-integer-count ratios, two
+    multiplies and two adds, identical doubles in both engines; the 6-dp
+    avg_nll rounding absorbs ln's last ulp.
+
+    Scale shape (same as the bigram op): n-gram streams are index-lambda
+    transforms over the token array (codegen, no self-joins); all count
+    aggregations are map-side combined; the trigram and bigram model
+    relations join as open-vocabulary SHUFFLE joins (AQE broadcasts small
+    ones), while every vocab-sized side (unigram, per-w2 middle totals,
+    continuation counts) broadcasts."""
+    d = float(discount)
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
+
+    uni = (
+        base.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    totals = uni.agg(F.sum("c1").alias("_n"), F.count("*").alias("_v"))
+    puni = uni.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            (F.col("c1") + F.lit(1.0))
+            / (F.col("_n") + F.col("_v")).cast("double")
+        ).alias("p_uni"),
+        "c1",
+    )
+
+    def _grams(n: int, fields: list[str]):
+        # (id, w1..wn) stream via one array transform — no self-joins
+        struct_t = ",".join(f"{f}:string" for f in fields)
+        return base.select(
+            F.col(id_col),
+            F.explode(
+                F.when(
+                    F.size("_t") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                        lambda i: F.struct(
+                            *[
+                                F.element_at(F.col("_t"), i + j).alias(
+                                    fields[j]
+                                )
+                                for j in range(n)
+                            ]
+                        ),
+                    ),
+                ).otherwise(F.array().cast(f"array<struct<{struct_t}>>"))
+            ).alias("_g"),
+        ).select(id_col, *[F.col(f"_g.{f}").alias(f) for f in fields])
+
+    pairs = _grams(2, ["w1", "w2"])
+    trips = _grams(3, ["w1", "w2", "w3"])
+
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # vocab-sized sides of the bigram level: raw-count follower types and
+    # the continuation-unigram numerator (distinct predecessors)
+    fol1 = c2.groupBy("w1").agg(F.count("*").alias("f1"))
+    cont1 = c2.groupBy("w2").agg(F.count("*").alias("k1"))
+    btypes = c2.agg(F.count("*").alias("_bt"))
+
+    c3 = trips.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    fol12 = c3.groupBy("w1", "w2").agg(F.count("*").alias("f12"))
+    cont3 = c3.groupBy("w2", "w3").agg(F.count("*").alias("k3"))
+    mid = cont3.groupBy("w2").agg(
+        F.sum("k3").alias("m_tot"),  # N1+(• w2 •)
+        F.count("*").alias("m_fol"),  # N1+(w2 •) in the type sense
+    )
+
+    p_cont = F.col("k1") / F.col("_bt").cast("double")
+    first_nll = (
+        base.select(id_col, F.element_at("_t", 1).alias("w"))
+        .join(F.broadcast(puni.select("w", "p_uni")), "w")
+        .select(id_col, (-F.log("p_uni")).alias("nll"))
+    )
+    # token 2: bigram-KN with raw highest-order counts — defined for every
+    # document bigram (it was counted)
+    second_nll = (
+        base.filter(F.size("_t") > 1)
+        .select(
+            id_col,
+            F.element_at("_t", 1).alias("w1"),
+            F.element_at("_t", 2).alias("w2"),
+        )
+        .join(c2, ["w1", "w2"])
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), "c1")), "w1")
+        .join(F.broadcast(fol1), "w1")
+        .join(F.broadcast(cont1), "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.col("c2") - F.lit(d)) / F.col("c1").cast("double")
+                    + (F.lit(d) * F.col("f1") / F.col("c1").cast("double"))
+                    * p_cont
+                )
+            ).alias("nll"),
+        )
+    )
+    tri_nll = (
+        trips.join(c3, ["w1", "w2", "w3"])  # open-vocab shuffle join
+        .join(c2.withColumnRenamed("c2", "c12"), ["w1", "w2"])
+        .join(fol12, ["w1", "w2"])
+        .join(cont3, ["w2", "w3"])
+        .join(F.broadcast(mid), "w2")
+        .join(F.broadcast(cont1.withColumnRenamed("w2", "w3")), "w3")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.col("c3") - F.lit(d)) / F.col("c12").cast("double")
+                    + (F.lit(d) * F.col("f12") / F.col("c12").cast("double"))
+                    * (
+                        (F.col("k3") - F.lit(d))
+                        / F.col("m_tot").cast("double")
+                        + (
+                            F.lit(d)
+                            * F.col("m_fol")
+                            / F.col("m_tot").cast("double")
+                        )
+                        * p_cont
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        first_nll.unionByName(second_nll)
+        .unionByName(tri_nll)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+            F.round(F.exp(F.avg("nll")), 2).alias("ppl"),
+        )
+    )
+
+
 def assign_splits(
     df: DataFrame, id_col: str, weights: dict[str, float]
 ) -> DataFrame:
@@ -1144,6 +1312,145 @@ def mixture_oversample(
             ),
         )
         .drop("_src_key", "_k_int", "_frac_q", "_copies")
+    )
+
+
+def temperature_weights(
+    weights: dict[str | None, float], temperature: float = 1.0
+) -> dict[str | None, float]:
+    """τ-scaled mixture weights: ``w'_s ∝ w_s^(1/τ)``, normalized.  τ=1
+    keeps the weights; τ>1 flattens toward uniform (the multilingual
+    up-sampling move); τ<1 sharpens toward the dominant source.  Pure
+    driver-side arithmetic so the operator and the oracle share the exact
+    same double literals."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if any(v < 0 for v in weights.values()):
+        raise ValueError("mixture weights must be >= 0")
+    powed = {k: v ** (1.0 / temperature) for k, v in weights.items()}
+    z = sum(powed.values())
+    if z <= 0:
+        raise ValueError("mixture weights sum to zero")
+    return {k: v / z for k, v in powed.items()}
+
+
+def mixture_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    tokens_col: str,
+    weights: dict[str | None, float],
+    total_tokens: int,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Epoch construction toward per-source TOKEN budgets — what training
+    mixes actually target (``mixture_oversample`` weights by documents;
+    a budget of 500B tokens at 30% web is a token statement).  The
+    τ-scaled weights (:func:`temperature_weights`) set each source's
+    budget ``T_s = w'_s · total_tokens``; each source emits
+    ``floor(T_s / corpus_tokens_s)`` whole copies of every document plus
+    a deterministic md5-ordered PREFIX of documents covering the
+    fractional remainder — so the realized per-source token sum lands in
+    ``[T_s, T_s + one document)``: budget hit within one document, not
+    merely in expectation (an independent per-doc coin would wander
+    ±√n·doc̄ tokens).
+
+    Scale shape: one per-source total (map-combined, #sources rows
+    collected), then the remainder prefix needs a per-source running
+    token sum in md5 order — computed with the SAME two-phase trick as
+    :func:`pack_offsets`: range-partition by (source, md5, id), cumsum
+    within partitions (ordinary partitioned window, never a
+    single-partition WindowExec even when one source dominates the
+    corpus), one tiny driver prefix over per-(source, partition) totals
+    broadcast back.  Copies then explode row-locally.  Output adds
+    ``copy_id`` (1-based), ready for ``shuffle_shards`` keyed on
+    (id, copy_id)."""
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    w = temperature_weights(weights, temperature)
+    skey = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    tok = F.col(tokens_col).cast("long")
+    base = df.withColumn("_src_key", skey).withColumn("_ntok", tok)
+    per_src = {
+        r["_src_key"]: int(r["_tok"])
+        for r in base.groupBy("_src_key")
+        .agg(F.sum("_ntok").alias("_tok"))
+        .collect()
+    }
+    rates = []
+    for k, ws in sorted(
+        w.items(), key=lambda kv: "\x00null" if kv[0] is None else str(kv[0])
+    ):
+        sk = "\x00null" if k is None else str(k)
+        n_tok = per_src.get(sk, 0)
+        if n_tok <= 0 or ws <= 0:
+            continue
+        target = ws * float(total_tokens)
+        f = target / float(n_tok)
+        k_int = int(f)  # floor for f >= 0
+        rem = target - k_int * float(n_tok)
+        rates.append((sk, k_int, rem))
+    if not rates:
+        return (
+            base.drop("_src_key", "_ntok")
+            .withColumn("copy_id", F.lit(1).cast("long"))
+            .limit(0)
+        )
+    rates_df = df.sparkSession.createDataFrame(
+        rates, "_src_key string, _k_int long, _rem double"
+    )
+    # deterministic per-source order: md5 salted '~mix' so it is
+    # independent of every other sampler's coin, id as tiebreak
+    ordered = (
+        base.join(F.broadcast(rates_df), "_src_key")
+        .withColumn(
+            "_h", F.md5(F.concat(F.col(id_col).cast("string"), F.lit("~mix")))
+        )
+        .repartitionByRange("_src_key", "_h", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from pyspark.sql.window import Window
+
+    w_in = Window.partitionBy("_src_key", "_pid").orderBy("_h", id_col)
+    local = ordered.withColumn(
+        "_cum_in", F.sum("_ntok").over(w_in)
+    ).localCheckpoint(eager=True)  # pin _pid before the two jobs (pack_offsets)
+    totals = (
+        local.groupBy("_src_key", "_pid")
+        .agg(F.max("_cum_in").alias("_tot"))
+        .orderBy("_src_key", "_pid")
+        .collect()
+    )
+    bases, acc, cur = [], 0, None
+    for r in totals:
+        if r["_src_key"] != cur:
+            cur, acc = r["_src_key"], 0
+        bases.append((cur, int(r["_pid"]), acc))
+        acc += int(r["_tot"])
+    base_df = df.sparkSession.createDataFrame(
+        bases, "_src_key string, _pid int, _base long"
+    )
+    cum_before = (F.col("_base") + F.col("_cum_in") - F.col("_ntok")).cast(
+        "double"
+    )
+    copies = F.col("_k_int") + F.when(
+        cum_before < F.col("_rem"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        local.join(F.broadcast(base_df), ["_src_key", "_pid"])
+        .withColumn(
+            "copy_id",
+            F.explode(
+                F.when(
+                    copies > 0,
+                    F.sequence(F.lit(1).cast("long"), copies),
+                ).otherwise(F.array().cast("array<long>"))
+            ),
+        )
+        .drop(
+            "_src_key", "_ntok", "_h", "_pid", "_cum_in", "_base", "_k_int",
+            "_rem",
+        )
     )
 
 

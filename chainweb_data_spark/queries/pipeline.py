@@ -2945,6 +2945,104 @@ def bigram_ppl_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trigram_ppl_docs",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM tok GROUP BY w),
+    tot AS (SELECT SUM(c1) AS n, COUNT(*) AS v FROM uni),
+    puni AS (SELECT w, (c1 + 1.0) / (n + v) AS p_uni FROM uni, tot),
+    bg AS MATERIALIZED (
+      SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                      i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+        FROM toks WHERE len(t) > 1
+      )
+    ),
+    tg AS MATERIALIZED (
+      SELECT doc_id, g['w1'] AS w1, g['w2'] AS w2, g['w3'] AS w3
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]})) AS g
+        FROM toks WHERE len(t) > 2
+      )
+    ),
+    c2 AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    f1 AS MATERIALIZED (SELECT w1, COUNT(*) AS f1 FROM c2 GROUP BY w1),
+    k1 AS MATERIALIZED (SELECT w2, COUNT(*) AS k1 FROM c2 GROUP BY w2),
+    bt AS MATERIALIZED (SELECT COUNT(*) AS bt FROM c2),
+    c3 AS MATERIALIZED (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tg GROUP BY w1, w2, w3),
+    f12 AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS f12 FROM c3 GROUP BY w1, w2),
+    k3 AS MATERIALIZED (SELECT w2, w3, COUNT(*) AS k3 FROM c3 GROUP BY w2, w3),
+    mid AS MATERIALIZED (
+      SELECT w2, SUM(k3) AS m_tot, COUNT(*) AS m_fol FROM k3 GROUP BY w2
+    ),
+    first_nll AS (
+      SELECT x.doc_id, -ln(p.p_uni) AS nll
+      FROM (SELECT doc_id, t[1] AS w FROM toks WHERE len(t) > 0) x
+      JOIN puni p ON p.w = x.w
+    ),
+    second_nll AS (
+      SELECT x.doc_id,
+             -ln((m.c2 - 0.75) / u.c1
+                 + (0.75 * f.f1 / u.c1) * (k.k1 / bt.bt)) AS nll
+      FROM (SELECT doc_id, t[1] AS w1, t[2] AS w2 FROM toks
+            WHERE len(t) > 1) x
+      JOIN c2 m ON m.w1 = x.w1 AND m.w2 = x.w2
+      JOIN uni u ON u.w = x.w1
+      JOIN f1 f ON f.w1 = x.w1
+      JOIN k1 k ON k.w2 = x.w2
+      CROSS JOIN bt
+    ),
+    tri_nll AS (
+      SELECT g.doc_id,
+             -ln((m3.c3 - 0.75) / m2.c2
+                 + (0.75 * f.f12 / m2.c2)
+                   * ((kk.k3 - 0.75) / md.m_tot
+                      + (0.75 * md.m_fol / md.m_tot) * (k.k1 / bt.bt))) AS nll
+      FROM tg g
+      JOIN c3 m3 ON m3.w1 = g.w1 AND m3.w2 = g.w2 AND m3.w3 = g.w3
+      JOIN c2 m2 ON m2.w1 = g.w1 AND m2.w2 = g.w2
+      JOIN f12 f ON f.w1 = g.w1 AND f.w2 = g.w2
+      JOIN k3 kk ON kk.w2 = g.w2 AND kk.w3 = g.w3
+      JOIN mid md ON md.w2 = g.w2
+      JOIN k1 k ON k.w2 = g.w3
+      CROSS JOIN bt
+    ),
+    all_nll AS (
+      SELECT doc_id, nll FROM first_nll
+      UNION ALL SELECT doc_id, nll FROM second_nll
+      UNION ALL SELECT doc_id, nll FROM tri_nll
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(nll), 6) AS avg_nll,
+           ROUND(EXP(AVG(nll)), 2) AS ppl
+    FROM all_nll GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def trigram_ppl_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney TRIGRAM perplexity (operators/text.py
+    trigram_kn_scores) — the standard quality-filtering LM shape (CCNet):
+    continuation-count backoff through bigram to the corpus unigram.
+    Trained-on-equals-scored keeps every branch defined, so each
+    probability is a fixed dag of exact-integer-count ratios evaluated in
+    the same association order by both engines; the 6-dp rounding absorbs
+    ln's last ulp.  The oracle's model CTEs are MATERIALIZED: the n-gram
+    count relations are each referenced by several downstream joins, and
+    DuckDB's default CTE inlining re-expands the whole derivation per
+    reference — the optimizer then loses the hash-join plan and the query
+    runs minutes instead of 0.2s."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.trigram_kn_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@register(
     "dataset_splits",
     oracle="""
     SELECT doc_id,
@@ -3255,6 +3353,94 @@ def mixture_epoch_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 0.325, "src1": 0.25, "src2": 0.175, "src3": 0.0625},
     )
     return out.select("doc_id", "source", "copy_id").orderBy(
+        "doc_id", "copy_id"
+    )
+
+
+_MBT_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05}
+_MBT_TOTAL = 50_000
+_MBT_TEMP = 2.0
+
+
+def _mixture_by_tokens_oracle() -> str:
+    """The τ-scaled per-source token TARGETS are driver-side Python in the
+    operator (operators/text.py temperature_weights) — evaluate the same
+    arithmetic here at registration and inject the identical double
+    literals, so both engines share T_s bit-for-bit and every downstream
+    value (k_int, remainder, prefix cut) is a ratio/compare of exact
+    integers against it."""
+    from ..operators.text import temperature_weights
+
+    wt = temperature_weights(_MBT_WEIGHTS, _MBT_TEMP)
+    targets = ",\n             ".join(
+        f"('{s}', CAST('{wt[s] * float(_MBT_TOTAL)!r}' AS DOUBLE))"
+        for s in sorted(wt)
+    )
+    return f"""
+    WITH tgt(source, ts) AS (
+      VALUES {targets}
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, source,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1
+             END AS n_tokens
+      FROM documents
+    ),
+    src AS (SELECT source, SUM(n_tokens) AS n_tok FROM toks GROUP BY source),
+    rates AS (
+      SELECT s.source,
+             CAST(floor(t.ts / CAST(s.n_tok AS DOUBLE)) AS BIGINT) AS k_int,
+             t.ts - floor(t.ts / CAST(s.n_tok AS DOUBLE))
+                    * CAST(s.n_tok AS DOUBLE) AS rem
+      FROM src s JOIN tgt t USING (source)
+    ),
+    ordered AS (
+      SELECT d.doc_id, d.source, d.n_tokens, r.k_int, r.rem,
+             SUM(d.n_tokens) OVER (
+               PARTITION BY d.source
+               ORDER BY md5(concat(CAST(d.doc_id AS VARCHAR), '~mix')),
+                        d.doc_id
+             ) - d.n_tokens AS cum_before
+      FROM toks d JOIN rates r USING (source)
+    ),
+    copies AS (
+      SELECT doc_id, source, n_tokens,
+             k_int + CASE WHEN CAST(cum_before AS DOUBLE) < rem
+                          THEN 1 ELSE 0 END AS n_copies
+      FROM ordered
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           unnest(range(1, 1 + n_copies)) AS copy_id
+    FROM copies WHERE n_copies > 0
+    ORDER BY doc_id, copy_id
+    """
+
+
+@register("mixture_by_tokens_docs", oracle=_mixture_by_tokens_oracle())
+def mixture_by_tokens_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET mixture epoch (operators/text.py mixture_by_tokens):
+    sources src0–src3 weighted 0.5/0.3/0.15/0.05 at temperature 2.0
+    toward a 50k-token epoch — whole per-source copies plus the
+    md5-ordered document PREFIX covering the fractional remainder, so
+    each source's realized token sum lands within one document of its
+    τ-scaled budget (not merely in expectation).  Gates the temperature
+    arithmetic, the per-source rate derivation, and the two-phase
+    scale-safe running-token-sum against DuckDB's single windowed
+    cumsum."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.token_count(F.col("text"))
+    )
+    out = tx.mixture_by_tokens(
+        docs,
+        "doc_id",
+        "source",
+        "n_tokens",
+        _MBT_WEIGHTS,
+        total_tokens=_MBT_TOTAL,
+        temperature=_MBT_TEMP,
+    )
+    return out.select("doc_id", "source", "n_tokens", "copy_id").orderBy(
         "doc_id", "copy_id"
     )
 

@@ -476,3 +476,76 @@ def test_bm25_search_ranks_and_tiebreaks(spark):
     )[0]
     with pytest.raises(ValueError, match="empty query"):
         bm25_search(docs, "doc_id", "text", "  ")
+
+
+def test_temperature_weights_math():
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+    t1 = tx.temperature_weights(w, 1.0)
+    assert t1 == pytest.approx(w)
+    # tau -> inf flattens toward uniform; tau < 1 sharpens
+    flat = tx.temperature_weights(w, 100.0)
+    assert max(flat.values()) - min(flat.values()) < 0.01
+    sharp = tx.temperature_weights(w, 0.5)
+    assert sharp["a"] > 0.5 and sharp["c"] < 0.2
+    with pytest.raises(ValueError):
+        tx.temperature_weights(w, 0.0)
+    with pytest.raises(ValueError):
+        tx.temperature_weights({"a": -1.0}, 1.0)
+
+
+def test_mixture_by_tokens_budget_within_one_document(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("n_tokens", tx.token_count(F.col("text")))
+    )
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05}
+    total = 60_000
+    maxdoc = {
+        r["source"]: r["m"]
+        for r in docs.groupBy("source").agg(F.max("n_tokens").alias("m")).collect()
+    }
+    for temp in (1.0, 2.0, 0.5):
+        wt = tx.temperature_weights(weights, temp)
+        out = tx.mixture_by_tokens(
+            docs, "doc_id", "source", "n_tokens", weights, total, temperature=temp
+        )
+        got = {
+            r["source"]: r["t"]
+            for r in out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+        }
+        # only weighted sources appear, each realized token sum hits its
+        # tau-scaled budget within ONE document (prefix cut, not a coin)
+        assert set(got) == set(weights)
+        for s, realized in got.items():
+            target = wt[s] * total
+            assert target <= realized < target + maxdoc[s], (s, temp)
+
+
+def test_mixture_by_tokens_deterministic_and_edge_cases(spark):
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("n_tokens", tx.token_count(F.col("text")))
+    )
+    w = {"src0": 1.0}
+    a = tx.mixture_by_tokens(
+        docs, "doc_id", "source", "n_tokens", w, 10_000
+    ).orderBy("doc_id", "copy_id").collect()
+    b = tx.mixture_by_tokens(
+        docs, "doc_id", "source", "n_tokens", w, 10_000
+    ).orderBy("doc_id", "copy_id").collect()
+    assert a == b and len(a) > 0
+    # zero budget emits nothing; unknown-source weights emit nothing
+    assert (
+        tx.mixture_by_tokens(docs, "doc_id", "source", "n_tokens", w, 0).count()
+        == 0
+    )
+    assert (
+        tx.mixture_by_tokens(
+            docs, "doc_id", "source", "n_tokens", {"nosuch": 1.0}, 10_000
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError):
+        tx.mixture_by_tokens(
+            docs, "doc_id", "source", "n_tokens", w, -5
+        )

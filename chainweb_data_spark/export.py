@@ -56,6 +56,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     seed: str = "",
     columns: list[str] | None = None,
+    chain: dict | None = None,
 ) -> dict:
     """Export ``df`` as ``n_shards`` shuffled shard directories under
     ``out_dir`` + a verifiable manifest; returns the manifest dict.
@@ -92,6 +93,8 @@ def write_training_shards(
         "total_rows": sum(s["rows"] for s in stats.values()),
         "shards": {str(k): stats[k] for k in sorted(stats)},
     }
+    if chain is not None:
+        manifest["chain"] = chain
     tmp = os.path.join(out_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -131,3 +134,163 @@ def read_training_shards(
                 f"content drift in {drifted}"
             )
     return df
+
+
+# ---------------------------------------------------------------------------
+# snapshot-chained incremental export
+# ---------------------------------------------------------------------------
+
+
+def _manifest_sha256(export_dir: str) -> str:
+    import hashlib
+
+    with open(os.path.join(export_dir, MANIFEST_NAME), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _load_manifest(export_dir: str) -> dict:
+    with open(os.path.join(export_dir, MANIFEST_NAME)) as f:
+        return json.load(f)
+
+
+def export_dataset_snapshot(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    n_shards: int,
+    version: int | None = None,
+    parent_dir: str | None = None,
+    table: str = "curated_docs",
+    id_col: str = "doc_id",
+    seed: str = "",
+    columns: list[str] | None = None,
+) -> dict:
+    """Export a curation store's ``dataset_snapshot`` version as training
+    shards — FULL when ``parent_dir`` is None, INCREMENTAL otherwise:
+    only the documents added between the parent export's snapshot version
+    and this one ship, as a new shard directory whose manifest records
+    the chain (parent path, parent manifest sha256, version range).  An
+    epoch-over-time becomes a series of immutable deltas instead of
+    repeated full rewrites — O(new docs) per export at any corpus size
+    (the delta is one PK anti-join between two log versions, pruned the
+    same way the sink's duplicate probe is).
+
+    Refusals: an unchanged range (parent already at this version, or a
+    zero-row delta) is a loud no-op refusal, NOT an empty export — a
+    trainer polling for "new data since v" must distinguish "nothing new"
+    from "new empty link"; a parent without chain metadata refuses (plain
+    write_training_shards exports are not version-addressed, so a delta
+    against them is undefined).  Returns the manifest."""
+    from .streaming.publish import read_manifest, read_published
+
+    to_v = read_manifest(store_dir, version=version)["version"]
+    cur = read_published(spark, store_dir, table, version=to_v)
+    if cur is None:
+        raise ValueError(
+            f"export_dataset_snapshot: no {table} at {store_dir!r} "
+            f"version {to_v}"
+        )
+    if parent_dir is None:
+        return write_training_shards(
+            cur,
+            out_dir,
+            n_shards,
+            id_col=id_col,
+            seed=seed,
+            columns=columns,
+            chain={
+                "store": os.path.abspath(store_dir),
+                "table": table,
+                "store_version": to_v,
+                "from_version": None,
+                "parent": None,
+            },
+        )
+    parent = _load_manifest(parent_dir)
+    pchain = parent.get("chain")
+    if pchain is None or "store_version" not in pchain:
+        raise ValueError(
+            "export_dataset_snapshot: parent export carries no chain "
+            "metadata (plain write_training_shards output?) — a version "
+            "delta against it is undefined"
+        )
+    from_v = int(pchain["store_version"])
+    if from_v >= to_v:
+        raise ValueError(
+            f"export_dataset_snapshot: unchanged range — parent already "
+            f"covers version {from_v}, store is at {to_v}; nothing to "
+            "export (no-op refused)"
+        )
+    prev = read_published(spark, store_dir, table, version=from_v)
+    delta = (
+        cur.join(prev.select(id_col), id_col, "left_anti")
+        if prev is not None
+        else cur
+    )
+    if delta.isEmpty():
+        raise ValueError(
+            f"export_dataset_snapshot: versions {from_v}->{to_v} added no "
+            f"{table} rows; nothing to export (no-op refused)"
+        )
+    return write_training_shards(
+        delta,
+        out_dir,
+        n_shards,
+        id_col=id_col,
+        seed=seed,
+        columns=columns,
+        chain={
+            "store": os.path.abspath(store_dir),
+            "table": table,
+            "store_version": to_v,
+            "from_version": from_v,
+            "parent": os.path.abspath(parent_dir),
+            "parent_manifest_sha256": _manifest_sha256(parent_dir),
+        },
+    )
+
+
+def read_training_chain(
+    spark: SparkSession, out_dir: str, verify: bool = True
+) -> DataFrame:
+    """Read a chained export back as ONE DataFrame — the union of every
+    link from the root full export to ``out_dir``'s delta, with an
+    ``export_step`` column (0 = root; iterate ascending (export_step,
+    shard, pos) for the epoch order).  ``verify`` checks BOTH layers per
+    link: the shard checksums (``read_training_shards``) and the chain
+    linkage — each child records its parent's manifest sha256 at export
+    time, so a parent manifest swapped or regenerated after the child
+    shipped refuses here, not silently trains on a different base."""
+    dirs: list[str] = []
+    d: str | None = out_dir
+    seen: set[str] = set()
+    while d is not None:
+        key = os.path.abspath(d)
+        if key in seen:
+            raise ValueError(
+                f"read_training_chain: parent cycle at {d!r}"
+            )
+        seen.add(key)
+        dirs.append(d)
+        man = _load_manifest(d)
+        chain = man.get("chain") or {}
+        parent = chain.get("parent")
+        if parent is not None and verify:
+            want = chain.get("parent_manifest_sha256")
+            got = _manifest_sha256(parent)
+            if want != got:
+                raise ValueError(
+                    "read_training_chain: parent manifest of "
+                    f"{d!r} changed since this link was exported "
+                    f"(recorded sha256 {want}, found {got}) — the chain "
+                    "no longer describes the dataset that was shipped"
+                )
+        d = parent
+    dirs.reverse()  # root first
+    out: DataFrame | None = None
+    for step, link in enumerate(dirs):
+        df = read_training_shards(spark, link, verify=verify).withColumn(
+            "export_step", F.lit(step)
+        )
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -81,3 +81,119 @@ def test_export_manifest_shape(spark, tmp_path):
     assert m["columns"] == ["doc_id", "text"]
     for s in m["shards"].values():
         assert s["rows"] > 0 and s["checksum"].lstrip("-").isdigit()
+
+
+# ---------------------------------------------------------------------------
+# snapshot-chained incremental export
+# ---------------------------------------------------------------------------
+
+
+def _store_with_versions(spark, tmp_path):
+    """A curation-store-shaped txlog with three committed versions of
+    curated_docs; returns (store_dir, [v1, v2, v3])."""
+    from chainweb_data_spark.streaming.publish import publish_batch, read_manifest
+
+    store = str(tmp_path / "store")
+    versions = []
+    for lo, hi in ((0, 40), (40, 70), (70, 85)):
+        docs = spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text body "), F.col("id")).alias("text"),
+        )
+        publish_batch(
+            spark, {"curated_docs": docs}, store, pks={"curated_docs": ("doc_id",)}
+        )
+        versions.append(read_manifest(store)["version"])
+    return store, versions
+
+
+def test_incremental_chain_covers_snapshot_exactly(spark, tmp_path):
+    from chainweb_data_spark.export import (
+        export_dataset_snapshot,
+        read_training_chain,
+    )
+
+    store, (v1, v2, v3) = _store_with_versions(spark, tmp_path)
+    full = str(tmp_path / "e0")
+    d1 = str(tmp_path / "e1")
+    d2 = str(tmp_path / "e2")
+    m0 = export_dataset_snapshot(spark, store, full, 2, version=v1)
+    assert m0["chain"]["store_version"] == v1 and m0["total_rows"] == 40
+    m1 = export_dataset_snapshot(
+        spark, store, d1, 2, version=v2, parent_dir=full
+    )
+    assert m1["chain"]["from_version"] == v1 and m1["total_rows"] == 30
+    m2 = export_dataset_snapshot(
+        spark, store, d2, 2, version=v3, parent_dir=d1
+    )
+    assert m2["chain"]["from_version"] == v2 and m2["total_rows"] == 15
+
+    chain = read_training_chain(spark, d2)
+    got = sorted(r["doc_id"] for r in chain.collect())
+    assert got == list(range(85))  # union of links == curated_docs@v3
+    steps = {
+        r["export_step"]
+        for r in chain.select("export_step").distinct().collect()
+    }
+    assert steps == {0, 1, 2}
+
+
+def test_incremental_refuses_unchanged_range_and_unversioned_parent(
+    spark, tmp_path
+):
+    from chainweb_data_spark.export import (
+        export_dataset_snapshot,
+        write_training_shards,
+    )
+
+    store, (v1, v2, _v3) = _store_with_versions(spark, tmp_path)
+    full = str(tmp_path / "e0")
+    export_dataset_snapshot(spark, store, full, 2, version=v2)
+    # parent already covers v2: no-op re-export refused
+    with pytest.raises(ValueError, match="no-op refused"):
+        export_dataset_snapshot(
+            spark, store, str(tmp_path / "e1"), 2, version=v2, parent_dir=full
+        )
+    # a plain (chain-less) export cannot anchor a delta
+    plain = str(tmp_path / "plain")
+    docs = spark.range(0, 5).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    )
+    write_training_shards(docs, plain, 1)
+    with pytest.raises(ValueError, match="no chain metadata"):
+        export_dataset_snapshot(
+            spark, store, str(tmp_path / "e2"), 2, parent_dir=plain
+        )
+
+
+def test_chain_verifies_parent_linkage_and_data(spark, tmp_path):
+    from chainweb_data_spark.export import (
+        MANIFEST_NAME,
+        export_dataset_snapshot,
+        read_training_chain,
+    )
+
+    store, (v1, v2, _v3) = _store_with_versions(spark, tmp_path)
+    full = str(tmp_path / "e0")
+    d1 = str(tmp_path / "e1")
+    export_dataset_snapshot(spark, store, full, 2, version=v1)
+    export_dataset_snapshot(spark, store, d1, 2, version=v2, parent_dir=full)
+    assert read_training_chain(spark, d1).count() == 70
+
+    # tamper a ROOT data file: the chain read re-verifies every link
+    part = glob.glob(os.path.join(full, "shard=*", "*.parquet"))[0]
+    blob = open(part, "rb").read()
+    with open(part, "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    with pytest.raises(Exception):
+        read_training_chain(spark, d1).count()
+    open(part, "wb").write(blob)
+
+    # tamper the parent MANIFEST: linkage sha mismatch refuses even though
+    # the parent still self-verifies
+    mpath = os.path.join(full, MANIFEST_NAME)
+    man = json.load(open(mpath))
+    man["seed"] = "regenerated"
+    json.dump(man, open(mpath, "w"))
+    with pytest.raises(ValueError, match="changed since this link"):
+        read_training_chain(spark, d1).count()

@@ -910,40 +910,74 @@ def rewrite_published(
     administrative single-writer operations: a version race raises
     ``ConcurrentWriteError`` rather than rebasing (a rebase could silently
     drop rows a racing publish added to the old format)."""
+    return rewrite_published_many(
+        spark, out_dir, {table: df}, keep_versions=keep_versions
+    )
+
+
+def rewrite_published_many(
+    spark: SparkSession,
+    out_dir: str,
+    tables: dict[str, DataFrame],
+    keep_versions: int = MAINT_KEEP_VERSIONS,
+    op: str = "rewrite",
+    extra_appends: dict[str, DataFrame] | None = None,
+) -> dict:
+    """:func:`rewrite_published` over SEVERAL tables in ONE commit — the
+    multi-table swap an index REBUILD needs (members re-encoded under a
+    new quantizer + its stats/meta tables must flip together, or a reader
+    could pair new codes with old metadata).  ``extra_appends`` stages
+    additional tables whose staged files are APPENDED to (not replacing)
+    their live lists in the same commit — the rebuild's meta-epoch row.
+    Same single-writer contract as ``rewrite_published``."""
     manifest = read_manifest(out_dir)
-    tdir = os.path.join(out_dir, f"{table}.parquet")
-    bucket_col = next(
-        (c for c in ("height_bucket", "key_bucket") if c in df.columns), None
-    )
-    staging = os.path.join(
-        out_dir, "_staging", f"rewrite-{table}-{uuid.uuid4().hex}"
-    )
-    writer = df.write.mode("overwrite")
-    if bucket_col is not None:
-        writer = writer.partitionBy(bucket_col)
-    writer.parquet(staging)
-    moved: list[str] = []
-    new_stats: dict[str, dict] = {}
-    for root, _dirs, files in os.walk(staging):
-        for fname in files:
-            if fname.startswith(("_", ".")):
-                continue
-            rel = os.path.relpath(os.path.join(root, fname), staging)
-            dest = os.path.join(tdir, rel)
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            os.rename(os.path.join(root, fname), dest)
-            moved.append(rel)
-            fs = _file_stats(dest)
-            if fs:
-                new_stats[rel] = fs
-    shutil.rmtree(staging, ignore_errors=True)
+    new_tables = dict(manifest["tables"])
     stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
-    stats[table] = new_stats
+
+    def _stage_rewrite(table: str, df: DataFrame) -> tuple[list[str], dict]:
+        tdir = os.path.join(out_dir, f"{table}.parquet")
+        bucket_col = next(
+            (c for c in ("height_bucket", "key_bucket") if c in df.columns),
+            None,
+        )
+        staging = os.path.join(
+            out_dir, "_staging", f"rewrite-{table.replace(os.sep, '_')}-"
+            f"{uuid.uuid4().hex}"
+        )
+        writer = df.write.mode("overwrite")
+        if bucket_col is not None:
+            writer = writer.partitionBy(bucket_col)
+        writer.parquet(staging)
+        moved: list[str] = []
+        new_stats: dict[str, dict] = {}
+        for root, _dirs, files in os.walk(staging):
+            for fname in files:
+                if fname.startswith(("_", ".")):
+                    continue
+                rel = os.path.relpath(os.path.join(root, fname), staging)
+                dest = os.path.join(tdir, rel)
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.rename(os.path.join(root, fname), dest)
+                moved.append(rel)
+                fs = _file_stats(dest)
+                if fs:
+                    new_stats[rel] = fs
+        shutil.rmtree(staging, ignore_errors=True)
+        return sorted(moved), new_stats
+
+    for table, df in tables.items():
+        moved, new_stats = _stage_rewrite(table, df)
+        new_tables[table] = moved
+        stats[table] = new_stats
+    for table, df in (extra_appends or {}).items():
+        moved, new_stats = _stage_rewrite(table, df)
+        new_tables[table] = sorted(new_tables.get(table, []) + moved)
+        stats.setdefault(table, {}).update(new_stats)
     committed = {
         "version": manifest["version"] + 1,
-        "tables": {**manifest["tables"], table: sorted(moved)},
+        "tables": new_tables,
         "stats": stats,
-        "op": "rewrite",
+        "op": op,
     }
     _write_manifest(out_dir, committed)
     vacuum(out_dir, keep_versions=keep_versions, min_age_s=VACUUM_GRACE_S)

@@ -237,3 +237,155 @@ def test_pre_migration_members_refuse_and_migrate(spark, tmp_path):
     assert migrate_ann_index(spark, out) == 60
     update_ann_index(spark, _df(spark, rows[:5]), out, 1, cents, cb)
     assert read_published(spark, out, MEMBERS_TABLE).count() == 60
+
+
+# ---------------------------------------------------------------------------
+# staleness: skew tracking, quantizer pinning, rebuild
+# ---------------------------------------------------------------------------
+
+
+def _drifted_rows(lo, hi, shift):
+    """Vectors whose cluster structure CONCENTRATES as ``shift`` grows:
+    shift=0 spreads over 4 groups (the trained layout), shift=2 collapses
+    arrivals onto 2 of them — the drift that piles a frozen quantizer's
+    occupancy into hot cells."""
+    n_groups = max(1, 4 - shift)
+    rows = []
+    for i in range(lo, hi):
+        g = i % n_groups
+        base = [
+            (1.0 if (j // 4) % 4 == g else 0.05 + 0.02 * shift)
+            for j in range(16)
+        ]
+        rows.append(
+            (i, [b + (i % 7) * 1e-3 * ((j % 5) - 2) for j, b in enumerate(base)])
+        )
+    return rows
+
+
+def test_quantizer_digest_pins_fold_and_search(spark, tmp_path):
+    import pytest as pt
+
+    from chainweb_data_spark.streaming.ann_index import (
+        AnnIndexFormatError,
+        META_TABLE,
+    )
+
+    out = str(tmp_path / "pin")
+    rows = _vec_rows(0, 30)
+    cents, cb = _quantizer(spark, rows)
+    update_ann_index(spark, _df(spark, rows), out, 0, cents, cb)
+    # the first fold pinned the digest in the same commit
+    meta = read_published(spark, out, META_TABLE).collect()
+    assert len(meta) == 1 and meta[0]["epoch"] == 0
+
+    other_c, other_b = _quantizer(spark, _vec_rows(100, 140))
+    with pt.raises(AnnIndexFormatError, match="mismatched quantizer"):
+        update_ann_index(
+            spark, _df(spark, _vec_rows(30, 40)), out, 1, other_c, other_b
+        )
+    with pt.raises(AnnIndexFormatError, match="mismatched quantizer"):
+        ann_index_search(
+            spark, out, _df(spark, rows[:3]), other_c, other_b, k=2
+        )
+
+
+def test_stats_track_imbalance_per_batch(spark, tmp_path):
+    from chainweb_data_spark.streaming.ann_index import (
+        STATS_TABLE,
+        ann_index_imbalance,
+        cell_occupancy,
+    )
+
+    out = str(tmp_path / "stats")
+    rows = _vec_rows(0, 60)
+    cents, cb = _quantizer(spark, rows)
+    for b, (lo, hi) in enumerate(((0, 20), (20, 40), (40, 60))):
+        update_ann_index(spark, _df(spark, _vec_rows(lo, hi)), out, b, cents, cb)
+    stats = sorted(
+        (r["batch_id"], r["n_added"], r["imbalance"])
+        for r in read_published(spark, out, STATS_TABLE).collect()
+    )
+    assert [s[0] for s in stats] == [0, 1, 2]
+    assert all(s[1] == 20 for s in stats)
+    # the last logged estimate equals the live footer-count measure
+    assert stats[-1][2] == ann_index_imbalance(out, len(cents))
+    assert sum(cell_occupancy(out).values()) == 60
+    # balanced fixture: near-uniform occupancy
+    assert stats[-1][2] < 2.0
+
+
+def test_rebuild_recenters_and_is_one_flip(spark, tmp_path):
+    import numpy as np
+
+    from chainweb_data_spark.streaming.ann_index import (
+        META_TABLE,
+        ann_index_imbalance,
+        rebuild_ann_index,
+    )
+    from chainweb_data_spark.streaming.publish import history
+
+    out = str(tmp_path / "rb")
+    rows0 = _drifted_rows(0, 40, shift=0)
+    cents, cb = _quantizer(spark, rows0)
+    update_ann_index(spark, _df(spark, rows0), out, 0, cents, cb)
+    # drifted arrivals pile into few cells — imbalance rises
+    drift = _drifted_rows(40, 160, shift=2)
+    update_ann_index(spark, _df(spark, drift), out, 1, cents, cb)
+    imb_before = ann_index_imbalance(out, len(cents))
+
+    all_vecs = _df(spark, rows0 + drift)
+    new_c, new_b = rebuild_ann_index(
+        spark, out, all_vecs, n_cells=4, m=4, k_codes=8
+    )
+    v_rebuild = read_manifest(out)["version"]
+    assert history(out)[-1]["op"] == "rebuild"  # ONE commit swapped it all
+    imb_after = ann_index_imbalance(out, 4)
+    assert imb_after < imb_before  # recentring flattened the cells
+    meta = sorted(
+        r["epoch"] for r in read_published(spark, out, META_TABLE).collect()
+    )
+    assert meta == [0, 1]
+
+    # searches must use the NEW quantizer; results match one-shot IVFPQ
+    got = ann_index_search(spark, out, all_vecs, new_c, new_b, nprobe=2, k=3)
+    want = sim.ivfpq_topk(
+        all_vecs, "vec_id", "embedding", new_c, new_b, nprobe=2, k=3
+    )
+    assert _pairs(got) == _pairs(want)
+
+    # replay-idempotence: re-running the rebuild (a crashed run's retry)
+    # trains the same quantizer and leaves an equivalent index
+    new_c2, new_b2 = rebuild_ann_index(
+        spark, out, all_vecs, n_cells=4, m=4, k_codes=8
+    )
+    assert np.array_equal(new_c, new_c2) and np.array_equal(new_b, new_b2)
+    assert read_published(spark, out, MEMBERS_TABLE).count() == 160
+    got2 = ann_index_search(spark, out, all_vecs, new_c2, new_b2, nprobe=2, k=3)
+    assert _pairs(got2) == _pairs(got)
+    assert read_manifest(out)["version"] == v_rebuild + 1  # one more flip
+
+
+def test_maybe_rebuild_trigger(spark, tmp_path):
+    from chainweb_data_spark.streaming.ann_index import maybe_rebuild_ann_index
+
+    out = str(tmp_path / "trig")
+    rows0 = _drifted_rows(0, 40, shift=0)
+    cents, cb = _quantizer(spark, rows0)
+    update_ann_index(spark, _df(spark, rows0), out, 0, cents, cb)
+    all_vecs = _df(spark, rows0)
+    # balanced: below threshold, frozen quantizer rides through unchanged
+    r = maybe_rebuild_ann_index(spark, out, all_vecs, cents, cb, threshold=2.0)
+    assert not r["rebuilt"] and r["centroids"] is cents
+
+    drift = _drifted_rows(40, 160, shift=2)
+    update_ann_index(spark, _df(spark, drift), out, 1, cents, cb)
+    all_vecs = _df(spark, rows0 + drift)
+    r2 = maybe_rebuild_ann_index(
+        spark, out, all_vecs, cents, cb, threshold=1.2, n_cells=4
+    )
+    assert r2["rebuilt"] and r2["imbalance"] > 1.2
+    # the returned arrays are the index's pinned quantizer now
+    ann_index_search(
+        spark, out, all_vecs, r2["centroids"], r2["codebooks"], k=2
+    ).collect()

@@ -226,6 +226,8 @@ def curate_batch(
     quality_model: dict | None = None,
     bench_shingles: DataFrame | None = None,
     bench_k: int = 3,
+    nll_scores: DataFrame | None = None,
+    max_avg_nll: float | None = None,
     **index_kwargs,
 ) -> dict:
     """Curate one micro-batch against all history; returns a summary dict
@@ -301,6 +303,33 @@ def curate_batch(
         )
     qfail = scored.filter(~F.coalesce(qpass_pred, F.lit(False)))
     qpass = scored.filter(qpass_pred)
+
+    # --- stage 1.5: LM-perplexity gate (optional) -------------------------
+    # ``nll_scores`` is an (id, avg_nll) relation — the CCNet-style filter
+    # signal, e.g. operators/text.py trigram_kn_scores over the batch —
+    # broadcast onto the quality survivors; docs whose avg_nll exceeds
+    # ``max_avg_nll`` reject with reason "perplexity" (the per-row signal
+    # in the audit log's detail).  Docs ABSENT from the relation pass: the
+    # scorer may legitimately cover only some languages, and a missing
+    # signal is not evidence of low quality.  The summary folds these
+    # rejects into n_quality (one quality-class counter keeps the
+    # curation_log schema stable across stores; the reject log still
+    # distinguishes the reasons row by row).
+    ppl_fail = None
+    if nll_scores is not None:
+        if max_avg_nll is None:
+            raise ValueError(
+                "curate_batch: nll_scores given without max_avg_nll — a "
+                "perplexity signal with no ceiling gates nothing"
+            )
+        sig = nll_scores.select(
+            F.col(id_col), F.col("avg_nll").alias("_nll")
+        )
+        with_nll = qpass.join(F.broadcast(sig), id_col, "left")
+        ppl_fail = with_nll.filter(F.col("_nll") > F.lit(max_avg_nll))
+        qpass = with_nll.filter(
+            F.coalesce(F.col("_nll") <= F.lit(max_avg_nll), F.lit(True))
+        ).drop("_nll")
 
     # --- stage 2: exact dedup, batch-internal then cross-history ---------
     # batch-internal canonical = min id per hash (deterministic, replay-
@@ -466,6 +495,14 @@ def curate_batch(
             F.col("_dup_of").cast("string").alias("detail"),
         )
     )
+    if ppl_fail is not None:
+        rejects = rejects.unionByName(
+            ppl_fail.select(
+                id_col,
+                F.lit("perplexity").alias("reason"),
+                F.round(F.col("_nll"), 4).cast("string").alias("detail"),
+            )
+        )
     if contam is not None:
         rejects = rejects.unionByName(
             contam.select(
@@ -528,10 +565,15 @@ def curate_batch(
         "n_in": n_in,
         "n_kept": n_in
         - by_reason.get("quality", 0)
+        - by_reason.get("perplexity", 0)
         - by_reason.get("exact_dup", 0)
         - by_reason.get("contaminated", 0)
         - by_reason.get("near_dup", 0),
-        "n_quality": by_reason.get("quality", 0),
+        # perplexity rejects count under the quality-class counter: one
+        # stable curation_log schema across stores; the reject log keeps
+        # the reasons distinct per row
+        "n_quality": by_reason.get("quality", 0)
+        + by_reason.get("perplexity", 0),
         "n_exact": by_reason.get("exact_dup", 0),
         "n_contam": by_reason.get("contaminated", 0),
         "n_near": by_reason.get("near_dup", 0),

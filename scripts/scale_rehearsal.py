@@ -410,6 +410,45 @@ def main() -> None:
             "quadratic_would_be": mult * mult,
         }
 
+    # r8: persisted BM25 index — the probe twin of bm25_search_docs.  The
+    # corpus-scan path re-tokenizes the whole corpus per query (its row
+    # above carries that growth); the probe reads only the query terms'
+    # posting buckets plus a batch-count meta table, so its per-query wall
+    # should stay near-flat at 10× while the one-time BUILD carries the
+    # corpus growth (reported separately — builds amortize across the
+    # repeated-search workload the index exists for).
+    def bm25_probe_row() -> dict:
+        import shutil as _sh
+
+        from chainweb_data_spark.operators.bm25_index import (
+            bm25_build_index,
+            bm25_search_indexed,
+        )
+        from chainweb_data_spark.sources.tables import load_table
+
+        row: dict = {}
+        for label, sf_dir in (("base", BASE_SF), ("scaled", scaled_dir)):
+            idx = f"/tmp/cds_scale/bm25idx_{label}"
+            _sh.rmtree(idx, ignore_errors=True)
+            docs = load_table(spark, sf_dir, "documents")
+            t0 = time.perf_counter()
+            bm25_build_index(spark, docs, idx)
+            row[f"{label}_build_s"] = round(time.perf_counter() - t0, 3)
+
+            def probe(spark_, _sf, _idx=idx):
+                return bm25_search_indexed(
+                    spark_, _idx, "merge scan table", k=10
+                )
+
+            row[f"{label}_probe_s"] = timed(probe, spark, sf_dir)
+        row["probe_growth"] = round(
+            row["scaled_probe_s"] / max(row["base_probe_s"], 1e-9), 2
+        )
+        row["quadratic_would_be"] = mult * mult
+        return row
+
+    result["queries"]["bm25_search_indexed_probe"] = bm25_probe_row()
+
     # the gated ann_lsh_topk pins 16 planes for its oracle, so bucket
     # occupancy — and rerank pair count — grows linearly with the corpus
     # and the query goes ~quadratic at 10×.  The production knob is

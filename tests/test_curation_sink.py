@@ -706,3 +706,84 @@ def test_dataset_snapshot_reproducible(spark, tmp_path):
     v_again, ds_again = dataset_snapshot(spark, out, version=v)
     assert v_again == v
     assert sorted(map(tuple, ds_again.collect())) == frozen
+
+
+def test_perplexity_gate_consumes_trigram_signal(spark, tmp_path):
+    """Round-8: the curation gate consumes an LM-perplexity signal — the
+    trigram-KN avg_nll relation gates documents above the ceiling with
+    reason 'perplexity' (signal value in the audit detail), docs absent
+    from the relation pass, the summary folds the rejects into the
+    quality-class counter, and a replay merges to nothing."""
+    from chainweb_data_spark.operators.text import trigram_kn_scores
+
+    out = str(tmp_path / "ppl")
+    batch = _docs(
+        spark,
+        [
+            (1, BASE_TEXT),
+            (2, OTHER_TEXT),
+            # a REPETITIVE doc: repeated n-grams score far lower NLL under
+            # the corpus-trained KN model than the all-distinct texts, so
+            # the three docs genuinely spread (all-distinct-token fixtures
+            # give every doc an identical NLL — the symmetric-vocab trap);
+            # also dissimilar enough that the near-dup stage stays quiet
+            (3, "spam ham spam ham spam ham spam ham spam ham"),
+        ],
+    )
+    nll = trigram_kn_scores(batch, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    vals = {r["doc_id"]: r["avg_nll"] for r in nll.collect()}
+    # a ceiling between the lowest and highest measured NLL gates at
+    # least one doc and passes at least one — data-derived, not magic
+    lo, hi = min(vals.values()), max(vals.values())
+    ceiling = (lo + hi) / 2
+    should_fail = sorted(d for d, v in vals.items() if v > ceiling)
+    assert should_fail and len(should_fail) < len(vals)
+
+    # score only SOME docs: drop one passing doc from the relation — it
+    # must still be admitted (absent signal is not evidence)
+    passing = [d for d, v in vals.items() if v <= ceiling]
+    scored_only = nll.filter(F.col("doc_id") != passing[0])
+    s = curate_batch(
+        spark,
+        batch,
+        out,
+        batch_id=0,
+        min_quality=MIN_Q,
+        nll_scores=scored_only,
+        max_avg_nll=ceiling,
+    )
+    assert s["n_quality"] == len(should_fail)
+    assert s["n_kept"] == 3 - len(should_fail)
+    rejects = spark.read.parquet(os.path.join(out, "curation_rejects.parquet"))
+    ppl_rows = rejects.filter(F.col("reason") == "perplexity").collect()
+    assert sorted(r["doc_id"] for r in ppl_rows) == should_fail
+    # the detail carries the gating signal (the 4-dp avg_nll)
+    assert all(
+        abs(float(r["detail"]) - vals[r["doc_id"]]) < 1e-3 for r in ppl_rows
+    )
+
+    # replay: same batch id, same signal — everything merges away
+    s2 = curate_batch(
+        spark,
+        batch,
+        out,
+        batch_id=0,
+        min_quality=MIN_Q,
+        nll_scores=scored_only,
+        max_avg_nll=ceiling,
+    )
+    assert s2["n_in"] == 3
+    assert (
+        rejects.filter(F.col("reason") == "perplexity").count()
+        == len(should_fail)
+    )
+
+    # missing ceiling refuses loudly
+    import pytest as pt
+
+    with pt.raises(ValueError, match="max_avg_nll"):
+        curate_batch(
+            spark, batch, str(tmp_path / "x"), batch_id=0, nll_scores=nll
+        )

@@ -397,6 +397,147 @@ def ann_longrun_report(
     return report
 
 
+def _era_vec_batch(spark, b: int, lo=None, n: int = 300, dim: int = 32,
+                   era_every: int = 8, shift: float = 1.5):
+    """DRIFTING pseudo-vectors: unit-ish hash noise plus ``shift`` times an
+    era-dependent center direction — the occupied region of embedding
+    space MOVES every ``era_every`` batches (a new crawl source, a domain
+    mix change).  A quantizer trained on era 0 tiles era 0's ball; later
+    eras land on whichever old cells point their way, so occupancy skews
+    and recall-at-fixed-nprobe decays — exactly the staleness
+    maybe_rebuild_ann_index exists to catch."""
+    from pyspark.sql import functions as F
+
+    era = b // era_every
+    lo = b * n if lo is None else lo
+
+    def noise(j):
+        return (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(j)), F.lit(2001)).cast(
+                "double"
+            ) / 1000.0 - 1.0
+        )
+
+    def center(j):
+        return (
+            F.pmod(
+                F.xxhash64(F.lit(int(era) * 131 + 7), F.lit(j)), F.lit(2001)
+            ).cast("double") / 1000.0 - 1.0
+        )
+
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[noise(j) + F.lit(shift) * center(j) for j in range(dim)])
+        .alias("embedding"),
+    )
+
+
+def ann_retrain_report(
+    spark, n_batches: int = 32, era_every: int = 8, threshold: float = 1.3
+) -> dict:
+    """Recall-vs-drift evidence for the staleness trigger (round-7 advice
+    #6): two indexes fold the SAME drifting stream — one frozen on the
+    era-0 quantizer, one with ``maybe_rebuild_ann_index`` offered every
+    ``era_every`` batches — and recall@5 (vs exact driver-side cosine over
+    the full current corpus, queries drawn from the LATEST era) is
+    measured at each era boundary alongside the imbalance factor.
+    Expectation: frozen recall collapses as eras shift while imbalance
+    climbs; the retrained index recenters (one manifest flip per rebuild)
+    and holds recall.  Absolute recall sits near nprobe/n_cells — the
+    near-isotropic synthetic regime (tests/test_ann_recall.py header);
+    the signal is HELD vs DECAYED, not the absolute level."""
+    import time as _time
+
+    import numpy as np
+
+    from chainweb_data_spark.operators import similarity as sim
+    from chainweb_data_spark.streaming.ann_index import (
+        ann_index_imbalance,
+        ann_index_search,
+        maybe_rebuild_ann_index,
+        update_ann_index,
+    )
+
+    n_cells = 16
+
+    def _queries(b):
+        return _era_vec_batch(spark, b, lo=10_000_000, n=100)
+
+    def _recall(store, cents, cb, b, ids_np, X):
+        qdf = _queries(b).localCheckpoint(eager=True)
+        qrows = qdf.orderBy("vec_id").collect()
+        Q = np.asarray([r["embedding"] for r in qrows])
+        qids = [r["vec_id"] for r in qrows]
+        Cn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        top = np.argsort(-(Qn @ Cn.T), axis=1)[:, :5]
+        exact = [set(int(ids_np[r]) for r in row) for row in top]
+        got = {q: set() for q in qids}
+        t0 = _time.perf_counter()
+        for r in ann_index_search(
+            spark, store, qdf, cents, cb, nprobe=2, k=5, exclude_self=False
+        ).collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        wall = _time.perf_counter() - t0
+        rec = sum(
+            len(got.get(q, set()) & e) / 5 for q, e in zip(qids, exact)
+        ) / len(qids)
+        return round(rec, 3), round(wall, 3)
+
+    train = _era_vec_batch(spark, 0)
+    cents = sim.ivf_train_kmeans(train, "vec_id", "embedding", n_cells)
+    cb = sim.pq_train(train, "vec_id", "embedding", m=8, k=16)
+    frozen = os.path.join(WORK, "annretrain_frozen")
+    retrain = os.path.join(WORK, "annretrain_retrain")
+    fc, fb = cents, cb
+    rc, rb = cents, cb
+    all_ids: list = []
+    all_np: list = []
+    rebuilds = 0
+    checkpoints: dict = {}
+    for b in range(n_batches):
+        batch = _era_vec_batch(spark, b).localCheckpoint(eager=True)
+        rows = batch.orderBy("vec_id").collect()
+        all_ids.extend(r["vec_id"] for r in rows)
+        all_np.extend(r["embedding"] for r in rows)
+        update_ann_index(spark, batch, frozen, b, fc, fb)
+        update_ann_index(spark, batch, retrain, b, rc, rb)
+        if (b + 1) % era_every == 0:
+            corpus_df = spark.createDataFrame(
+                list(zip(all_ids, [list(v) for v in all_np])),
+                "vec_id long, embedding array<double>",
+            )
+            r = maybe_rebuild_ann_index(
+                spark, retrain, corpus_df, rc, rb,
+                threshold=threshold, n_cells=n_cells,
+            )
+            rc, rb = r["centroids"], r["codebooks"]
+            rebuilds += int(r["rebuilt"])
+            ids_np, X = np.array(all_ids), np.array(all_np)
+            f_rec, f_s = _recall(frozen, fc, fb, b, ids_np, X)
+            r_rec, r_s = _recall(retrain, rc, rb, b, ids_np, X)
+            checkpoints[f"{(b + 1) // era_every}x"] = {
+                "frozen": {
+                    "recall_at_5": f_rec,
+                    "imbalance": round(ann_index_imbalance(frozen, n_cells), 2),
+                    "search_s": f_s,
+                },
+                "retrain": {
+                    "recall_at_5": r_rec,
+                    "imbalance": round(ann_index_imbalance(retrain, n_cells), 2),
+                    "search_s": r_s,
+                    "rebuilds_so_far": rebuilds,
+                    "trigger_imbalance": round(r["imbalance"], 2),
+                },
+            }
+    return {
+        "n_batches": n_batches,
+        "era_every": era_every,
+        "threshold": threshold,
+        "checkpoints": checkpoints,
+    }
+
+
 _VOCAB = "the of and to a in is it you that he was for on are".split()
 
 
@@ -516,8 +657,30 @@ def fullstack_report(
     }
     model: dict | None = None
     checkpoints: dict = {}
+    pinned: dict | None = None
     for b in range(n_batches):
         if b == bootstrap_at:
+            # round-8: a "training run" pins its dataset_snapshot version
+            # HERE and re-reads it after the full run's compaction churn —
+            # the retention-lease contract (pin_version) end to end
+            from pyspark.sql import functions as F
+
+            from chainweb_data_spark.streaming.curation import dataset_snapshot
+
+            v, snap_df = dataset_snapshot(spark, out_cur, pin=True)
+            pinned = {
+                "version": v,
+                "rows": snap_df.count(),
+                "checksum": str(
+                    snap_df.agg(
+                        F.sum(
+                            F.xxhash64("doc_id", "content_hash").cast(
+                                "decimal(38,0)"
+                            )
+                        )
+                    ).collect()[0][0]
+                ),
+            }
             model = train_quality_model(spark, out_cur)
             ev = model["eval"]
             report["gate_eval"] = {
@@ -564,6 +727,32 @@ def fullstack_report(
                 "n_quality_last": s["n_quality"],
             }
     report["checkpoints"] = checkpoints
+    if pinned is not None:
+        # after n_batches of appends + compaction sawteeth: the pinned
+        # snapshot must re-read byte-identically (same rows, same
+        # order-invariant checksum) — vacuum honored the lease
+        from pyspark.sql import functions as F
+
+        from chainweb_data_spark.streaming.curation import dataset_snapshot
+
+        _, again = dataset_snapshot(spark, out_cur, version=pinned["version"])
+        got = {
+            "rows": again.count(),
+            "checksum": str(
+                again.agg(
+                    F.sum(
+                        F.xxhash64("doc_id", "content_hash").cast(
+                            "decimal(38,0)"
+                        )
+                    )
+                ).collect()[0][0]
+            ),
+        }
+        report["pinned_snapshot"] = {
+            **pinned,
+            "reread_identical": got["rows"] == pinned["rows"]
+            and got["checksum"] == pinned["checksum"],
+        }
     return report
 
 
@@ -573,6 +762,7 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     longrun = "--longrun" in sys.argv[1:]
     ann_longrun = "--annlongrun" in sys.argv[1:]
+    ann_retrain = "--annretrain" in sys.argv[1:]
     cur_longrun = "--curlongrun" in sys.argv[1:]
     fullstack = "--fullstack" in sys.argv[1:]
     mult = int(args[0]) if args else 10
@@ -599,6 +789,15 @@ def main() -> None:
             "regime": "ann_longrun",
             "ann_index": ann_longrun_report(
                 spark, n_batches=int(args[0]) if args else 60
+            ),
+        }))
+        return
+
+    if ann_retrain:
+        print(json.dumps({
+            "regime": "ann_retrain",
+            "ann_retrain": ann_retrain_report(
+                spark, n_batches=int(args[0]) if args else 32
             ),
         }))
         return

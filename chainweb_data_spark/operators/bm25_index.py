@@ -161,6 +161,44 @@ def bm25_build_index(
     )
 
 
+def bm25_index_sink(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_version: int | None = None,
+    available_now: bool = True,
+):
+    """The index as a SINK: ``writeStream.foreachBatch`` over
+    :func:`bm25_update_index` with the listen pipeline's exactly-once
+    shape (checkpointed engine batch ids; a crash-replayed batch
+    re-stages identical rows and the PK merges drop them all) — the same
+    wrapper contract as ``dedup_index_sink`` / ``ann_index_sink``, so a
+    curated-document stream keeps its retrieval index current batch by
+    batch.  Returns the StreamingQuery (caller awaits / stops)."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        bm25_update_index(
+            batch_df.sparkSession,
+            batch_df,
+            out_dir,
+            id_col=id_col,
+            text_col=text_col,
+            batch_id=batch_id,
+            source_version=source_version,
+        )
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def bm25_index_stats(spark: SparkSession, out_dir: str) -> dict:
     """Corpus totals from the meta table: ``{"n_docs", "n_dl_docs",
     "dl_sum", "avgdl", "n_batches", "source_versions"}``.  One scan of a

@@ -117,3 +117,62 @@ def test_term_absent_from_index(spark, index_dir):
     # same contract as bm25_search over a corpus without the terms
     out = bm25_search_indexed(spark, index_dir, "zzzznotaterm", k=5)
     assert out.count() == 0
+
+
+def test_bm25_index_sink_streams_to_same_index(spark, tmp_path):
+    """The foreachBatch wrapper: a 3-file document stream builds, batch by
+    checkpointed batch, an index whose probe answers exactly like the
+    one-shot full build — and a restart over the same feed replays to a
+    no-op (checkpointed engine batch ids + PK merges)."""
+    import json as _json
+
+    from chainweb_data_spark.operators.bm25_index import bm25_index_sink
+
+    docs = _docs(spark).filter(F.col("doc_id") < 120).collect()
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    for i in range(3):
+        p = os.path.join(feed, f"b{i:03d}.json")
+        with open(p, "w") as f:
+            for r in docs:
+                if r["doc_id"] % 3 == i:
+                    f.write(
+                        _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                        + "\n"
+                    )
+        t = 1_700_000_000 + i * 10
+        os.utime(p, (t, t))
+
+    out = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(feed)
+        )
+        q = bm25_index_sink(stream, out, ckpt, source_version=3)
+        q.awaitTermination(300)
+
+    _run()
+    stats = bm25_index_stats(spark, out)
+    assert stats["n_docs"] == 120 and stats["n_batches"] == 3
+    assert stats["source_versions"] == [3]
+
+    full = str(tmp_path / "full")
+    bm25_build_index(
+        spark,
+        _docs(spark).filter(F.col("doc_id") < 120),
+        full,
+    )
+    assert _pairs(bm25_search_indexed(spark, out, QUERY, k=10)) == _pairs(
+        bm25_search_indexed(spark, full, QUERY, k=10)
+    )
+
+    # restart over the SAME feed: checkpoint remembers the batches, and
+    # even a re-fed batch would PK-merge away — index unchanged
+    before = read_manifest(out)["version"]
+    _run()
+    assert read_manifest(out)["version"] == before
+    assert bm25_index_stats(spark, out) == stats

@@ -223,6 +223,84 @@ def bm25_index_stats(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
+def bm25_search_indexed_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[str, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` per query for a BATCH of queries in ONE index pass —
+    (query_id, doc_id, score, rank).  The single-query probe's wall at
+    bench scale is dominated by fixed job overhead (one bucket-pruned
+    scan job + the meta read), so a retrieval workload issuing hundreds
+    of queries should amortize it: the union of all queries' terms prunes
+    the posting buckets once, a tiny broadcast (query_id, term) relation
+    fans matching postings out to their queries, and per-query ranking is
+    one window partitioned by query_id — scan cost is O(postings of the
+    term UNION), not O(queries × probe).
+
+    Per-query scores are IDENTICAL to :func:`bm25_search_indexed` (same
+    shared contribution expression, same DECIMAL(18,6) order-independent
+    sum; df and n_docs are corpus-global, so sharing them across queries
+    changes nothing).  Ties rank (score desc, doc_id asc)."""
+    qterms: list[tuple[str, str]] = []
+    for qid, q in queries.items():
+        ts = sorted({t for t in q.split(" ") if t})
+        if not ts:
+            raise ValueError(
+                f"bm25_search_indexed_many: empty query {qid!r}"
+            )
+        qterms.extend((qid, t) for t in ts)
+    stats = bm25_index_stats(spark, index_dir)
+    postings = read_published(spark, index_dir, "bm25_postings")
+    dft = read_published(spark, index_dir, "bm25_df")
+    if postings is None or dft is None:
+        raise ValueError(
+            f"bm25_search_indexed_many: no BM25 index at {index_dir!r}"
+        )
+    terms = sorted({t for _, t in qterms})
+    buckets = sorted({_term_bucket_py(t) for t in terms})
+    qt_df = spark.createDataFrame(qterms, "query_id string, term string")
+    qpost = postings.filter(
+        F.col("key_bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    qdf = (
+        dft.filter(F.col("key_bucket").isin(buckets) & F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    contrib = bm25_contrib_expr(stats["n_docs"], k1, b)
+    scored = (
+        qpost.join(F.broadcast(qt_df), "term")
+        .join(F.broadcast(qdf), "term")
+        .withColumn("_avgdl", F.lit(stats["avgdl"]))
+        .select(
+            "query_id",
+            F.col("doc_id"),
+            contrib.cast("decimal(18,6)").alias("_c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_c").alias("_s"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("_s").cast("double").alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def bm25_search_indexed(
     spark: SparkSession,
     index_dir: str,

@@ -3974,6 +3974,76 @@ def _bm25_index_for(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
+_BM25_BATCH_QUERIES = {
+    "q_scan": "merge scan table",
+    "q_vec": "vector window stream",
+    "q_join": "join hash filter",
+}
+
+
+def _bm25_batch_oracle() -> str:
+    """The batched probe's oracle: the single-query BM25 derivation once
+    per query over its own term set, UNION ALL with the query_id and a
+    per-query rank — shared corpus CTEs (lengths, avgdl, n_docs) computed
+    once, exactly like the engine shares the corpus-global stats."""
+    shared = """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), ft AS MATERIALIZED (
+      SELECT doc_id, token FROM toks WHERE len(token) > 0
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM ft GROUP BY doc_id),
+    avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)"""
+    legs = []
+    for qid, q in sorted(_BM25_BATCH_QUERIES.items()):
+        terms = ", ".join(
+            f"'{t}'" for t in sorted({t for t in q.split(" ") if t})
+        )
+        legs.append(f"""
+    (SELECT '{qid}' AS query_id, doc_id,
+            CAST(s AS DOUBLE) AS score,
+            CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+     FROM (
+       SELECT t.doc_id,
+              SUM(CAST(round(
+                round(ln((CAST((SELECT n_docs FROM n) AS DOUBLE) - f.df + 0.5)
+                         / (f.df + 0.5) + 1.0), 6)
+                * (CAST(t.tf AS DOUBLE) * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                    / (SELECT avgdl FROM avgdl)))),
+                6) AS DECIMAL(18,6))) AS s
+       FROM (SELECT doc_id, token, COUNT(*) AS tf FROM ft
+             WHERE token IN ({terms}) GROUP BY doc_id, token) t
+       JOIN (SELECT token, COUNT(DISTINCT doc_id) AS df FROM ft
+             WHERE token IN ({terms}) GROUP BY token) f USING (token)
+       JOIN dl l USING (doc_id)
+       GROUP BY t.doc_id
+     ) QUALIFY rank <= 5)""")
+    return (
+        shared
+        + "\n    SELECT query_id, doc_id, score, rank FROM ("
+        + "\n     UNION ALL".join(legs)
+        + ")\n    ORDER BY query_id, rank\n    "
+    )
+
+
+@register("bm25_search_batch_docs", oracle=_bm25_batch_oracle())
+def bm25_search_batch_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED index probe (operators/bm25_index.py
+    bm25_search_indexed_many): top-5 per query for three queries in ONE
+    bucket-pruned index pass — the shape a retrieval-based selection
+    workload actually runs (hundreds of queries amortizing one scan of
+    the union of their terms' posting buckets).  Per-query scores are the
+    single probe's exactly; df here counts docs containing each term over
+    the WHOLE corpus (the index's global df), which the oracle mirrors."""
+    from ..operators.bm25_index import bm25_search_indexed_many
+
+    return bm25_search_indexed_many(
+        spark, _bm25_index_for(spark, sf_dir), _BM25_BATCH_QUERIES, k=5
+    ).orderBy("query_id", "rank")
+
+
 @register("bm25_search_indexed_docs", oracle=_BM25_SEARCH_ORACLE)
 def bm25_search_indexed_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval as an INDEX PROBE (operators/bm25_index.py): the

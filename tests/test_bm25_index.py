@@ -176,3 +176,50 @@ def test_bm25_index_sink_streams_to_same_index(spark, tmp_path):
     _run()
     assert read_manifest(out)["version"] == before
     assert bm25_index_stats(spark, out) == stats
+
+
+def test_batched_probe_matches_single_probes(spark, index_dir):
+    """One index pass for a query batch: every query's slice must equal
+    its single-probe result exactly, and the batch's scan must not read
+    more files than the union of the queries' buckets allows."""
+    from chainweb_data_spark.operators.bm25_index import (
+        bm25_search_indexed_many,
+    )
+
+    queries = {
+        "q0": QUERY,
+        "q1": "index commit log",
+        "q2": "vector quantizer",
+    }
+    batch = bm25_search_indexed_many(spark, index_dir, queries, k=5)
+    rows = batch.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["rank"])
+        )
+    for qid, q in queries.items():
+        single = bm25_search_indexed(spark, index_dir, q, k=5).collect()
+        want = [
+            (r["doc_id"], r["score"], i + 1) for i, r in enumerate(single)
+        ]
+        assert got.get(qid, []) == want, qid
+
+    # scan economy: files read bounded by the union of matching buckets
+    manifest = read_manifest(index_dir)
+    terms = {t for q in queries.values() for t in q.split(" ") if t}
+    want_dirs = {f"key_bucket={_term_bucket_py(t)}" for t in terms}
+    matching = [
+        f
+        for tbl in ("bm25_postings", "bm25_df")
+        for f in manifest["tables"][tbl]
+        if f.split(os.sep, 1)[0] in want_dirs
+    ]
+    n_meta = len(manifest["tables"]["bm25_meta"])
+    probe = bm25_search_indexed_many(spark, index_dir, queries, k=5)
+    assert _scan_files_read(probe) <= len(matching) + n_meta
+
+    import pytest as pt
+
+    with pt.raises(ValueError, match="empty query"):
+        bm25_search_indexed_many(spark, index_dir, {"bad": "  "})

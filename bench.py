@@ -128,6 +128,11 @@ def _previous_bench() -> dict[str, float]:
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return {}
+    # the driver records bench output WRAPPED ({"n": …, "sf": …,
+    # "parsed": <our JSON line>}) — unwrap it, or the baseline silently
+    # resolves to {} and the isolated re-measure never fires
+    if "parsed" in prev and isinstance(prev["parsed"], dict):
+        prev = prev["parsed"]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     if str(prev.get("sf")) != sf:
         return {}

@@ -13,11 +13,14 @@ per query (round-7 VERDICT "What's wrong" #1).
 Layout (all under one ``out_dir`` commit log, ``streaming/publish.py``):
 
 - ``bm25_postings.parquet`` — (term, doc_id, tf, dl, key_bucket), PK
-  (term, doc_id).  ``key_bucket`` = ``'t'`` + first hex char of
-  ``md5(term)`` — the letter prefix pins the partition-directory type to
-  string (same rationale as the dedup index's ``'h'`` prefix,
-  ``streaming/dedup_index.py:13-24``).  ``dl`` (the document's token
-  count) is DENORMALIZED onto every posting row so the probe needs no
+  (term, doc_id).  ``key_bucket`` = ``'t'`` + first ``BUCKET_HEX`` hex
+  chars of ``md5(term)`` (256 buckets for new indexes; pre-r9 16-bucket
+  indexes are width-detected, never mis-hashed) — the letter prefix pins
+  the partition-directory type to string (same rationale as the dedup
+  index's ``'h'`` prefix, ``streaming/dedup_index.py:13-24``).  Files are
+  term-sorted (``POSTINGS_SORT``) so parquet row-group min/max prunes a
+  probe's terms WITHIN the bucket.  ``dl`` (the document's token count)
+  is DENORMALIZED onto every posting row so the probe needs no
   doc-length join: one bucket-pruned scan scores everything.
 - ``bm25_df.parquet`` — (term, batch_id, df, key_bucket), PK
   (term, batch_id): the term's document frequency CONTRIBUTION from one
@@ -48,7 +51,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .text import _term_freq_scaffold, bm25_contrib_expr
-from ..streaming.publish import publish_batch, read_published
+from ..streaming.publish import (
+    compact_published,
+    live_partition_values,
+    publish_batch,
+    read_published,
+)
 
 #: PKs for the unified single-flip commit (publish_batch pks=).
 BM25_PKS = {
@@ -57,15 +65,49 @@ BM25_PKS = {
     "bm25_meta": ("batch_id",),
 }
 
+#: hex chars of md5(term) in the bucket value for NEW indexes.  r8 shipped
+#: 1 (16 buckets) and its 10× rehearsal showed the probe growing with the
+#: corpus — a probe scans whole matching buckets, i.e. O(corpus/16).  2 hex
+#: (256 buckets) plus term-sorted files (row-group min/max pruning WITHIN a
+#: bucket) makes probe bytes track O(postings(query)).  Existing indexes
+#: keep their width: every writer/reader detects it from the live partition
+#: directories, so a 1-hex index keeps probing correctly and a mixed-width
+#: write can never happen.
+BUCKET_HEX = 2
 
-def _term_bucket(col):
-    """'t' + first hex char of md5(term) — 16 string-typed partitions."""
-    return F.concat(F.lit("t"), F.substring(F.md5(col), 1, 1))
+#: sort order of postings/df files — the row-group pruning contract that
+#: build, incremental update, AND compaction must all preserve.
+POSTINGS_SORT = ("term", "doc_id")
 
 
-def _term_bucket_py(term: str) -> str:
+def _term_bucket(col, width: int = BUCKET_HEX):
+    """'t' + first ``width`` hex chars of md5(term) — 16^width string-typed
+    partitions ('t' prefix pins directory-type inference to string)."""
+    return F.concat(F.lit("t"), F.substring(F.md5(col), 1, width))
+
+
+def _term_bucket_py(term: str, width: int = BUCKET_HEX) -> str:
     """Driver-side twin of :func:`_term_bucket` for query-term pruning."""
-    return "t" + hashlib.md5(term.encode("utf-8")).hexdigest()[0]
+    return "t" + hashlib.md5(term.encode("utf-8")).hexdigest()[:width]
+
+
+def _index_bucket_width(out_dir: str) -> int | None:
+    """Bucket width of the EXISTING index at ``out_dir`` (hex chars after
+    the 't' prefix), from the live snapshot's partition values — None when
+    no postings exist yet.  Detecting (instead of assuming BUCKET_HEX)
+    keeps pre-r9 16-bucket indexes readable and appendable: a probe that
+    hashed with the wrong width would silently return EMPTY results for
+    every in-vocabulary term, the silent-wrong class this repo refuses."""
+    vals = live_partition_values(out_dir, "bm25_postings")
+    widths = {len(v) - 1 for v in vals if v.startswith("t")}
+    if not widths:
+        return None
+    if len(widths) != 1:
+        raise ValueError(
+            f"bm25 index at {out_dir!r} has mixed bucket widths {widths} — "
+            "corrupt layout; rebuild the index"
+        )
+    return widths.pop()
 
 
 def bm25_update_index(
@@ -76,6 +118,7 @@ def bm25_update_index(
     text_col: str = "text",
     batch_id: int = 0,
     source_version: int | None = None,
+    compact_every: int | None = None,
 ) -> dict:
     """Index one batch of NEW documents: stage postings + df contribution
     + meta totals and commit all three in ONE log flip (``publish_batch``
@@ -83,7 +126,18 @@ def bm25_update_index(
     the same ``batch_id`` merges to zero rows).  Tokenization is
     :func:`..operators.text._term_freq_scaffold` — the same rule as every
     other term scorer, so index scores can never drift from the
-    corpus-scan path's.  Returns the committed snapshot."""
+    corpus-scan path's.
+
+    ``compact_every`` (the dedup/ANN sinks' long-run file bound, r8
+    verdict #3): every batch adds one file per touched bucket, so a
+    streamed index accretes O(batches × buckets) files and probe cost
+    grows at the parquet-open layer — measured as the 10× rehearsal's
+    probe doubling on file count alone.  When set, every
+    ``compact_every``-th batch rewrites each bucket's live files into one
+    (``compact_published`` — one log flip, term order preserved via
+    ``sort_within=POSTINGS_SORT``, racing commits rebased).  Returns the
+    committed snapshot."""
+    width = _index_bucket_width(out_dir) or BUCKET_HEX
     toks, tf, dfreq = _term_freq_scaffold(docs, id_col, text_col)
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
     # ONE file per touched bucket per batch (repartition on the partition
@@ -100,8 +154,14 @@ def bm25_update_index(
             F.col("tf"),
             F.col("dl"),
         )
-        .withColumn("key_bucket", _term_bucket(F.col("term")))
+        .withColumn("key_bucket", _term_bucket(F.col("term"), width))
         .repartition("key_bucket")
+        # term-sorted files: parquet row-group min/max stats then prune a
+        # probe's term filter WITHIN the bucket file, so probe bytes track
+        # O(postings(query)) instead of O(bucket) — the r8 rehearsal's
+        # residual probe growth (doc_id secondary keeps files
+        # deterministic for the bitwise stream-vs-oneshot tests)
+        .sortWithinPartitions(*POSTINGS_SORT)
     )
     df_rows = (
         dfreq.select(
@@ -109,8 +169,9 @@ def bm25_update_index(
             F.lit(int(batch_id)).alias("batch_id"),
             F.col("df"),
         )
-        .withColumn("key_bucket", _term_bucket(F.col("term")))
+        .withColumn("key_bucket", _term_bucket(F.col("term"), width))
         .repartition("key_bucket")
+        .sortWithinPartitions("term", "batch_id")
     )
     # n_docs counts EVERY batch doc (empty-text docs included — they are
     # corpus members for idf), n_dl_docs/dl_sum only tokenized docs: the
@@ -132,12 +193,21 @@ def bm25_update_index(
             F.lit(source_version).cast("long").alias("source_version"),
         )
     )
-    return publish_batch(
+    snap = publish_batch(
         spark,
         {"bm25_postings": postings, "bm25_df": df_rows, "bm25_meta": meta},
         out_dir,
         pks=BM25_PKS,
     )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        compact_published(
+            spark, out_dir, "bm25_postings", sort_within=POSTINGS_SORT
+        )
+        compact_published(
+            spark, out_dir, "bm25_df", sort_within=("term", "batch_id")
+        )
+        compact_published(spark, out_dir, "bm25_meta")
+    return snap
 
 
 def bm25_build_index(
@@ -169,6 +239,7 @@ def bm25_index_sink(
     text_col: str = "text",
     source_version: int | None = None,
     available_now: bool = True,
+    compact_every: int | None = 16,
 ):
     """The index as a SINK: ``writeStream.foreachBatch`` over
     :func:`bm25_update_index` with the listen pipeline's exactly-once
@@ -176,7 +247,10 @@ def bm25_index_sink(
     re-stages identical rows and the PK merges drop them all) — the same
     wrapper contract as ``dedup_index_sink`` / ``ann_index_sink``, so a
     curated-document stream keeps its retrieval index current batch by
-    batch.  Returns the StreamingQuery (caller awaits / stops)."""
+    batch.  ``compact_every`` defaults ON (every 16th batch) because a
+    long-lived stream is exactly the accretion case the bound exists for;
+    pass None to disable.  Returns the StreamingQuery (caller awaits /
+    stops)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         bm25_update_index(
@@ -187,6 +261,7 @@ def bm25_index_sink(
             text_col=text_col,
             batch_id=batch_id,
             source_version=source_version,
+            compact_every=compact_every,
         )
 
     writer = (
@@ -260,8 +335,9 @@ def bm25_search_indexed_many(
         raise ValueError(
             f"bm25_search_indexed_many: no BM25 index at {index_dir!r}"
         )
+    width = _index_bucket_width(index_dir) or BUCKET_HEX
     terms = sorted({t for _, t in qterms})
-    buckets = sorted({_term_bucket_py(t) for t in terms})
+    buckets = sorted({_term_bucket_py(t, width) for t in terms})
     qt_df = spark.createDataFrame(qterms, "query_id string, term string")
     qpost = postings.filter(
         F.col("key_bucket").isin(buckets) & F.col("term").isin(terms)
@@ -328,7 +404,8 @@ def bm25_search_indexed(
             f"bm25_search_indexed: no BM25 index at {index_dir!r} — run "
             "bm25_build_index / bm25_update_index first"
         )
-    buckets = sorted({_term_bucket_py(t) for t in terms})
+    width = _index_bucket_width(index_dir) or BUCKET_HEX
+    buckets = sorted({_term_bucket_py(t, width) for t in terms})
     # partition-value filters FIRST: Spark prunes the snapshot's listed
     # files to the matching key_bucket= directories at planning time, so
     # the scan never opens a non-matching bucket's files

@@ -773,6 +773,7 @@ def compact_published(
     min_files: int = 2,
     target_files: int = 1,
     keep_versions: int = MAINT_KEEP_VERSIONS,
+    sort_within: tuple[str, ...] | None = None,
 ) -> dict[str, tuple[int, int]]:
     """Log-aware compaction: rewrite each partition's many LIVE files
     (the snapshot's list, not the directory's) into ``target_files``, then
@@ -811,7 +812,13 @@ def compact_published(
         staging = os.path.join(
             out_dir, "_staging", f"compact-{table}-{uuid.uuid4().hex}"
         )
-        df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+        out_df = df.coalesce(target_files)
+        if sort_within:
+            # tables whose probes rely on row-group min/max pruning (e.g.
+            # the BM25 postings' term order) must keep that order through
+            # compaction, or the rewrite silently degrades every later probe
+            out_df = out_df.sortWithinPartitions(*sort_within)
+        out_df.write.mode("overwrite").parquet(staging)
         moved: list[str] = []
         for fname in sorted(os.listdir(staging)):
             if fname.startswith(("_", ".")):

@@ -54,6 +54,48 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _dtype_class(dtype) -> str:
+    """Coarse numeric class used for the strict int-vs-float check.
+
+    The driver's value hash stringifies cell values per pandas dtype, so a
+    BIGINT on one side and a float64 on the other renders ``1435`` vs
+    ``1435.0`` and hash-mismatches even when every value is equal.  DuckDB's
+    ``SUM`` over integers returns HUGEINT which lands in pandas as float64 —
+    r8's ``corpus_report`` red shipped exactly this way because ``_canon``'s
+    ``%.17g`` collapsed the two renderings.  Classify dtypes so the local
+    harness fails the int-vs-float case the way the driver does.
+    """
+    kind = getattr(dtype, "kind", None)
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    return "other"
+
+
+def assert_dtypes_compatible(sp: pd.DataFrame, du: pd.DataFrame, name: str = "?"):
+    """Strict numeric-class check: integer-typed on one side and
+    float-typed on the other FAILS, even when the stringified values would
+    collide (e.g. oracle ``SUM(int)`` → HUGEINT → float64 vs Spark BIGINT).
+    Object columns (strings, None-holding numerics) are exempt — pandas
+    promotes nullable ints to object/float inconsistently across engines and
+    the driver canonicalizes those identically."""
+    for c in sp.columns:
+        a, b = _dtype_class(sp[c].dtype), _dtype_class(du[c].dtype)
+        if "other" in (a, b):
+            continue
+        if {a, b} == {"int", "float"}:
+            # float column that's integral-valued on BOTH sides is how the
+            # driver red manifests — flag it loudly either way.
+            raise AssertionError(
+                f"{name}: column {c!r} dtype class mismatch "
+                f"spark={sp[c].dtype} duckdb={du[c].dtype} — add an explicit "
+                f"CAST in the oracle (or .cast in Spark) so both sides agree"
+            )
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
     """Raises AssertionError with a diff preview on mismatch."""
     sp = spark_df.toPandas()
@@ -64,6 +106,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?")
     assert sorted(sp.columns) == sorted(du.columns), (
         f"{name}: columns spark={sorted(sp.columns)} duckdb={sorted(du.columns)}"
     )
+    sp = sp.reindex(sorted(sp.columns), axis=1)
+    du = du.reindex(sorted(du.columns), axis=1)
+    assert_dtypes_compatible(sp, du, name)
     a, b = _canon(sp), _canon(du)
     if not a.equals(b):
         neq = (a != b).any(axis=1)

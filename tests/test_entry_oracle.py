@@ -47,3 +47,24 @@ def test_gate_priority_order():
     # (and in fact every registered query) now has a hash check
     for n in GATE_PRIORITY:
         assert n in ORACLES, f"gated query {n} lacks an oracle"
+
+
+def test_harness_catches_int_vs_float():
+    """Regression test for the r8 `corpus_report` driver red: DuckDB
+    ``SUM(BIGINT)`` is HUGEINT which lands in pandas as float64, so the
+    driver's value hash saw ``1435.0`` vs Spark's ``1435`` while the local
+    ``%.17g`` canonicalization collapsed them.  The harness must now fail
+    the int-vs-float dtype class locally even when values are equal."""
+    import pandas as pd
+
+    from tests.oracle_harness import assert_dtypes_compatible
+
+    ints = pd.DataFrame({"total_tokens": pd.Series([1435, 7], dtype="int64")})
+    floats = pd.DataFrame(
+        {"total_tokens": pd.Series([1435.0, 7.0], dtype="float64")}
+    )
+    with pytest.raises(AssertionError, match="dtype class mismatch"):
+        assert_dtypes_compatible(ints, floats, "int-vs-float")
+    # same class on both sides stays green
+    assert_dtypes_compatible(ints, ints.copy(), "int-vs-int")
+    assert_dtypes_compatible(floats, floats.copy(), "float-vs-float")

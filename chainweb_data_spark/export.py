@@ -164,6 +164,7 @@ def export_dataset_snapshot(
     id_col: str = "doc_id",
     seed: str = "",
     columns: list[str] | None = None,
+    keep_parent_pin: bool = False,
 ) -> dict:
     """Export a curation store's ``dataset_snapshot`` version as training
     shards — FULL when ``parent_dir`` is None, INCREMENTAL otherwise:
@@ -180,8 +181,27 @@ def export_dataset_snapshot(
     trainer polling for "new data since v" must distinguish "nothing new"
     from "new empty link"; a parent without chain metadata refuses (plain
     write_training_shards exports are not version-addressed, so a delta
-    against them is undefined).  Returns the manifest."""
-    from .streaming.publish import read_manifest, read_published
+    against them is undefined); a parent exported from a DIFFERENT store
+    or table refuses (a delta between unrelated version counters would
+    silently ship the wrong dataset).
+
+    Retention: the exported ``to_v`` is PINNED in the store's log
+    (``pin_version``, lease named ``export:<out_dir>``) so a later
+    incremental export chaining FROM this one can still derive its delta
+    after any number of compaction/vacuum cycles — without the pin,
+    maintenance past ``MAINT_KEEP_VERSIONS`` reclaims the base version's
+    files and the chain dead-ends (r8 verdict #6).  A successful
+    incremental RELEASES the parent export's lease (superseded — future
+    deltas chain from the newest link) unless ``keep_parent_pin=True`` or
+    the parent's version carries a differently-named pin.  Returns the
+    manifest."""
+    from .streaming.publish import (
+        pin_version,
+        pinned_versions,
+        read_manifest,
+        read_published,
+        unpin_version,
+    )
 
     to_v = read_manifest(store_dir, version=version)["version"]
     cur = read_published(spark, store_dir, table, version=to_v)
@@ -190,9 +210,71 @@ def export_dataset_snapshot(
             f"export_dataset_snapshot: no {table} at {store_dir!r} "
             f"version {to_v}"
         )
-    if parent_dir is None:
-        return write_training_shards(
-            cur,
+    # the lease registry is ONE pin per version (last name wins, unpin
+    # releases it regardless of name) — so take the export lease only when
+    # the version is unprotected; an existing pin (e.g. the producer's
+    # dataset_snapshot(pin=True)) already holds the files, and re-pinning
+    # would let a later release of EITHER lease silently drop the other's
+    lease = f"export:{os.path.abspath(out_dir)}"
+    we_pinned = to_v not in pinned_versions(store_dir)
+    if we_pinned:
+        pin_version(store_dir, to_v, name=lease)
+    try:
+        if parent_dir is None:
+            return write_training_shards(
+                cur,
+                out_dir,
+                n_shards,
+                id_col=id_col,
+                seed=seed,
+                columns=columns,
+                chain={
+                    "store": os.path.abspath(store_dir),
+                    "table": table,
+                    "store_version": to_v,
+                    "from_version": None,
+                    "parent": None,
+                },
+            )
+        parent = _load_manifest(parent_dir)
+        pchain = parent.get("chain")
+        if pchain is None or "store_version" not in pchain:
+            raise ValueError(
+                "export_dataset_snapshot: parent export carries no chain "
+                "metadata (plain write_training_shards output?) — a version "
+                "delta against it is undefined"
+            )
+        if pchain.get("store") != os.path.abspath(store_dir) or (
+            pchain.get("table") != table
+        ):
+            raise ValueError(
+                "export_dataset_snapshot: parent export's chain points at "
+                f"store {pchain.get('store')!r} table "
+                f"{pchain.get('table')!r}, not {os.path.abspath(store_dir)!r}"
+                f" table {table!r} — a delta between unrelated version "
+                "counters would ship the wrong dataset (refused)"
+            )
+        from_v = int(pchain["store_version"])
+        if from_v >= to_v:
+            raise ValueError(
+                f"export_dataset_snapshot: unchanged range — parent already "
+                f"covers version {from_v}, store is at {to_v}; nothing to "
+                "export (no-op refused)"
+            )
+        _check_version_readable(store_dir, table, from_v)
+        prev = read_published(spark, store_dir, table, version=from_v)
+        delta = (
+            cur.join(prev.select(id_col), id_col, "left_anti")
+            if prev is not None
+            else cur
+        )
+        if delta.isEmpty():
+            raise ValueError(
+                f"export_dataset_snapshot: versions {from_v}->{to_v} added "
+                f"no {table} rows; nothing to export (no-op refused)"
+            )
+        manifest = write_training_shards(
+            delta,
             out_dir,
             n_shards,
             id_col=id_col,
@@ -202,52 +284,42 @@ def export_dataset_snapshot(
                 "store": os.path.abspath(store_dir),
                 "table": table,
                 "store_version": to_v,
-                "from_version": None,
-                "parent": None,
+                "from_version": from_v,
+                "parent": os.path.abspath(parent_dir),
+                "parent_manifest_sha256": _manifest_sha256(parent_dir),
             },
         )
-    parent = _load_manifest(parent_dir)
-    pchain = parent.get("chain")
-    if pchain is None or "store_version" not in pchain:
-        raise ValueError(
-            "export_dataset_snapshot: parent export carries no chain "
-            "metadata (plain write_training_shards output?) — a version "
-            "delta against it is undefined"
-        )
-    from_v = int(pchain["store_version"])
-    if from_v >= to_v:
-        raise ValueError(
-            f"export_dataset_snapshot: unchanged range — parent already "
-            f"covers version {from_v}, store is at {to_v}; nothing to "
-            "export (no-op refused)"
-        )
-    prev = read_published(spark, store_dir, table, version=from_v)
-    delta = (
-        cur.join(prev.select(id_col), id_col, "left_anti")
-        if prev is not None
-        else cur
-    )
-    if delta.isEmpty():
-        raise ValueError(
-            f"export_dataset_snapshot: versions {from_v}->{to_v} added no "
-            f"{table} rows; nothing to export (no-op refused)"
-        )
-    return write_training_shards(
-        delta,
-        out_dir,
-        n_shards,
-        id_col=id_col,
-        seed=seed,
-        columns=columns,
-        chain={
-            "store": os.path.abspath(store_dir),
-            "table": table,
-            "store_version": to_v,
-            "from_version": from_v,
-            "parent": os.path.abspath(parent_dir),
-            "parent_manifest_sha256": _manifest_sha256(parent_dir),
-        },
-    )
+    except BaseException:
+        # the export never shipped — release its lease so a refused/failed
+        # attempt can't leak a permanent retention hold on the store (only
+        # the lease THIS call took; never a pre-existing one)
+        if we_pinned and pinned_versions(store_dir).get(to_v) == lease:
+            unpin_version(store_dir, to_v)
+        raise
+    if not keep_parent_pin:
+        parent_lease = f"export:{os.path.abspath(parent_dir)}"
+        if pinned_versions(store_dir).get(from_v) == parent_lease:
+            unpin_version(store_dir, from_v)
+    return manifest
+
+
+def _check_version_readable(store_dir: str, table: str, version: int) -> None:
+    """Refuse an incremental export whose base version's files were
+    reclaimed (the user explicitly unpinned and vacuum ran): without this
+    the delta derivation dies mid-scan with a raw FileNotFound deep in a
+    Spark job — surface the provenance story instead."""
+    from .streaming.publish import read_manifest
+
+    snap = read_manifest(store_dir, version=version)
+    tdir = os.path.join(store_dir, f"{table}.parquet")
+    for rel in snap["tables"].get(table, []):
+        if not os.path.exists(os.path.join(tdir, rel)):
+            raise ValueError(
+                f"export_dataset_snapshot: base version {version} of "
+                f"{table!r} is no longer re-readable ({rel} was vacuumed) — "
+                "its export lease was released; re-export FULL or chain "
+                "from a link whose version is still pinned"
+            )
 
 
 def read_training_chain(
@@ -284,6 +356,18 @@ def read_training_chain(
                     f"{d!r} changed since this link was exported "
                     f"(recorded sha256 {want}, found {got}) — the chain "
                     "no longer describes the dataset that was shipped"
+                )
+            pchain = _load_manifest(parent).get("chain") or {}
+            if (pchain.get("store"), pchain.get("table")) != (
+                chain.get("store"),
+                chain.get("table"),
+            ):
+                raise ValueError(
+                    f"read_training_chain: link {d!r} chains store "
+                    f"{chain.get('store')!r} table {chain.get('table')!r} "
+                    f"but its parent exported store {pchain.get('store')!r} "
+                    f"table {pchain.get('table')!r} — links from unrelated "
+                    "stores do not form one dataset"
                 )
         d = parent
     dirs.reverse()  # root first

@@ -197,3 +197,135 @@ def test_chain_verifies_parent_linkage_and_data(spark, tmp_path):
     json.dump(man, open(mpath, "w"))
     with pytest.raises(ValueError, match="changed since this link"):
         read_training_chain(spark, d1).count()
+
+
+# ---------------------------------------------------------------------------
+# export retention leases (r9): chained parents survive store maintenance
+# ---------------------------------------------------------------------------
+
+
+def _churn_and_vacuum(spark, store, n=6):
+    """Append n more versions, compact (so pre-churn files fall OUT of the
+    live snapshot — an append-only table never sheds files otherwise),
+    then vacuum with zero retention: anything not pinned loses its
+    files."""
+    from chainweb_data_spark.streaming.publish import (
+        compact_published,
+        publish_batch,
+        vacuum,
+    )
+
+    for i in range(n):
+        docs = spark.range(1000 + i * 10, 1010 + i * 10).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("churn "), F.col("id")).alias("text"),
+        )
+        publish_batch(
+            spark, {"curated_docs": docs}, store,
+            pks={"curated_docs": ("doc_id",)},
+        )
+    compact_published(spark, store, "curated_docs")
+    vacuum(store, keep_versions=0, min_age_s=0.0)
+
+
+def test_export_pin_survives_store_churn(spark, tmp_path):
+    """The r8 verdict hole: an export chains on a store VERSION, and
+    vacuum past MAINT_KEEP_VERSIONS used to reclaim that version's files,
+    permanently breaking later incremental exports.  The export lease
+    closes it: full export pins its version, churn + zero-retention
+    vacuum runs, and the incremental delta still derives."""
+    from chainweb_data_spark.export import export_dataset_snapshot
+    from chainweb_data_spark.streaming.publish import pinned_versions
+
+    store, (v1, _v2, _v3) = _store_with_versions(spark, tmp_path)
+    full = str(tmp_path / "e0")
+    export_dataset_snapshot(spark, store, full, 2, version=v1)
+    lease = pinned_versions(store)
+    assert lease.get(v1) == f"export:{os.path.abspath(full)}"
+
+    _churn_and_vacuum(spark, store)
+
+    d1 = str(tmp_path / "e1")
+    m1 = export_dataset_snapshot(spark, store, d1, 2, parent_dir=full)
+    assert m1["chain"]["from_version"] == v1
+    # supersession: the parent's export lease is released, the child's taken
+    pins = pinned_versions(store)
+    assert v1 not in pins
+    assert pins.get(m1["chain"]["store_version"]) == (
+        f"export:{os.path.abspath(d1)}"
+    )
+
+
+def test_export_refuses_after_explicit_unpin(spark, tmp_path):
+    """A user who explicitly releases the export lease and vacuums gets a
+    LOUD provenance refusal from the next incremental, not a raw Spark
+    FileNotFound mid-job."""
+    from chainweb_data_spark.export import export_dataset_snapshot
+    from chainweb_data_spark.streaming.publish import unpin_version
+
+    store, (v1, _v2, _v3) = _store_with_versions(spark, tmp_path)
+    full = str(tmp_path / "e0")
+    export_dataset_snapshot(spark, store, full, 2, version=v1)
+    unpin_version(store, v1)
+    _churn_and_vacuum(spark, store)
+    with pytest.raises(ValueError, match="no longer re-readable"):
+        export_dataset_snapshot(
+            spark, store, str(tmp_path / "e1"), 2, parent_dir=full
+        )
+
+
+def test_export_refuses_parent_from_other_store(spark, tmp_path):
+    """ADVICE r8 (medium): a parent exported from a DIFFERENT store (or
+    table) must refuse — a delta between unrelated version counters would
+    silently ship the wrong dataset."""
+    from chainweb_data_spark.export import (
+        export_dataset_snapshot,
+        read_training_chain,
+    )
+
+    store_a, (va, _x, _y) = _store_with_versions(spark, tmp_path / "a")
+    store_b, (_vb1, vb2, _vb3) = _store_with_versions(spark, tmp_path / "b")
+    full_a = str(tmp_path / "ea")
+    export_dataset_snapshot(spark, store_a, full_a, 2, version=va)
+    with pytest.raises(ValueError, match="unrelated version counters"):
+        export_dataset_snapshot(
+            spark, store_b, str(tmp_path / "eb"), 2,
+            version=vb2, parent_dir=full_a,
+        )
+    # and read_training_chain re-verifies per link: forge a cross-store
+    # child by editing its chain store in place
+    eb2 = str(tmp_path / "eb2")
+    export_dataset_snapshot(
+        spark, store_a, eb2, 2, parent_dir=full_a
+    )
+    mpath = os.path.join(eb2, "_export_manifest.json")
+    man = json.load(open(mpath))
+    man["chain"]["store"] = os.path.abspath(store_b)
+    json.dump(man, open(mpath, "w"))
+    with pytest.raises(ValueError, match="unrelated stores"):
+        read_training_chain(spark, eb2).count()
+
+
+def test_failed_export_releases_only_its_own_lease(spark, tmp_path):
+    """A refused export (out_dir already holds one) must not leak a lease
+    NOR steal a pre-existing pin on the same version."""
+    from chainweb_data_spark.export import export_dataset_snapshot
+    from chainweb_data_spark.streaming.publish import (
+        pin_version,
+        pinned_versions,
+    )
+
+    store, (v1, _v2, v3) = _store_with_versions(spark, tmp_path)
+    full = str(tmp_path / "e0")
+    export_dataset_snapshot(spark, store, full, 2, version=v1)
+    # re-export to the SAME dir refuses (immutable artifacts) — the lease
+    # taken by the first export must survive the refused second attempt
+    with pytest.raises(ValueError, match="already holds an export"):
+        export_dataset_snapshot(spark, store, full, 2, version=v1)
+    assert pinned_versions(store).get(v1) == f"export:{os.path.abspath(full)}"
+
+    # a user pin on an unexported version survives a failed export of it
+    pin_version(store, v3, name="user:training-run-7")
+    with pytest.raises(ValueError, match="already holds an export"):
+        export_dataset_snapshot(spark, store, full, 2, version=v3)
+    assert pinned_versions(store).get(v3) == "user:training-run-7"

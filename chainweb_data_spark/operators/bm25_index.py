@@ -140,12 +140,6 @@ def bm25_update_index(
     width = _index_bucket_width(out_dir) or BUCKET_HEX
     toks, tf, dfreq = _term_freq_scaffold(docs, id_col, text_col)
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
-    # ONE file per touched bucket per batch (repartition on the partition
-    # column before the partitionBy write): without this every shuffle
-    # task writes its own part file into every bucket dir, and the probe
-    # pays the parquet-open term ~32× — measured as the 10× rehearsal's
-    # probe cost DOUBLING purely on file count.  Same discipline as the
-    # dedup/ANN sinks' coalesce(1); compaction bounds the long run.
     postings = (
         tf.join(dl, id_col)
         .select(
@@ -155,24 +149,12 @@ def bm25_update_index(
             F.col("dl"),
         )
         .withColumn("key_bucket", _term_bucket(F.col("term"), width))
-        .repartition("key_bucket")
-        # term-sorted files: parquet row-group min/max stats then prune a
-        # probe's term filter WITHIN the bucket file, so probe bytes track
-        # O(postings(query)) instead of O(bucket) — the r8 rehearsal's
-        # residual probe growth (doc_id secondary keeps files
-        # deterministic for the bitwise stream-vs-oneshot tests)
-        .sortWithinPartitions(*POSTINGS_SORT)
     )
-    df_rows = (
-        dfreq.select(
-            F.col("token").alias("term"),
-            F.lit(int(batch_id)).alias("batch_id"),
-            F.col("df"),
-        )
-        .withColumn("key_bucket", _term_bucket(F.col("term"), width))
-        .repartition("key_bucket")
-        .sortWithinPartitions("term", "batch_id")
-    )
+    df_rows = dfreq.select(
+        F.col("token").alias("term"),
+        F.lit(int(batch_id)).alias("batch_id"),
+        F.col("df"),
+    ).withColumn("key_bucket", _term_bucket(F.col("term"), width))
     # n_docs counts EVERY batch doc (empty-text docs included — they are
     # corpus members for idf), n_dl_docs/dl_sum only tokenized docs: the
     # probe's avgdl = Σdl_sum / Σn_dl_docs, exactly bm25_search's
@@ -193,11 +175,25 @@ def bm25_update_index(
             F.lit(source_version).cast("long").alias("source_version"),
         )
     )
+    # file shape is pinned AT THE STAGING WRITE (publish layouts=), not by
+    # pre-shaping here: the publish path's PK dropDuplicates/anti-join
+    # shuffle would destroy any upstream repartition/sort.  One file per
+    # touched bucket per batch (repartition key_bucket — without it every
+    # shuffle task writes into every bucket dir and the probe pays the
+    # parquet-open term ~32×), rows term-sorted so parquet row-group
+    # min/max prunes a probe's terms WITHIN the bucket file: probe bytes
+    # track O(postings(query)) instead of O(bucket) — the r8 rehearsal's
+    # residual probe growth (doc_id secondary keeps files deterministic
+    # for the bitwise stream-vs-oneshot tests).
     snap = publish_batch(
         spark,
         {"bm25_postings": postings, "bm25_df": df_rows, "bm25_meta": meta},
         out_dir,
         pks=BM25_PKS,
+        layouts={
+            "bm25_postings": (("key_bucket",), POSTINGS_SORT),
+            "bm25_df": (("key_bucket",), ("term", "batch_id")),
+        },
     )
     if compact_every and batch_id > 0 and batch_id % compact_every == 0:
         compact_published(

@@ -639,11 +639,20 @@ def _stage_table(
     out_dir: str,
     table: str,
     pk: tuple[str, ...],
+    layout: tuple[tuple[str, ...], tuple[str, ...]] | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Anti-join ``df`` against the PUBLISHED rows (bounded by the same
     bucket pruning as merge_plan), write the survivors partition-laid-out
     into the table directory, and return the new files' relative paths and
-    footer stats — on disk but in no commit until the caller commits."""
+    footer stats — on disk but in no commit until the caller commits.
+
+    ``layout`` = (cluster_cols, sort_cols): applied AFTER the PK
+    dropDuplicates/anti-join (which shuffle, so any shaping the CALLER did
+    upstream is destroyed by the time rows reach the writer — r9 find: the
+    BM25 postings' term order only survived by accident of the dedup
+    aggregate's internal ordering).  ``repartition(cluster) →
+    sortWithinPartitions(sort)`` here is the only placement that actually
+    reaches the files."""
     from pyspark.sql import functions as F  # noqa: F401
 
     batch = df.dropDuplicates(list(pk))
@@ -671,6 +680,21 @@ def _stage_table(
         # case, listen.py)
         return [], {}
 
+    if layout is not None:
+        cluster, sort = layout
+        if cluster:
+            batch = batch.repartition(*cluster)
+        if sort:
+            # the sort KEY must lead with the cluster/partition columns:
+            # the V1 planned-write rule inserts its own Sort(partitionCols)
+            # above the query, and EliminateSorts drops whichever sort is
+            # subsumed — a bare sortWithinPartitions(sort) is the one
+            # eliminated (silently, leaving files in writer-sort order).
+            # With the partition cols prefixed, OUR ordering satisfies the
+            # writer's requirement and the planner's sort is the one
+            # removed, so the caller's file order actually lands on disk.
+            lead = [c for c in cluster if c not in sort]
+            batch = batch.sortWithinPartitions(*lead, *sort)
     staging = os.path.join(out_dir, "_staging", f"{table}-{uuid.uuid4().hex}")
     tdir = os.path.join(out_dir, f"{table}.parquet")
     writer = batch.write.mode("overwrite")
@@ -707,13 +731,16 @@ def publish_batch(
     out_dir: str,
     pks: dict[str, tuple[str, ...]] | None = None,
     max_retries: int = 3,
+    layouts: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] | None = None,
 ) -> dict:
     """Stage every table's merge, then commit ONE log entry covering all of
     them — the Worker.hs:50-82 transaction boundary.  On a version race
     (another writer committed first) the staged files are rebased onto the
     fresh snapshot and the commit retried — correct when concurrent
     writers own disjoint key-spaces (the PK anti-join ran against the
-    pre-race snapshot).  Returns the committed snapshot."""
+    pre-race snapshot).  ``layouts`` optionally pins a table's physical
+    file shape as ``{table: (cluster_cols, sort_cols)}`` — see
+    ``_stage_table``.  Returns the committed snapshot."""
     pks = pks or TABLE_PKS
     # adopt legacy (log-less) layouts and pin v1 before staging — see
     # ensure_manifest for why this must precede the first staged file
@@ -730,7 +757,18 @@ def publish_batch(
 
     with ThreadPoolExecutor(max_workers=min(8, max(1, len(tables)))) as ex:
         futs = [
-            (name, ex.submit(_stage_table, spark, df, out_dir, name, pks[name]))
+            (
+                name,
+                ex.submit(
+                    _stage_table,
+                    spark,
+                    df,
+                    out_dir,
+                    name,
+                    pks[name],
+                    (layouts or {}).get(name),
+                ),
+            )
             for name, df in tables.items()
         ]
         for name, fut in futs:

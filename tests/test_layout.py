@@ -39,20 +39,42 @@ def test_partition_directories(indexed_path):
     assert buckets == [f"height_bucket={b}" for b in range(10)]
 
 
-def _scan_files_read(df) -> int:
-    """Runtime `number of files read` metric of the (single) parquet scan."""
+def _sum_scan_metric(df, metric: str) -> int:
+    """Sum a runtime metric over every parquet scan in the EXECUTED plan.
+
+    Walks through AQE's QueryStageExec wrappers explicitly: under adaptive
+    execution the final plan's collectLeaves() returns the stage wrappers
+    themselves (they are LeafExecNodes), NOT the FileSourceScanExec nodes
+    inside them — a leaves-only walk silently reports 0 for any plan with
+    a shuffle/broadcast stage between scan and result (r9 find: the r8
+    probe file-count assertions were vacuous for exactly this reason)."""
     df.collect()  # executes THIS _jdf's queryExecution, populating metrics
     ep = df._jdf.queryExecution().executedPlan()
-    if "AdaptiveSparkPlan" in ep.getClass().getSimpleName():
-        ep = ep.executedPlan()
-    leaves = ep.collectLeaves()
+
     total = 0
-    for i in range(leaves.size()):
-        node = leaves.apply(i)
+
+    def walk(node):
+        nonlocal total
+        cls = node.getClass().getSimpleName()
+        if "AdaptiveSparkPlan" in cls:
+            walk(node.executedPlan())
+            return
         m = node.metrics()
-        if m.contains("numFiles"):
-            total += m.apply("numFiles").value()
+        if "Scan" in cls and m.contains(metric):
+            total += m.apply(metric).value()
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if "QueryStage" in cls:
+            walk(node.plan())
+
+    walk(ep)
     return total
+
+
+def _scan_files_read(df) -> int:
+    """Runtime `number of files read` summed over the plan's parquet scans."""
+    return _sum_scan_metric(df, "numFiles")
 
 
 def test_height_range_prunes_partitions(spark, indexed_path):

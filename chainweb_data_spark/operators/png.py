@@ -120,17 +120,24 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → H×W×C uint8 array (C = 3 for gray/palette/RGB inputs
-    expanded to RGB, 4 when the source carries alpha).  Supported profile:
-    8-bit, color types {0, 2, 3, 4, 6}, non-interlaced; anything else
-    raises :class:`PngFormatError` (refuse, never mis-decode)."""
+    expanded to RGB, 4 when the source carries alpha — including via a
+    ``tRNS`` transparency chunk, which is APPLIED per the spec: per-entry
+    alpha for palette images, a key color mapped to alpha 0 for gray/RGB;
+    tRNS alongside color types 4/6 is spec-invalid and refused).
+    Supported profile: 8-bit, color types {0, 2, 3, 4, 6}, non-interlaced;
+    anything else raises :class:`PngFormatError` (refuse, never
+    mis-decode)."""
     ihdr = None
     palette = None
+    trns = None
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = body
         elif ctype == b"IDAT":
             idat.extend(body)
     if ihdr is None:
@@ -152,24 +159,58 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise PngFormatError(f"IDAT inflate failed: {e}") from None
+    if trns is not None and ctype_ in (4, 6):
+        # the spec prohibits tRNS alongside a full alpha channel — a file
+        # carrying both is malformed, so refuse rather than pick one
+        raise PngFormatError(
+            f"tRNS chunk is invalid for color type {ctype_}"
+        )
     bpp = _CHANNELS[ctype_]
     planes = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
-    if ctype_ == 2:  # RGB
-        return planes
+    if ctype_ == 2:  # RGB (tRNS: one 16-bit-per-sample key color -> alpha)
+        if trns is None:
+            return planes
+        if len(trns) != 6:
+            raise PngFormatError("malformed tRNS for RGB (need 6 bytes)")
+        key = np.array(struct.unpack(">HHH", trns), dtype=np.uint16)
+        if (key > 255).any():
+            # a key outside the 8-bit sample range can never match — but
+            # it is also spec-invalid at depth 8, so refuse
+            raise PngFormatError("tRNS key sample exceeds bit depth 8")
+        alpha = np.where(
+            (planes == key.astype(np.uint8)).all(axis=2), 0, 255
+        ).astype(np.uint8)[:, :, None]
+        return np.concatenate([planes, alpha], axis=2)
     if ctype_ == 6:  # RGBA
         return planes
-    if ctype_ == 0:  # gray -> RGB
-        return np.repeat(planes, 3, axis=2)
+    if ctype_ == 0:  # gray -> RGB (tRNS: one 16-bit key level -> alpha)
+        g3 = np.repeat(planes, 3, axis=2)
+        if trns is None:
+            return g3
+        if len(trns) != 2:
+            raise PngFormatError("malformed tRNS for gray (need 2 bytes)")
+        (key,) = struct.unpack(">H", trns)
+        if key > 255:
+            raise PngFormatError("tRNS key sample exceeds bit depth 8")
+        alpha = np.where(planes[:, :, 0] == key, 0, 255).astype(np.uint8)
+        return np.concatenate([g3, alpha[:, :, None]], axis=2)
     if ctype_ == 4:  # gray+alpha -> RGBA
         g = np.repeat(planes[:, :, :1], 3, axis=2)
         return np.concatenate([g, planes[:, :, 1:]], axis=2)
-    # palette
+    # palette (tRNS: per-entry alpha, short table padded with opaque)
     if palette is None:
         raise PngFormatError("palette image without PLTE chunk")
     idx = planes[:, :, 0]
     if int(idx.max(initial=0)) >= len(palette):
         raise PngFormatError("palette index out of range")
-    return palette[idx]
+    if trns is None:
+        return palette[idx]
+    if len(trns) > len(palette):
+        raise PngFormatError("tRNS longer than palette")
+    pal_alpha = np.full(len(palette), 255, dtype=np.uint8)
+    pal_alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    rgba = np.concatenate([palette, pal_alpha[:, None]], axis=1)
+    return rgba[idx]
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:

@@ -287,6 +287,17 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             commit["stats"] = stats
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
+        # fold the ACTIVE pin set into every checkpoint (the table-state
+        # amortization applied to leases): pinned_versions then replays
+        # at most CHECKPOINT_EVERY-1 commits instead of the whole log
+        pins = {} if version == 1 else _pins_at(out_dir, version - 1)
+        if op == "pin":
+            pins[int(manifest["pin"]["version"])] = manifest["pin"].get(
+                "name"
+            )
+        elif op == "unpin":
+            pins.pop(int(manifest["pin"]["version"]), None)
+        commit["pins"] = {str(k): n for k, n in sorted(pins.items())}
     else:
         base = _resolve(out_dir, version - 1)
         add: dict[str, list[str]] = {}
@@ -371,23 +382,44 @@ def history(out_dir: str) -> list[dict]:
     return out
 
 
+def _pins_at(out_dir: str, version: int) -> dict[int, str | None]:
+    """The active pin set AS OF ``version``: walk back to the nearest
+    commit carrying a folded ``pins`` snapshot (checkpoints write one —
+    the same amortization as table state, so this is O(commits since
+    last checkpoint), not O(total versions)), then replay the pin/unpin
+    ops forward.  Pre-fold stores (checkpoints without the key) fall
+    through to a full replay from v1 — correct, just unamortized until
+    their next checkpoint lands."""
+    ops: list[dict] = []
+    base: dict[int, str | None] = {}
+    v = version
+    while v >= 1:
+        c = _load_commit(out_dir, v)
+        if "pins" in c:
+            base = {int(k): n for k, n in c["pins"].items()}
+            break
+        p = c.get("pin")
+        if p and c.get("op") in ("pin", "unpin"):
+            ops.append({"op": c["op"], **p})
+        v = c.get("parent", v - 1) if "tables" not in c else v - 1
+    for p in reversed(ops):
+        if p["op"] == "pin":
+            base[int(p["version"])] = p.get("name")
+        else:
+            base.pop(int(p["version"]), None)
+    return base
+
+
 def pinned_versions(out_dir: str) -> dict[int, str | None]:
     """The ACTIVE retention leases: ``{pinned version: name}``, folded
     from the ``pin`` / ``unpin`` ops in the commit log (the registry
     lives IN the log — a pin is itself a commit, so it is atomic,
     crash-durable, and visible to every concurrent maintenance writer
-    through the same protocol as data)."""
-    pins: dict[int, str | None] = {}
-    for v in range(1, _latest_version(out_dir) + 1):
-        c = _load_commit(out_dir, v)
-        p = c.get("pin")
-        if not p:
-            continue
-        if c.get("op") == "pin":
-            pins[int(p["version"])] = p.get("name")
-        elif c.get("op") == "unpin":
-            pins.pop(int(p["version"]), None)
-    return pins
+    through the same protocol as data).  Amortized by the checkpoint
+    fold (see :func:`_pins_at`): maintenance loops that call this after
+    every compaction pay O(CHECKPOINT_EVERY) commit reads, not O(total
+    versions) — the r8-flagged quadratic."""
+    return _pins_at(out_dir, _latest_version(out_dir))
 
 
 def pin_version(
@@ -401,7 +433,17 @@ def pin_version(
     byte-identically re-readable until :func:`unpin_version` releases it.
     Refuses a version that is uncommitted or whose files are ALREADY
     reclaimed (a lease on an unreadable snapshot would promise the
-    impossible).  Returns the new live snapshot."""
+    impossible).  Returns the new live snapshot.
+
+    Concurrency: a vacuum IN FLIGHT while this commits may have read the
+    pin set before the pin landed.  The files are re-verified AFTER the
+    pin commit and the lease is released (plus a loud raise) if any were
+    lost — so a lost race surfaces as an error, never as a silently
+    unreadable lease.  The residual window (vacuum deletes after this
+    re-verify returns) requires the single-maintenance-writer discipline
+    every other maintenance op here already assumes: don't run vacuum
+    concurrently with pin_version on versions at/past the retention
+    horizon."""
     latest = _latest_version(out_dir)
     if not 1 <= version <= latest:
         raise ValueError(
@@ -409,15 +451,22 @@ def pin_version(
             f"1..{latest} of {out_dir!r}"
         )
     snap = _resolve(out_dir, version)
-    for t, fs in snap["tables"].items():
-        tdir = os.path.join(out_dir, f"{t}.parquet")
-        for rel in fs:
-            if not os.path.exists(os.path.join(tdir, rel)):
-                raise ValueError(
-                    f"pin_version: version {version} is no longer "
-                    f"re-readable — {t}/{rel} was already vacuumed; "
-                    "pin BEFORE the retention horizon passes"
-                )
+
+    def _missing_file() -> str | None:
+        for t, fs in snap["tables"].items():
+            tdir = os.path.join(out_dir, f"{t}.parquet")
+            for rel in fs:
+                if not os.path.exists(os.path.join(tdir, rel)):
+                    return f"{t}/{rel}"
+        return None
+
+    gone = _missing_file()
+    if gone is not None:
+        raise ValueError(
+            f"pin_version: version {version} is no longer "
+            f"re-readable — {gone} was already vacuumed; "
+            "pin BEFORE the retention horizon passes"
+        )
     for _ in range(2):
         manifest = read_manifest(out_dir)
         commit = {
@@ -429,9 +478,20 @@ def pin_version(
         }
         try:
             _write_manifest(out_dir, commit)
-            return commit
         except ConcurrentWriteError:
             continue
+        # re-verify AFTER the lease is durable: a vacuum that snapshotted
+        # the pin set before this commit may have reclaimed the files in
+        # between — release the now-hollow lease and fail loudly
+        gone = _missing_file()
+        if gone is not None:
+            unpin_version(out_dir, version)
+            raise ValueError(
+                f"pin_version: lost the race with a concurrent vacuum — "
+                f"{gone} was reclaimed while the pin committed; the lease "
+                "was released (see the single-maintenance-writer note)"
+            )
+        return commit
     raise ConcurrentWriteError(
         f"pin_version: lost the commit race twice in {out_dir!r}"
     )
@@ -1075,6 +1135,16 @@ def vacuum(
     # dataset_snapshot provenance contract (pin_version)
     retained.update(pinned_versions(out_dir))
     for v in sorted(retained):
+        snap = _resolve(out_dir, v)
+        for t, fs in snap["tables"].items():
+            live.setdefault(t, set()).update(fs)
+    # re-read the pin set as LATE as possible (cheap post-r9: checkpoint
+    # fold) and union in any lease that committed while the live set was
+    # being built — narrows the pin/vacuum window to the microseconds
+    # between this read and the deletes; pin_version's post-commit
+    # re-verify turns whatever slips through into a loud failure
+    for v in set(pinned_versions(out_dir)) - retained:
+        retained.add(v)
         snap = _resolve(out_dir, v)
         for t, fs in snap["tables"].items():
             live.setdefault(t, set()).update(fs)

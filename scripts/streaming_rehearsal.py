@@ -455,6 +455,7 @@ def ann_retrain_report(
         ann_index_imbalance,
         ann_index_search,
         maybe_rebuild_ann_index,
+        rebuild_ann_index,
         update_ann_index,
     )
 
@@ -507,10 +508,12 @@ def ann_retrain_report(
                 list(zip(all_ids, [list(v) for v in all_np])),
                 "vec_id long, embedding array<double>",
             )
+            t_rb = _time.perf_counter()
             r = maybe_rebuild_ann_index(
                 spark, retrain, corpus_df, rc, rb,
                 threshold=threshold, n_cells=n_cells,
             )
+            t_rb = _time.perf_counter() - t_rb
             rc, rb = r["centroids"], r["codebooks"]
             rebuilds += int(r["rebuilt"])
             ids_np, X = np.array(all_ids), np.array(all_np)
@@ -528,13 +531,51 @@ def ann_retrain_report(
                     "search_s": r_s,
                     "rebuilds_so_far": rebuilds,
                     "trigger_imbalance": round(r["imbalance"], 2),
+                    # r9 (verdict #7): the COST side of the threshold
+                    # trade — rebuild is O(corpus) re-encode when it
+                    # fires, a footer-stat check when it doesn't; the
+                    # corpus size is recorded so successive checkpoints
+                    # give rebuild wall vs corpus growth directly
+                    "rebuilt_this_checkpoint": bool(r["rebuilt"]),
+                    "maybe_rebuild_s": round(t_rb, 3),
+                    "corpus_vectors": len(all_ids),
                 },
             }
+    # r9 (verdict #7): the rebuild-COST row — rebuild_ann_index is
+    # O(corpus) re-encode by design (a quantizer swap invalidates every
+    # code), and the trigger threshold is a trade between that cost and
+    # the recall cliff the checkpoints above measure.  Time a FORCED
+    # rebuild at 1x and 10x corpus so the threshold has data behind it.
+    import shutil as _sh
+
+    rebuild_cost: dict = {}
+    for mult in (1, 10):
+        n_vec = 300 * era_every * mult
+        corpus = _era_vec_batch(spark, 0, lo=0, n=n_vec).localCheckpoint(
+            eager=True
+        )
+        store = os.path.join(WORK, f"annrebuild_{mult}x")
+        _sh.rmtree(store, ignore_errors=True)
+        c0 = sim.ivf_train_kmeans(corpus, "vec_id", "embedding", n_cells)
+        cb0 = sim.pq_train(corpus, "vec_id", "embedding", m=8, k=16)
+        update_ann_index(spark, corpus, store, 0, c0, cb0)
+        t0 = _time.perf_counter()
+        rebuild_ann_index(spark, store, corpus, n_cells=n_cells, m=8)
+        rebuild_cost[f"{mult}x"] = {
+            "corpus_vectors": n_vec,
+            "rebuild_s": round(_time.perf_counter() - t0, 3),
+        }
+    rebuild_cost["growth"] = round(
+        rebuild_cost["10x"]["rebuild_s"]
+        / max(rebuild_cost["1x"]["rebuild_s"], 1e-9),
+        2,
+    )
     return {
         "n_batches": n_batches,
         "era_every": era_every,
         "threshold": threshold,
         "checkpoints": checkpoints,
+        "rebuild_cost": rebuild_cost,
     }
 
 

@@ -142,3 +142,116 @@ def test_dataset_snapshot_pin_flag(spark, tmp_path):
     v, df = dataset_snapshot(spark, out, pin=True)
     assert df.count() == 20
     assert pinned_versions(out) == {v: "dataset_snapshot"}
+
+
+def test_pins_folded_into_checkpoints_bounds_the_scan(spark, tmp_path):
+    """r9 (ADVICE): pinned_versions must replay O(CHECKPOINT_EVERY)
+    commits, not the whole log — checkpoints carry the folded pin set,
+    and the fold survives pins/unpins committed across several
+    checkpoint boundaries."""
+    out = str(tmp_path / "pf")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    pin_version(out, 1, name="keep-1")
+    # churn across at least two checkpoint boundaries, pinning/unpinning
+    # along the way so the fold has real state to carry
+    for i in range(2 * pub.CHECKPOINT_EVERY + 3):
+        lo = 10 + i * 10
+        publish_batch(spark, {"t": _batch(spark, lo, lo + 10)}, out, pks=PK)
+    v_mid = read_manifest(out)["version"]
+    pin_version(out, v_mid, name="keep-mid")
+    unpin_version(out, 1)
+    for i in range(pub.CHECKPOINT_EVERY + 2):
+        lo = 1000 + i * 10
+        publish_batch(spark, {"t": _batch(spark, lo, lo + 10)}, out, pks=PK)
+    latest = read_manifest(out)["version"]
+    assert latest > 3 * pub.CHECKPOINT_EVERY
+
+    # ground truth: full replay from v1
+    full = {}
+    for v in range(1, latest + 1):
+        c = pub._load_commit(out, v)
+        p = c.get("pin")
+        if p and c.get("op") == "pin":
+            full[int(p["version"])] = p.get("name")
+        elif p and c.get("op") == "unpin":
+            full.pop(int(p["version"]), None)
+    assert pinned_versions(out) == full == {v_mid: "keep-mid"}
+
+    # the newest checkpoint carries the fold, and the walk stops there:
+    # count the commits _pins_at actually loads
+    ckpt = (latest // pub.CHECKPOINT_EVERY) * pub.CHECKPOINT_EVERY
+    assert "pins" in pub._load_commit(out, ckpt)
+    loads = []
+    orig = pub._load_commit
+
+    def counting(out_dir, version):
+        loads.append(version)
+        return orig(out_dir, version)
+
+    try:
+        pub._load_commit = counting
+        got = pinned_versions(out)
+    finally:
+        pub._load_commit = orig
+    assert got == full
+    assert len(loads) <= pub.CHECKPOINT_EVERY
+    assert min(loads) >= ckpt
+
+
+def test_pre_fold_store_still_replays_fully(spark, tmp_path):
+    """A store whose checkpoints predate the fold (no "pins" key) must
+    fall through to the full-log replay — strip the key to simulate."""
+    import json
+
+    out = str(tmp_path / "pl")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    pin_version(out, 1, name="old-lease")
+    for i in range(pub.CHECKPOINT_EVERY + 2):
+        lo = 10 + i * 10
+        publish_batch(spark, {"t": _batch(spark, lo, lo + 10)}, out, pks=PK)
+    mdir = os.path.join(out, "_manifest")
+    stripped = 0
+    for name in os.listdir(mdir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        p = os.path.join(mdir, name)
+        with open(p) as f:
+            c = json.load(f)
+        if "pins" in c:
+            del c["pins"]
+            with open(p, "w") as f:
+                json.dump(c, f, separators=(",", ":"))
+            stripped += 1
+    assert stripped >= 2  # v1 and at least one later checkpoint
+    assert pinned_versions(out) == {1: "old-lease"}
+
+
+def test_pin_lost_race_with_vacuum_fails_loudly(spark, tmp_path, monkeypatch):
+    """r9 (ADVICE): a vacuum that reclaims the files BETWEEN pin_version's
+    pre-check and its commit must surface as a loud error with the lease
+    released — never a silently unreadable pin.  Interleave by deleting
+    the files from inside the commit write."""
+    out = str(tmp_path / "pr")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    v_old = read_manifest(out)["version"]
+    publish_batch(spark, {"t": _batch(spark, 10, 20)}, out, pks=PK)
+    compact_published(spark, out, "t", keep_versions=0)
+    old_files = read_manifest(out, v_old)["tables"]["t"]
+
+    orig = pub._write_manifest
+
+    def racing(out_dir, manifest):
+        orig(out_dir, manifest)
+        if manifest.get("op") == "pin":
+            # the concurrent vacuum wins: files reclaimed post-commit
+            for rel in old_files:
+                f = os.path.join(out_dir, "t.parquet", rel)
+                if os.path.exists(f):
+                    os.remove(f)
+
+    monkeypatch.setattr(pub, "_write_manifest", racing)
+    with pytest.raises(ValueError, match="concurrent vacuum"):
+        pin_version(out, v_old, name="doomed")
+    monkeypatch.setattr(pub, "_write_manifest", orig)
+    # the hollow lease was released, not left dangling
+    assert v_old not in pinned_versions(out)

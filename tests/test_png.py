@@ -132,3 +132,59 @@ def test_png_features_end_to_end(spark):
         img = decode_png(png_image_bytes(i))
         assert rows[i]["mean_r"] == float(img[:, :, 0].mean())
         assert rows[i]["n_bytes"] == len(png_image_bytes(i))
+
+
+def test_trns_palette_applied_as_rgba():
+    # palette of 3 entries; tRNS covers the first two (0, 128) — the
+    # third is padded opaque per the spec's short-table rule
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    trns = _chunk(b"tRNS", bytes([0, 128]))
+    raw = bytes([0, 0, 1]) + bytes([0, 2, 2])
+    out = decode_png(_png((2, 2, 8, 3, 0, 0, 0), raw, extra=plte + trns))
+    assert out.shape == (2, 2, 4)
+    assert (out[0, 0] == [255, 0, 0, 0]).all()
+    assert (out[0, 1] == [0, 255, 0, 128]).all()
+    assert (out[1, 0] == [0, 0, 255, 255]).all()
+
+
+def test_trns_gray_and_rgb_key_color():
+    # gray: key level 10 becomes alpha 0, everything else opaque
+    raw = bytes([0, 10, 20])
+    trns = _chunk(b"tRNS", struct.pack(">H", 10))
+    out = decode_png(_png((2, 1, 8, 0, 0, 0, 0), raw, extra=trns))
+    assert out.shape == (1, 2, 4)
+    assert (out[0, 0] == [10, 10, 10, 0]).all()
+    assert (out[0, 1] == [20, 20, 20, 255]).all()
+    # RGB: only an exact 3-sample match keys out
+    raw = bytes([0, 1, 2, 3, 1, 2, 4])
+    trns = _chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+    out = decode_png(_png((2, 1, 8, 2, 0, 0, 0), raw, extra=trns))
+    assert (out[0, 0] == [1, 2, 3, 0]).all()
+    assert (out[0, 1] == [1, 2, 4, 255]).all()
+
+
+def test_trns_invalid_forms_refused():
+    # tRNS with a full alpha channel (color types 4/6) is spec-invalid
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    good = encode_png(rgba)
+    # splice a tRNS chunk before IDAT
+    ihdr_end = 8 + 12 + 13
+    bad = good[:ihdr_end] + _chunk(b"tRNS", b"\0\0") + good[ihdr_end:]
+    with pytest.raises(PngFormatError, match="tRNS"):
+        decode_png(bad)
+    # wrong-length key for RGB
+    raw = bytes([0, 1, 2, 3])
+    bad_trns = _chunk(b"tRNS", b"\0\0")
+    with pytest.raises(PngFormatError, match="tRNS"):
+        decode_png(_png((1, 1, 8, 2, 0, 0, 0), raw, extra=bad_trns))
+    # 16-bit key value out of range for depth 8
+    raw = bytes([0, 7])
+    big = _chunk(b"tRNS", struct.pack(">H", 300))
+    with pytest.raises(PngFormatError, match="bit depth"):
+        decode_png(_png((1, 1, 8, 0, 0, 0, 0), raw, extra=big))
+    # tRNS longer than the palette
+    plte = _chunk(b"PLTE", bytes([1, 2, 3]))
+    t4 = _chunk(b"tRNS", bytes([0, 0, 0, 0]))
+    with pytest.raises(PngFormatError, match="longer than"):
+        decode_png(_png((1, 1, 8, 3, 0, 0, 0), bytes([0, 0]), extra=plte + t4))

@@ -1,14 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so most decode paths are
-pluggable registry entries: ``decode_image`` raises ``NotImplementedError``
-unless a registered codec matches the payload magic.  Registered here: the
-deterministic fake formats (``fake_image_bytes`` et al.) AND one real
-codec — the pure-stdlib PNG decoder (``operators/png.py``: zlib + the five
-scanline filters, CRC-verified), so PNG payloads genuinely decode in this
-container.  Everything Spark-side — schema, batch iteration, partitioning,
-UDF signatures — is real and tested.
+The container has no image/audio libraries, so compressed-format decode
+paths are pluggable registry entries: ``decode_image`` raises
+``NotImplementedError`` unless a registered codec matches the payload
+magic.  Registered here: the deterministic fake formats
+(``fake_image_bytes`` et al.) AND one REAL pure-stdlib codec per modality
+— PNG for images (``operators/png.py``: zlib + the five scanline filters,
+CRC-verified), RIFF/WAVE integer PCM for audio (``operators/wav.py``),
+and YUV4MPEG2 for video (``operators/y4m.py``, whose fixed frame stride
+also backs the seek-sampling fast path in ``video_frame_sample``).
+JPEG/MP3/H.264 remain the documented pluggable boundary.  Everything
+Spark-side — schema, batch iteration, partitioning, UDF signatures — is
+real and tested.
 
 At 100 TB: binaries ride in their own column (Parquet keeps them in separate
 column chunks → metadata-only queries never read the bytes); feature
@@ -197,6 +201,37 @@ from .png import PNG_MAGIC, decode_png, encode_png  # noqa: E402
 
 register_codec("image", PNG_MAGIC, decode_png)
 
+# ... r9 completes the set: one REAL pure-stdlib codec per modality.
+# WAV (operators/wav.py — RIFF/WAVE integer PCM) for audio and YUV4MPEG2
+# (operators/y4m.py — fixed-stride planar YUV) for video register through
+# the same door; compressed formats (JPEG/MP3/H.264) remain the documented
+# pluggable boundary for environments that carry the libraries.
+from .wav import WAV_MAGIC, decode_wav, encode_wav  # noqa: E402
+from .y4m import (  # noqa: E402
+    Y4M_MAGIC,
+    decode_y4m,
+    encode_y4m,
+    y4m_sample_frames,
+)
+
+register_codec("audio", WAV_MAGIC, decode_wav)
+register_codec("video", Y4M_MAGIC, decode_y4m)
+
+#: magic -> sampler(data, every_k) -> [(frame_idx, HxWx3 RGB)].  A format
+#: whose container supports frame SEEKING (y4m: fixed stride) registers
+#: here so video_frame_sample touches only the sampled frames' bytes; the
+#: fallback is decode-everything-then-stride through the codec registry.
+_FRAME_SAMPLERS: dict[bytes, Callable[[bytes, int], list]] = {}
+
+
+def register_frame_sampler(
+    magic: bytes, sampler: Callable[[bytes, int], list]
+) -> None:
+    _FRAME_SAMPLERS[magic] = sampler
+
+
+register_frame_sampler(Y4M_MAGIC, y4m_sample_frames)
+
 
 def png_image_bytes(seed: int, width: int = 8, height: int = 8) -> bytes:
     """A REAL PNG (RGB8, filter-0 scanlines) with seed-derived pixels —
@@ -226,6 +261,53 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
             F.lit(0).cast("int").alias("sample_rate"),
         ),
     )
+
+
+def wav_audio_bytes(
+    seed: int, n_samples: int = 1600, sample_rate: int = 16000
+) -> bytes:
+    """A REAL WAV clip (PCM16 mono) with seed-derived samples — the
+    deterministic fixture for the genuine audio decode path."""
+    rng = np.random.default_rng(seed * 104729 + 11)
+    x = rng.integers(-32768, 32768, size=n_samples, dtype=np.int16)
+    return encode_wav(sample_rate, x)
+
+
+def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a deterministic REAL-WAV media column from an id column
+    (same plumbing as attach_fake_audio, genuine codec underneath)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: wav_audio_bytes(int(i)))
+
+    return df.withColumn("media", _mk(F.col(id_col)))
+
+
+def y4m_video_bytes(
+    seed: int, width: int = 8, height: int = 6, n_frames: int = 12
+) -> bytes:
+    """A REAL y4m clip (C420jpeg planar YUV) with seed-derived planes —
+    the deterministic fixture for the genuine video decode/seek path."""
+    rng = np.random.default_rng(seed * 7907 + 3)
+    y = rng.integers(0, 256, size=(n_frames, height, width), dtype=np.uint8)
+    u = rng.integers(
+        0, 256, size=(n_frames, height // 2, width // 2), dtype=np.uint8
+    )
+    v = rng.integers(
+        0, 256, size=(n_frames, height // 2, width // 2), dtype=np.uint8
+    )
+    return encode_y4m(y, u, v)
+
+
+def attach_y4m_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Derive a deterministic REAL-y4m media column from an id column."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _mk(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: y4m_video_bytes(int(i)))
+
+    return df.withColumn("media", _mk(F.col(id_col)))
 
 
 def attach_fake_video(df: DataFrame, id_col: str) -> DataFrame:
@@ -343,17 +425,30 @@ def video_frame_sample(
 ) -> DataFrame:
     """Sample every k-th frame and emit one row per sampled frame with its
     BT.601 luma mean — the fan-out (one binary → many frame rows) shape a
-    real frame-dedup / shot-detect pipeline needs."""
+    real frame-dedup / shot-detect pipeline needs.  Containers with a
+    registered frame SAMPLER (y4m: fixed frame stride) are sampled by
+    offset arithmetic — the skipped frames' bytes are never copied or
+    color-converted; other formats fall back to full decode + stride,
+    bit-identical output either way (tested)."""
     id_c, media_c = id_col, media_col
     codecs = _registry_snapshot()
+    samplers = dict(_FRAME_SAMPLERS)
+
+    def _frames(data: bytes):
+        for magic, fn in samplers.items():
+            if data[: len(magic)] == magic:
+                for fidx, fr in fn(data, every_k):
+                    yield fidx, fr.astype(np.float64)
+                return
+        vid = _decode(codecs, "video", data).astype(np.float64)
+        for fidx in range(0, vid.shape[0], every_k):
+            yield fidx, vid[fidx]
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, data in zip(pdf[id_c], pdf[media_c]):
-                vid = _decode(codecs, "video", bytes(data)).astype(np.float64)
-                for fidx in range(0, vid.shape[0], every_k):
-                    fr = vid[fidx]
+                for fidx, fr in _frames(bytes(data)):
                     luma = (
                         0.299 * fr[:, :, 0] + 0.587 * fr[:, :, 1] + 0.114 * fr[:, :, 2]
                     )

@@ -1379,6 +1379,101 @@ def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(with_media, "doc_id").orderBy("id")
 
 
+def _wav_oracle() -> str:
+    """The _png_oracle move for audio: REAL WAV bytes (operators/wav.py,
+    RIFF/WAVE integer PCM) encoded and decoded in pure Python at
+    registration, asserting Spark's mapInPandas path (registry dispatch
+    on the RIFF magic included) reproduces the genuine codec
+    bit-for-bit."""
+    import numpy as np
+
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(_MM_N_SMALL):
+        rate, samples = mm.decode_wav(mm.wav_audio_bytes(i))
+        x = samples.astype(np.float64)
+        rows.append(
+            (
+                i,
+                int(rate),
+                int(len(samples)),
+                float(len(samples) / rate),
+                float(np.sqrt(np.mean(x * x))),
+                int(np.max(np.abs(x))),
+            )
+        )
+    return _values_oracle(
+        rows,
+        [
+            ("id", "BIGINT"),
+            ("sample_rate", "INT"),
+            ("n_samples", "INT"),
+            ("duration_s", "DOUBLE"),
+            ("rms", "DOUBLE"),
+            ("peak", "INT"),
+        ],
+    )
+
+
+@register("multimodal_wav_features", oracle=_wav_oracle())
+def multimodal_wav_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binary-audio pipeline over a REAL codec (r9): deterministic
+    PCM16 WAV payloads attached per doc_id, decoded inside mapInPandas
+    via the same codec registry the fakes use, features oracle-checked
+    against the pure-Python evaluation of the identical bytes.  The codec
+    boundary is no longer a stub for WAV."""
+    from ..operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _MM_N_SMALL)
+    )
+    with_media = mm.attach_wav_media(docs, "doc_id")
+    return mm.audio_features(with_media, "doc_id").orderBy("id")
+
+
+def _y4m_oracle() -> str:
+    """REAL y4m frame sampling evaluated in pure Python — through the
+    SEEK path (y4m_sample_frames), which the Spark side also takes; the
+    test suite separately proves seek ≡ full-decode bit-for-bit."""
+    import numpy as np
+
+    from ..operators import multimodal as mm
+
+    rows = []
+    for i in range(_MM_N_SMALL):
+        data = mm.y4m_video_bytes(i)
+        for fidx, fr in mm.y4m_sample_frames(data, _FRAME_EVERY_K):
+            f = fr.astype(np.float64)
+            luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+            rows.append((i, int(fidx), float(luma.mean())))
+    return _values_oracle(
+        rows, [("id", "BIGINT"), ("frame_idx", "INT"), ("mean_luma", "DOUBLE")]
+    )
+
+
+@register("multimodal_y4m_frames", oracle=_y4m_oracle())
+def multimodal_y4m_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a REAL video container (r9): YUV4MPEG2's fixed
+    frame stride means every 4th frame is materialized by OFFSET
+    ARITHMETIC inside mapInPandas — skipped frames are never copied or
+    BT.601-converted (operators/y4m.py y4m_sample_frames; the fallback
+    equivalence is plan-tested in tests/test_y4m.py)."""
+    from ..operators import multimodal as mm
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _MM_N_SMALL)
+    )
+    with_media = mm.attach_y4m_media(docs, "doc_id")
+    return mm.video_frame_sample(
+        with_media, "doc_id", every_k=_FRAME_EVERY_K
+    ).orderBy("id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # Decontamination + sequence packing (pretraining-pipeline staples)
 # ---------------------------------------------------------------------------

@@ -60,11 +60,21 @@ writer published in between.  Single-writer deployments never rebase.
 With Delta/Iceberg available this module disappears into their transaction
 log — same protocol (stage files, commit one metadata delta, checkpoint,
 vacuum), engine-grade implementation; the log here keeps the repo
-dependency-free.  Known residual at extreme file counts: checkpoints are
-JSON and carry the per-file stats, so checkpoint bytes scale with
-live files × stat columns — the production answer is Delta's move
-(checkpoint as PARQUET, readable column-pruned); delta commits, which
-dominate the write path, are unaffected.
+dependency-free.
+
+Checkpoints are PARQUET (r9 — Delta's move, closing the former "known
+residual"): the per-checkpoint commit JSON stays O(1) bytes (version,
+op, pin fold, a sidecar reference and row count) while the O(live files)
+snapshot — file names and their per-file stats — lives in a zstd
+parquet sidecar next to the log.  The stats column is the bulk of
+checkpoint bytes and the part most readers never need, so consumers that
+want only file SETS (vacuum's live-set sweep, pin_version's
+re-readability probes) read the sidecar column-pruned via
+:func:`_snapshot_files` — the stats bytes are never fetched.  The commit
+point is unchanged (sidecars are staged and fsynced BEFORE the
+``os.link`` of the JSON, so a crash in between leaves an orphan sidecar
+that :func:`vacuum` reclaims by its embedded version, age-gated).
+Pre-r9 stores (checkpoints with inline ``tables``) read unchanged.
 """
 
 from __future__ import annotations
@@ -137,6 +147,76 @@ def _load_commit(out_dir: str, version: int) -> dict:
         return json.load(f)
 
 
+def _write_checkpoint_sidecar(
+    mdir: str, version: int, tables: dict, stats: dict
+) -> tuple[str, int]:
+    """Write the O(live files) half of a checkpoint as a zstd parquet
+    sidecar — one row per live file: ``(table, file, stats)`` with stats
+    as a compact JSON string (heterogeneous per table, so a string column
+    beats a union of typed structs; it dictionary-encodes and compresses
+    far better than the file-repeated JSON object form, and readers that
+    don't want it column-prune it away entirely).  Durable before return
+    (fsync + same-dir rename); named with the version AND a uuid so
+    racing writers of the same version cannot collide — the loser's
+    sidecar becomes an orphan that vacuum reclaims.  Returns
+    ``(sidecar name, n_files)``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t_col: list[str] = []
+    f_col: list[str] = []
+    s_col: list[str | None] = []
+    for t in sorted(tables):
+        per_file = stats.get(t, {})
+        for rel in tables[t]:
+            t_col.append(t)
+            f_col.append(rel)
+            s = per_file.get(rel)
+            s_col.append(
+                json.dumps(s, separators=(",", ":")) if s else None
+            )
+    name = f"ckpt-v{version}-{uuid.uuid4().hex[:12]}.parquet"
+    tmp = os.path.join(mdir, f".{name}.tmp")
+    pq.write_table(
+        pa.table(
+            {
+                "table": pa.array(t_col, pa.string()),
+                "file": pa.array(f_col, pa.string()),
+                "stats": pa.array(s_col, pa.string()),
+            }
+        ),
+        tmp,
+        compression="zstd",
+    )
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(mdir, name))
+    return name, len(f_col)
+
+
+def _read_checkpoint_sidecar(
+    out_dir: str, commit: dict, with_stats: bool = True
+) -> tuple[dict, dict]:
+    """Hydrate a parquet-checkpoint commit back to ``(tables, stats)``.
+    ``with_stats=False`` column-prunes the stats bytes — the sidecar's
+    dominant payload — for consumers that only need file sets."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_manifest_path(out_dir), commit["ckpt"])
+    cols = ["table", "file"] + (["stats"] if with_stats else [])
+    arr = pq.read_table(path, columns=cols)
+    tables: dict[str, list] = {}
+    stats: dict[str, dict] = {}
+    t_col = arr.column("table").to_pylist()
+    f_col = arr.column("file").to_pylist()
+    s_col = arr.column("stats").to_pylist() if with_stats else None
+    for i, (t, rel) in enumerate(zip(t_col, f_col)):
+        tables.setdefault(t, []).append(rel)
+        if s_col is not None and s_col[i]:
+            stats.setdefault(t, {})[rel] = json.loads(s_col[i])
+    return tables, stats
+
+
 def _latest_version(out_dir: str) -> int:
     """Newest committed version: start from the CURRENT hint and probe
     forward (a crash between the commit link and the hint update, or a
@@ -206,7 +286,10 @@ def _resolve(out_dir: str, version: int) -> dict:
             base_stats = {t: dict(s) for t, s in cached["stats"].items()}
             break
         commit = _load_commit(out_dir, v)
-        if "tables" in commit:  # full snapshot / checkpoint / legacy form
+        if "ckpt" in commit:  # r9 parquet-checkpoint form
+            base_tables, base_stats = _read_checkpoint_sidecar(out_dir, commit)
+            break
+        if "tables" in commit:  # inline snapshot / legacy manifest form
             base_tables = {t: list(fs) for t, fs in commit["tables"].items()}
             base_stats = {
                 t: dict(s) for t, s in commit.get("stats", {}).items()
@@ -240,6 +323,50 @@ def _resolve(out_dir: str, version: int) -> dict:
         "tables": dict(snap["tables"]),
         "stats": dict(snap["stats"]),
     }
+
+
+def _snapshot_files(out_dir: str, version: int) -> dict[str, list]:
+    """The snapshot's FILE SETS only — the column-pruned read path for
+    consumers that never touch stats (vacuum's live-set sweep,
+    pin_version's readability probe): parquet-checkpoint sidecars are
+    read without their stats column (the dominant bytes) and delta
+    replay skips ``stats_add``.  Shares the resolved-snapshot cache on
+    hit; on miss it deliberately does NOT populate it (a stats-less
+    entry would poison full resolves)."""
+    root = os.path.abspath(out_dir)
+    hit = _SNAP_CACHE.get((root, version))
+    if hit is not None:
+        return {t: list(fs) for t, fs in hit["tables"].items()}
+    deltas: list[dict] = []
+    v = version
+    while True:
+        cached = _SNAP_CACHE.get((root, v))
+        if cached is not None:
+            base = {t: list(fs) for t, fs in cached["tables"].items()}
+            break
+        commit = _load_commit(out_dir, v)
+        if "ckpt" in commit:
+            base, _ = _read_checkpoint_sidecar(
+                out_dir, commit, with_stats=False
+            )
+            break
+        if "tables" in commit:
+            base = {t: list(fs) for t, fs in commit["tables"].items()}
+            break
+        deltas.append(commit)
+        v = commit.get("parent", v - 1)
+        if v < 1:
+            raise RuntimeError(
+                f"commit chain for version {version} in {out_dir} has no "
+                "checkpoint ancestor — log is corrupt"
+            )
+    for delta in reversed(deltas):
+        for t, rels in delta.get("remove", {}).items():
+            gone = set(rels)
+            base[t] = [f for f in base.get(t, []) if f not in gone]
+        for t, rels in delta.get("add", {}).items():
+            base.setdefault(t, []).extend(rels)
+    return {t: sorted(fs) for t, fs in base.items() if fs}
 
 
 def read_manifest(out_dir: str, version: int | None = None) -> dict:
@@ -277,14 +404,18 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
     stats = {t: s for t, s in manifest.get("stats", {}).items() if s}
 
     if version == 1 or version % CHECKPOINT_EVERY == 0:
+        # the O(live files) payload goes to a parquet sidecar; the commit
+        # JSON stays O(1) bytes no matter how many files are live
+        ckpt_name, n_files = _write_checkpoint_sidecar(
+            mdir, version, tables, stats
+        )
         commit = {
             "version": version,
             "ts": round(time.time(), 3),
             "op": op,
-            "tables": tables,
+            "ckpt": ckpt_name,
+            "n_files": n_files,
         }
-        if stats:
-            commit["stats"] = stats
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
         # fold the ACTIVE pin set into every checkpoint (the table-state
@@ -361,7 +492,13 @@ def history(out_dir: str) -> list[dict]:
     out: list[dict] = []
     for v in range(1, _latest_version(out_dir) + 1):
         c = _load_commit(out_dir, v)
-        if "tables" in c:
+        if "ckpt" in c:
+            # parquet checkpoint: the count rides in the commit JSON, so
+            # history never opens the sidecar
+            kind = "checkpoint"
+            added = int(c["n_files"])
+            removed = 0
+        elif "tables" in c:
             kind = "checkpoint" if "ts" in c else "legacy"
             added = sum(len(fs) for fs in c["tables"].values())
             removed = 0
@@ -450,7 +587,7 @@ def pin_version(
             f"pin_version: version {version} not in committed range "
             f"1..{latest} of {out_dir!r}"
         )
-    snap = _resolve(out_dir, version)
+    snap = {"tables": _snapshot_files(out_dir, version)}  # stats-pruned
 
     def _missing_file() -> str | None:
         for t, fs in snap["tables"].items():
@@ -1135,8 +1272,7 @@ def vacuum(
     # dataset_snapshot provenance contract (pin_version)
     retained.update(pinned_versions(out_dir))
     for v in sorted(retained):
-        snap = _resolve(out_dir, v)
-        for t, fs in snap["tables"].items():
+        for t, fs in _snapshot_files(out_dir, v).items():
             live.setdefault(t, set()).update(fs)
     # re-read the pin set as LATE as possible (cheap post-r9: checkpoint
     # fold) and union in any lease that committed while the live set was
@@ -1145,8 +1281,7 @@ def vacuum(
     # re-verify turns whatever slips through into a loud failure
     for v in set(pinned_versions(out_dir)) - retained:
         retained.add(v)
-        snap = _resolve(out_dir, v)
-        for t, fs in snap["tables"].items():
+        for t, fs in _snapshot_files(out_dir, v).items():
             live.setdefault(t, set()).update(fs)
     staging_root = os.path.join(out_dir, "_staging")
     if os.path.isdir(staging_root):
@@ -1154,6 +1289,28 @@ def vacuum(
             p = os.path.join(staging_root, d)
             if _old_enough(p):
                 shutil.rmtree(p, ignore_errors=True)
+    # orphan checkpoint sidecars: a crash between the sidecar rename and
+    # the commit link, or the loser of a version race, leaves a
+    # ckpt-v<N>-*.parquet no commit references.  The name embeds the
+    # version, so the check is one JSON read per CANDIDATE — never a log
+    # scan; referenced sidecars are metadata and are NEVER deleted (old
+    # checkpoints must stay resolvable for history/time-travel reads)
+    mdir = _manifest_path(out_dir)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not (name.startswith("ckpt-v") and name.endswith(".parquet")):
+                continue
+            try:
+                cv = int(name[len("ckpt-v") :].split("-", 1)[0])
+            except ValueError:
+                continue
+            ref = None
+            if os.path.exists(os.path.join(mdir, _commit_name(cv))):
+                ref = _load_commit(out_dir, cv).get("ckpt")
+            p = os.path.join(mdir, name)
+            if name != ref and _old_enough(p):
+                os.remove(p)
+                removed.append(os.path.join(_MANIFEST_DIR, name))
     if not os.path.isdir(out_dir):
         return removed
     # candidate tables: top-level <table>.parquet dirs PLUS every name the

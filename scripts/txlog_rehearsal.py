@@ -38,10 +38,12 @@ def _seed_snapshot(live_files: int) -> dict:
 
 
 def _dir_bytes(mdir: str) -> int:
+    # commit JSONs + (r9) parquet checkpoint sidecars — the log's whole
+    # metadata footprint
     return sum(
         os.path.getsize(os.path.join(mdir, f))
         for f in os.listdir(mdir)
-        if f.endswith(".json")
+        if f.endswith(".json") or f.endswith(".parquet")
     )
 
 
@@ -109,6 +111,55 @@ def run_full_rewrite(base: str, tables: dict, n_commits: int) -> dict:
     }
 
 
+def run_checkpoint_form(base: str, live_files: int) -> dict:
+    """r9: price ONE checkpoint in both forms at this file count, WITH
+    per-file stats (the dominant payload a real store carries — 12 stat
+    columns per file here): inline-JSON (pre-r9) vs parquet sidecar, and
+    the file-set read each form offers a consumer that doesn't want
+    stats (vacuum's live-set sweep — the sidecar is column-pruned, the
+    JSON must parse everything)."""
+    tables = _seed_snapshot(live_files)
+    stats = {
+        t: {
+            rel: {f"col_{c}": [i * 1000 + c, i * 1000 + c + 999]
+                  for c in range(12)}
+            for i, rel in enumerate(fs)
+        }
+        for t, fs in tables.items()
+    }
+    d = os.path.join(base, "ckptform")
+    os.makedirs(d)
+    jpath = os.path.join(d, "inline.json")
+    t0 = time.perf_counter()
+    with open(jpath, "w") as f:
+        json.dump(
+            {"version": 16, "ts": 1.0, "op": "write", "tables": tables,
+             "stats": stats},
+            f, separators=(",", ":"),
+        )
+    t_jw = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    name, _n = pub._write_checkpoint_sidecar(d, 16, tables, stats)
+    t_pw = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    json.load(open(jpath))
+    t_jr = time.perf_counter() - t0
+    import pyarrow.parquet as pq
+
+    t0 = time.perf_counter()
+    pq.read_table(os.path.join(d, name), columns=["table", "file"])
+    t_pr = time.perf_counter() - t0
+    jb = os.path.getsize(jpath)
+    pb = os.path.getsize(os.path.join(d, name))
+    return {
+        "inline_json": {"bytes": jb, "write_s": round(t_jw, 3),
+                        "full_read_s": round(t_jr, 3)},
+        "parquet_sidecar": {"bytes": pb, "write_s": round(t_pw, 3),
+                            "pruned_fileset_read_s": round(t_pr, 3)},
+        "bytes_ratio": round(jb / pb, 1),
+    }
+
+
 def main() -> None:
     live_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n_commits = int(sys.argv[2]) if len(sys.argv) > 2 else 200
@@ -123,6 +174,7 @@ def main() -> None:
                 "log": run_log(base, tables, n_commits),
                 "full_rewrite": run_full_rewrite(base, tables, n_commits),
             },
+            "checkpoint_form": run_checkpoint_form(base, live_files),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -310,7 +310,7 @@ def test_crash_mid_atomic_batch_is_invisible_then_heals(
     real_stage = pub_mod._stage_table
     calls = {"n": 0}
 
-    def dying_stage(spark_, df, out_dir, table, pk):
+    def dying_stage(spark_, df, out_dir, table, pk, layout=None):
         calls["n"] += 1
         # batch 0 stages 6 tables cleanly; die mid-batch-1.  Staging is
         # THREADED (publish_batch submits all six concurrently), so the
@@ -318,7 +318,7 @@ def test_crash_mid_atomic_batch_is_invisible_then_heals(
         # more staged orphans, same guarantee: the commit never happens.
         if calls["n"] == 9:
             raise RuntimeError("injected crash mid-atomic-batch")
-        return real_stage(spark_, df, out_dir, table, pk)
+        return real_stage(spark_, df, out_dir, table, pk, layout)
 
     monkeypatch.setattr(pub_mod, "_stage_table", dying_stage)
     q = listen_stream(spark, feed, out, checkpoint_dir=ckpt,

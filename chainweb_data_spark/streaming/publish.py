@@ -52,10 +52,16 @@ Scale properties (the reasons a 100 TB table needs a log, not a listing):
   ``version=`` — any retained commit resolves to its exact snapshot
   (``vacuum`` bounds how far back the data files themselves survive).
 
-Concurrent writers must own disjoint key-spaces (the reference's shape:
-one ingest worker per chain range) — the rebase re-commits the staged
-files verbatim and does not re-run the PK anti-join against rows a racing
-writer published in between.  Single-writer deployments never rebase.
+Concurrent writers rebase with CONFLICT DETECTION (r9): a losing writer
+compares its staged files' partition directories with what the racers
+ADDED in between — overlapping tables re-run their PK anti-join against
+the fresh snapshot (duplicates a racer published are dropped; the stale
+staging is vacuumed as an orphan), disjoint tables rebase verbatim (the
+fast path — the reference's disjoint-chain-range workers never pay a
+re-stage).  Partition values are deterministic functions of row content
+(height/key buckets), so directory disjointness implies PK disjointness;
+flat tables conservatively re-stage on any same-table race.
+Single-writer deployments never rebase at all.
 
 With Delta/Iceberg available this module disappears into their transaction
 log — same protocol (stage files, commit one metadata delta, checkpoint,
@@ -177,20 +183,25 @@ def _write_checkpoint_sidecar(
             )
     name = f"ckpt-v{version}-{uuid.uuid4().hex[:12]}.parquet"
     tmp = os.path.join(mdir, f".{name}.tmp")
-    pq.write_table(
-        pa.table(
-            {
-                "table": pa.array(t_col, pa.string()),
-                "file": pa.array(f_col, pa.string()),
-                "stats": pa.array(s_col, pa.string()),
-            }
-        ),
-        tmp,
-        compression="zstd",
-    )
-    with open(tmp, "rb") as f:
-        os.fsync(f.fileno())
-    os.rename(tmp, os.path.join(mdir, name))
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "table": pa.array(t_col, pa.string()),
+                    "file": pa.array(f_col, pa.string()),
+                    "stats": pa.array(s_col, pa.string()),
+                }
+            ),
+            tmp,
+            compression="zstd",
+        )
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(mdir, name))
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)  # never leave a hidden tmp behind on failure
+        raise
     return name, len(f_col)
 
 
@@ -922,6 +933,53 @@ def _stage_table(
     return sorted(moved), stats
 
 
+def _added_between(out_dir: str, old_v: int, new_v: int) -> dict[str, list]:
+    """Files ADDED by commits ``old_v+1 .. new_v`` — what the racing
+    writer(s) published while our batch was staging.  Delta commits carry
+    the answer verbatim; a checkpoint landing in the window is diffed
+    against its parent snapshot (rare: one per CHECKPOINT_EVERY)."""
+    added: dict[str, list] = {}
+    for v in range(old_v + 1, new_v + 1):
+        c = _load_commit(out_dir, v)
+        if "add" in c or ("tables" not in c and "ckpt" not in c):
+            per = c.get("add", {})
+        else:  # full form: diff against the previous snapshot
+            prev = _snapshot_files(out_dir, v - 1)
+            cur = _snapshot_files(out_dir, v)
+            per = {
+                t: sorted(set(fs) - set(prev.get(t, [])))
+                for t, fs in cur.items()
+            }
+        for t, rels in per.items():
+            if rels:
+                added.setdefault(t, []).extend(rels)
+    return added
+
+
+def _conflicting_tables(
+    out_dir: str, old_v: int, new_v: int, staged: dict
+) -> set[str]:
+    """Which staged tables a racing commit may have COLLIDED with on PK:
+    the staged files' partition directories (``bucket=…`` prefixes, the
+    deterministic function of each row's content) are compared with the
+    racers' added files' directories — overlap means the pre-race
+    anti-join may have missed a racer's row, so that table must re-stage
+    against the fresh snapshot.  Flat (unpartitioned) tables share the
+    empty prefix, so any racer touch of the same table re-stages —
+    conservative by construction."""
+
+    def dirs(files):
+        return {os.path.dirname(f) for f in files}
+
+    racer_adds = _added_between(out_dir, old_v, new_v)
+    out = set()
+    for t, (files, _stats) in staged.items():
+        theirs = racer_adds.get(t)
+        if theirs and dirs(files) & dirs(theirs):
+            out.add(t)
+    return out
+
+
 def publish_batch(
     spark: SparkSession,
     tables: dict[str, DataFrame],
@@ -932,12 +990,19 @@ def publish_batch(
 ) -> dict:
     """Stage every table's merge, then commit ONE log entry covering all of
     them — the Worker.hs:50-82 transaction boundary.  On a version race
-    (another writer committed first) the staged files are rebased onto the
-    fresh snapshot and the commit retried — correct when concurrent
-    writers own disjoint key-spaces (the PK anti-join ran against the
-    pre-race snapshot).  ``layouts`` optionally pins a table's physical
-    file shape as ``{table: (cluster_cols, sort_cols)}`` — see
-    ``_stage_table``.  Returns the committed snapshot."""
+    (another writer committed first) the commit is retried against the
+    fresh snapshot — with CONFLICT DETECTION (r9): a staged table whose
+    partition directories overlap the racers' added files may have
+    missed a racer's PK in its pre-race anti-join, so it is RE-STAGED
+    against the fresh snapshot (duplicates drop; the stale staging
+    becomes a vacuumable orphan); disjoint tables rebase verbatim (the
+    fast path — the reference's disjoint-chain-range workers never
+    re-stage).  Detection is sound because every partition value here is
+    a deterministic function of the row's content (height/key buckets);
+    flat tables are always conservatively re-staged.  ``layouts``
+    optionally pins a table's physical file shape as ``{table:
+    (cluster_cols, sort_cols)}`` — see ``_stage_table``.  Returns the
+    committed snapshot."""
     pks = pks or TABLE_PKS
     # adopt legacy (log-less) layouts and pin v1 before staging — see
     # ensure_manifest for why this must precede the first staged file
@@ -997,7 +1062,29 @@ def publish_batch(
         except ConcurrentWriteError:
             if attempt == max_retries:
                 raise
-            manifest = read_manifest(out_dir)  # rebase and retry
+            fresh = read_manifest(out_dir)
+            # conflict detection before the rebase: re-stage any table
+            # whose partitions the racers touched (its pre-race anti-join
+            # may have missed their rows); the stale staged files become
+            # orphans for vacuum
+            for name in _conflicting_tables(
+                out_dir, manifest["version"], fresh["version"], staged
+            ):
+                staged.pop(name)
+                nf, ns = _stage_table(
+                    spark,
+                    tables[name],
+                    out_dir,
+                    name,
+                    pks[name],
+                    (layouts or {}).get(name),
+                )
+                if nf:
+                    staged[name] = (nf, ns)
+            if not staged:
+                # every row turned out already-published by the racers
+                return fresh
+            manifest = fresh  # rebase and retry
     raise AssertionError("unreachable")
 
 

@@ -562,3 +562,121 @@ def test_maintenance_ops_survive_version_races(spark, tmp_path, monkeypatch):
     assert orphans, "expected the abandoned z-files to linger under grace"
     vacuum(out)  # quiesced cleanup: grace 0, live snapshot only
     assert _on_disk() == set(m["tables"]["t"])
+
+
+def test_race_with_pk_overlap_restages_and_dedups(spark, tmp_path):
+    """r9 conflict detection: a racer that publishes the SAME PKs while
+    our batch is staging forces a RE-STAGE against the fresh snapshot —
+    the pre-race anti-join missed the racer's rows, and a verbatim rebase
+    would have committed duplicates."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "cr1")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+
+    real_write = pub._write_manifest
+    state = {"raced": False}
+
+    def racer_df():
+        # ids 10..19 — OVERLAPS our writer's 10..25 (flat table: same
+        # empty partition prefix, so detection must fire)
+        return _batch(spark, 10, 20)
+
+    def racing_write(out_dir, manifest):
+        if not state["raced"] and manifest.get("op") == "publish":
+            state["raced"] = True
+            publish_batch(spark, {"t": racer_df()}, out_dir, pks=PK)
+            raise pub.ConcurrentWriteError("injected race")
+        return real_write(out_dir, manifest)
+
+    pub._write_manifest = racing_write
+    try:
+        publish_batch(spark, {"t": _batch(spark, 10, 26)}, out, pks=PK)
+    finally:
+        pub._write_manifest = real_write
+
+    rows = read_published(spark, out, "t").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == list(range(0, 26))  # no duplicates, nothing lost
+    assert len(ids) == len(set(ids))
+    # the racer's copies of 10..19 won; ours re-staged to only 20..25
+    assert (
+        read_published(spark, out, "t")
+        .groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_race_fully_duplicate_batch_burns_no_version(spark, tmp_path):
+    """When the racer published EVERYTHING our batch carries, the
+    re-stage leaves zero survivors and publish_batch returns the fresh
+    snapshot without committing an empty delta."""
+    out = str(tmp_path / "cr2")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+
+    real_write = pub._write_manifest
+    state = {"raced": False}
+
+    def racing_write(out_dir, manifest):
+        if not state["raced"] and manifest.get("op") == "publish":
+            state["raced"] = True
+            publish_batch(spark, {"t": _batch(spark, 10, 20)}, out_dir, pks=PK)
+            raise pub.ConcurrentWriteError("injected race")
+        return real_write(out_dir, manifest)
+
+    pub._write_manifest = racing_write
+    try:
+        got = publish_batch(spark, {"t": _batch(spark, 10, 20)}, out, pks=PK)
+    finally:
+        pub._write_manifest = real_write
+    latest = read_manifest(out)
+    assert got["version"] == latest["version"]  # no extra commit burned
+    assert read_published(spark, out, "t").count() == 20
+
+
+def test_race_disjoint_partitions_skips_restage(spark, tmp_path):
+    """The fast path must survive: a racer in a DIFFERENT height bucket
+    does not force a re-stage (the staged files rebase verbatim)."""
+    from pyspark.sql import functions as F
+
+    def hb_batch(lo, hi, bucket):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                F.lit(bucket).alias("height_bucket"),
+                (F.col("id") * 3).alias("val"),
+            )
+            .coalesce(1)
+        )
+
+    out = str(tmp_path / "cr3")
+    publish_batch(spark, {"t": hb_batch(0, 10, 0)}, out, pks=PK)
+
+    real_write = pub._write_manifest
+    real_stage = pub._stage_table
+    stage_calls = {"n": 0}
+    state = {"raced": False}
+
+    def counting_stage(*a, **kw):
+        stage_calls["n"] += 1
+        return real_stage(*a, **kw)
+
+    def racing_write(out_dir, manifest):
+        if not state["raced"] and manifest.get("op") == "publish":
+            state["raced"] = True
+            pub._stage_table = real_stage  # racer's staging not counted
+            publish_batch(spark, {"t": hb_batch(100, 110, 7)}, out_dir, pks=PK)
+            pub._stage_table = counting_stage
+            raise pub.ConcurrentWriteError("injected race")
+        return real_write(out_dir, manifest)
+
+    pub._stage_table = counting_stage
+    pub._write_manifest = racing_write
+    try:
+        publish_batch(spark, {"t": hb_batch(10, 20, 1)}, out, pks=PK)
+    finally:
+        pub._write_manifest = real_write
+        pub._stage_table = real_stage
+
+    assert stage_calls["n"] == 1  # staged once; rebase was verbatim
+    assert read_published(spark, out, "t").count() == 30

@@ -81,6 +81,16 @@ point is unchanged (sidecars are staged and fsynced BEFORE the
 ``os.link`` of the JSON, so a crash in between leaves an orphan sidecar
 that :func:`vacuum` reclaims by its embedded version, age-gated).
 Pre-r9 stores (checkpoints with inline ``tables``) read unchanged.
+
+Known residual at EXTREME file counts (tens of millions of live files):
+snapshots still materialize on the DRIVER as Python dicts, and
+``read_published`` passes explicit file lists to ``spark.read`` — both
+O(live files) in driver memory.  The production answer is Delta's next
+move too: read the checkpoint sidecar AS a DataFrame and plan scans from
+it cluster-side.  At the million-file scale this repo's partitioned
+layouts target (files are compacted toward 100MB-1GB; a 100 TB table is
+~10^5-10^6 files), the driver-side dict is tens of MB — fine; the
+sidecar keeps checkpoint BYTES and file-set reads bounded well past it.
 """
 
 from __future__ import annotations
@@ -975,7 +985,12 @@ def _conflicting_tables(
     out = set()
     for t, (files, _stats) in staged.items():
         theirs = racer_adds.get(t)
-        if theirs and dirs(files) & dirs(theirs):
+        if not theirs:
+            continue
+        ours_d, theirs_d = dirs(files), dirs(theirs)
+        # a flat file ("" prefix) on EITHER side is a wildcard: its rows
+        # carry no partition evidence, so any same-table race conflicts
+        if "" in ours_d or "" in theirs_d or ours_d & theirs_d:
             out.add(t)
     return out
 

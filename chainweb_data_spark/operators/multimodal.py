@@ -481,14 +481,18 @@ def audio_features(df: DataFrame, id_col: str, media_col: str = "media") -> Data
             for i, data in zip(pdf[id_c], pdf[media_c]):
                 rate, samples = _decode(codecs, "audio", bytes(data))
                 x = samples.astype(np.float64)
+                # a zero-frame clip is spec-legal WAV: decode succeeds,
+                # features are the empty-signal fixpoints (NOT a numpy
+                # reduction error killing the whole Spark task)
+                empty = len(samples) == 0
                 rows.append(
                     {
                         "id": int(i),
                         "sample_rate": int(rate),
                         "n_samples": int(len(samples)),
                         "duration_s": float(len(samples) / rate),
-                        "rms": float(np.sqrt(np.mean(x * x))),
-                        "peak": int(np.max(np.abs(x))),
+                        "rms": 0.0 if empty else float(np.sqrt(np.mean(x * x))),
+                        "peak": 0 if empty else int(np.max(np.abs(x))),
                     }
                 )
             yield pd.DataFrame(

@@ -85,8 +85,12 @@ def parse_y4m_header(data: bytes) -> dict:
             continue  # aspect ratio / comments: no effect on bytes
         else:
             raise Y4mFormatError(f"unknown stream-header tag {tag!r}")
-    if not w or not h:
+    if w is None or h is None:
         raise Y4mFormatError("stream header missing W or H")
+    if w <= 0 or h <= 0:
+        # a negative dimension would make frame_bytes negative and walk
+        # the frame scan BACKWARD forever — refuse, never hang
+        raise Y4mFormatError(f"non-positive dimensions {w}x{h}")
     sub = _SUBSAMPLE.get(colorspace, "missing")
     if sub == "missing":
         raise Y4mFormatError(
@@ -227,13 +231,25 @@ def encode_y4m(
         if u.shape != v.shape or u.dtype != np.uint8 or v.dtype != np.uint8:
             raise ValueError("encode_y4m: u/v must match and be uint8")
         if u.shape == (t, h, w):
-            cs = colorspace or "C444"
+            inferred = "C444"
         elif u.shape == (t, h // 2, w // 2) and h % 2 == 0 and w % 2 == 0:
-            cs = colorspace or "C420jpeg"
+            inferred = "C420jpeg"
         else:
             raise ValueError(
                 f"encode_y4m: chroma shape {u.shape} fits neither C444 "
                 f"nor C420 for {t}x{h}x{w} luma"
+            )
+        cs = colorspace or inferred
+        # an explicit colorspace must AGREE with the plane shapes — a
+        # header that contradicts its payload is a stream that can never
+        # decode, and the failure would surface as a baffling FRAME-marker
+        # error far from the bug
+        want = _SUBSAMPLE.get(cs)
+        have = _SUBSAMPLE[inferred]
+        if want != have:
+            raise ValueError(
+                f"encode_y4m: colorspace {cs} disagrees with chroma shape "
+                f"{u.shape} (inferred {inferred})"
             )
         planes = [y, u, v]
     head = (

@@ -285,19 +285,16 @@ def _cache_put(key: tuple, snap: dict) -> None:
     _SNAP_CACHE[key] = snap
 
 
-def _resolve(out_dir: str, version: int) -> dict:
-    """Reconstruct the full snapshot at ``version``: walk back to the
-    nearest full-form commit (checkpoint, any pre-log legacy manifest —
-    those are full snapshots too — or a cached resolved ancestor), then
-    replay the deltas forward."""
+def _walk_snapshot(
+    out_dir: str, version: int, with_stats: bool
+) -> tuple[dict, dict]:
+    """The shared resolve walk: back to the nearest full-form commit
+    (parquet-checkpoint sidecar, inline checkpoint, pre-log legacy
+    manifest, or a cached resolved ancestor), then replay the deltas
+    forward.  ``with_stats=False`` column-prunes checkpoint sidecars and
+    skips ``stats_add`` replay — the stats bytes are never fetched.
+    Returns un-normalized ``(tables, stats)``."""
     root = os.path.abspath(out_dir)
-    hit = _SNAP_CACHE.get((root, version))
-    if hit is not None:
-        return {
-            "version": version,
-            "tables": dict(hit["tables"]),
-            "stats": dict(hit["stats"]),
-        }
     deltas: list[dict] = []
     v = version
     while True:
@@ -308,7 +305,9 @@ def _resolve(out_dir: str, version: int) -> dict:
             break
         commit = _load_commit(out_dir, v)
         if "ckpt" in commit:  # r9 parquet-checkpoint form
-            base_tables, base_stats = _read_checkpoint_sidecar(out_dir, commit)
+            base_tables, base_stats = _read_checkpoint_sidecar(
+                out_dir, commit, with_stats=with_stats
+            )
             break
         if "tables" in commit:  # inline snapshot / legacy manifest form
             base_tables = {t: list(fs) for t, fs in commit["tables"].items()}
@@ -332,8 +331,24 @@ def _resolve(out_dir: str, version: int) -> dict:
                     base_stats[t].pop(rel, None)
         for t, rels in delta.get("add", {}).items():
             base_tables.setdefault(t, []).extend(rels)
-        for t, per_file in delta.get("stats_add", {}).items():
-            base_stats.setdefault(t, {}).update(per_file)
+        if with_stats:
+            for t, per_file in delta.get("stats_add", {}).items():
+                base_stats.setdefault(t, {}).update(per_file)
+    return base_tables, base_stats
+
+
+def _resolve(out_dir: str, version: int) -> dict:
+    """Reconstruct the full snapshot at ``version`` (tables + stats),
+    cached per immutable version."""
+    root = os.path.abspath(out_dir)
+    hit = _SNAP_CACHE.get((root, version))
+    if hit is not None:
+        return {
+            "version": version,
+            "tables": dict(hit["tables"]),
+            "stats": dict(hit["stats"]),
+        }
+    base_tables, base_stats = _walk_snapshot(out_dir, version, with_stats=True)
     snap = {
         "tables": {t: sorted(fs) for t, fs in base_tables.items() if fs},
         "stats": {t: s for t, s in base_stats.items() if s},
@@ -349,44 +364,16 @@ def _resolve(out_dir: str, version: int) -> dict:
 def _snapshot_files(out_dir: str, version: int) -> dict[str, list]:
     """The snapshot's FILE SETS only — the column-pruned read path for
     consumers that never touch stats (vacuum's live-set sweep,
-    pin_version's readability probe): parquet-checkpoint sidecars are
-    read without their stats column (the dominant bytes) and delta
-    replay skips ``stats_add``.  Shares the resolved-snapshot cache on
+    pin_version's readability probe): the shared walk with
+    ``with_stats=False`` reads checkpoint sidecars without their stats
+    column (the dominant bytes).  Shares the resolved-snapshot cache on
     hit; on miss it deliberately does NOT populate it (a stats-less
     entry would poison full resolves)."""
     root = os.path.abspath(out_dir)
     hit = _SNAP_CACHE.get((root, version))
     if hit is not None:
         return {t: list(fs) for t, fs in hit["tables"].items()}
-    deltas: list[dict] = []
-    v = version
-    while True:
-        cached = _SNAP_CACHE.get((root, v))
-        if cached is not None:
-            base = {t: list(fs) for t, fs in cached["tables"].items()}
-            break
-        commit = _load_commit(out_dir, v)
-        if "ckpt" in commit:
-            base, _ = _read_checkpoint_sidecar(
-                out_dir, commit, with_stats=False
-            )
-            break
-        if "tables" in commit:
-            base = {t: list(fs) for t, fs in commit["tables"].items()}
-            break
-        deltas.append(commit)
-        v = commit.get("parent", v - 1)
-        if v < 1:
-            raise RuntimeError(
-                f"commit chain for version {version} in {out_dir} has no "
-                "checkpoint ancestor — log is corrupt"
-            )
-    for delta in reversed(deltas):
-        for t, rels in delta.get("remove", {}).items():
-            gone = set(rels)
-            base[t] = [f for f in base.get(t, []) if f not in gone]
-        for t, rels in delta.get("add", {}).items():
-            base.setdefault(t, []).extend(rels)
+    base, _ = _walk_snapshot(out_dir, version, with_stats=False)
     return {t: sorted(fs) for t, fs in base.items() if fs}
 
 

@@ -139,3 +139,26 @@ def test_wav_features_end_to_end(spark):
         assert r["n_samples"] == len(x)
         assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(xf * xf))))
         assert r["peak"] == int(np.max(np.abs(xf)))
+
+
+def test_zero_frame_clip_features_are_fixpoints(spark):
+    """r9 review find: a zero-frame WAV is spec-legal; audio_features
+    must emit the empty-signal fixpoints (rms 0.0, peak 0) instead of a
+    numpy reduction error killing the Spark task."""
+    from chainweb_data_spark.operators import multimodal as mm
+
+    empty = encode_wav(8000, np.zeros(0, dtype=np.int16))
+    rate, x = decode_wav(empty)
+    assert rate == 8000 and len(x) == 0
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.lit(bytearray(empty)).cast(T.BinaryType()).alias("media"),
+    )
+    row = mm.audio_features(df, "doc_id").collect()[0]
+    assert row["n_samples"] == 0
+    assert row["duration_s"] == 0.0
+    assert row["rms"] == 0.0 and row["peak"] == 0

@@ -149,3 +149,28 @@ def test_frame_sample_uses_seek_path_and_matches_fallback(spark):
         assert n == 3 * 3  # 12 frames, every 4th
     finally:
         mm.register_codec("video", mm.Y4M_MAGIC, mm.decode_y4m)
+
+
+def test_negative_dimensions_refused_never_hang():
+    """r9 review find: a negative W made frame_bytes negative and walked
+    the frame scan backward forever — must refuse at header parse."""
+    with pytest.raises(Y4mFormatError, match="non-positive"):
+        parse_y4m_header(b"YUV4MPEG2 W-6 H1 F25:1 Ip Cmono\nFRAME\n")
+    with pytest.raises(Y4mFormatError, match="non-positive"):
+        parse_y4m_header(b"YUV4MPEG2 W4 H0 F25:1 C444\n")
+
+
+def test_encoder_refuses_contradictory_colorspace():
+    """r9 review find: an explicit colorspace that disagrees with the
+    chroma plane shapes would write a header contradicting its payload —
+    a stream that can never decode.  Refuse at encode time."""
+    y = np.zeros((1, 4, 4), dtype=np.uint8)
+    full = np.zeros((1, 4, 4), dtype=np.uint8)
+    quarter = np.zeros((1, 2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError, match="disagrees"):
+        encode_y4m(y, full, full, colorspace="C420jpeg")
+    with pytest.raises(ValueError, match="disagrees"):
+        encode_y4m(y, quarter, quarter, colorspace="C444")
+    # same-layout siting variant stays legal
+    out = decode_y4m(encode_y4m(y, quarter, quarter, colorspace="C420mpeg2"))
+    assert out.shape == (1, 4, 4, 3)

@@ -451,6 +451,23 @@ def test_corpus_report_hand_computed(spark):
     b = got["b"]
     assert (b["n_docs"], b["dup_text_frac"]) == (1, 0.0)
 
+    # r9: the documented open-scale swap — approx_percentile replaces the
+    # buffering exact percentile with one argument; on small strata the
+    # GK sketch is exact at the nearest value (no interpolation: 35 not
+    # 35.0-interpolated), every other column identical
+    approx = {
+        r["source"]: r
+        for r in corpus_report(
+            docs, "source", "text", exact_median=False
+        ).collect()
+    }
+    for src in ("a", "b"):
+        e, ap = got[src], approx[src]
+        for c in ("n_docs", "total_tokens", "avg_tokens", "n_langs",
+                  "low_quality_frac", "dup_text_frac"):
+            assert ap[c] == e[c]
+        assert abs(ap["median_chars"] - e["median_chars"]) <= 1.0
+
 
 def test_bm25_search_ranks_and_tiebreaks(spark):
     """Query-term density wins; length normalization damps padding; ties

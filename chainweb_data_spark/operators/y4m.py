@@ -240,13 +240,16 @@ def encode_y4m(
                 f"nor C420 for {t}x{h}x{w} luma"
             )
         cs = colorspace or inferred
+        if cs not in _SUBSAMPLE:
+            raise ValueError(
+                f"encode_y4m: unsupported colorspace {cs} "
+                "(C420*/C444/Cmono only)"
+            )
         # an explicit colorspace must AGREE with the plane shapes — a
         # header that contradicts its payload is a stream that can never
         # decode, and the failure would surface as a baffling FRAME-marker
         # error far from the bug
-        want = _SUBSAMPLE.get(cs)
-        have = _SUBSAMPLE[inferred]
-        if want != have:
+        if _SUBSAMPLE[cs] != _SUBSAMPLE[inferred]:
             raise ValueError(
                 f"encode_y4m: colorspace {cs} disagrees with chroma shape "
                 f"{u.shape} (inferred {inferred})"

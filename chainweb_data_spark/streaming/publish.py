@@ -301,7 +301,11 @@ def _walk_snapshot(
         cached = _SNAP_CACHE.get((root, v))
         if cached is not None:
             base_tables = {t: list(fs) for t, fs in cached["tables"].items()}
-            base_stats = {t: dict(s) for t, s in cached["stats"].items()}
+            base_stats = (
+                {t: dict(s) for t, s in cached["stats"].items()}
+                if with_stats
+                else {}
+            )
             break
         commit = _load_commit(out_dir, v)
         if "ckpt" in commit:  # r9 parquet-checkpoint form
@@ -311,9 +315,11 @@ def _walk_snapshot(
             break
         if "tables" in commit:  # inline snapshot / legacy manifest form
             base_tables = {t: list(fs) for t, fs in commit["tables"].items()}
-            base_stats = {
-                t: dict(s) for t, s in commit.get("stats", {}).items()
-            }
+            base_stats = (
+                {t: dict(s) for t, s in commit.get("stats", {}).items()}
+                if with_stats
+                else {}
+            )
             break
         deltas.append(commit)
         v = commit.get("parent", v - 1)

@@ -680,3 +680,52 @@ def test_race_disjoint_partitions_skips_restage(spark, tmp_path):
 
     assert stage_calls["n"] == 1  # staged once; rebase was verbatim
     assert read_published(spark, out, "t").count() == 30
+
+
+def test_conflict_detection_flat_wildcard_and_bucket_overlap(spark, tmp_path):
+    """r9 review find: the flat-file wildcard's actual behavioral delta —
+    one side flat, the other partitioned (the table-creation race window
+    around layout adoption) — must CONFLICT; bucket-disjoint partitioned
+    sides must not.  Unit-tests _conflicting_tables against a real log."""
+    from pyspark.sql import functions as F
+
+    def hb_batch(lo, hi, bucket):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                F.lit(bucket).alias("height_bucket"),
+                (F.col("id") * 3).alias("val"),
+            )
+            .coalesce(1)
+        )
+
+    out = str(tmp_path / "cw")
+    publish_batch(spark, {"t": hb_batch(0, 10, 0)}, out, pks=PK)
+    old_v = read_manifest(out)["version"]
+    # the "racer": a partitioned add in height_bucket=7
+    publish_batch(spark, {"t": hb_batch(100, 110, 7)}, out, pks=PK)
+    new_v = read_manifest(out)["version"]
+    racer_files = set(read_manifest(out, new_v)["tables"]["t"]) - set(
+        read_manifest(out, old_v)["tables"]["t"]
+    )
+    assert all(f.startswith("height_bucket=7/") for f in racer_files)
+
+    def conflicts(staged_paths):
+        return pub._conflicting_tables(
+            out, old_v, new_v, {"t": (staged_paths, {})}
+        )
+
+    # our side FLAT (no partition evidence) → wildcard → conflict
+    assert conflicts(["part-flat-abc.parquet"]) == {"t"}
+    # our side partitioned, SAME bucket → conflict
+    assert conflicts(["height_bucket=7/part-x.parquet"]) == {"t"}
+    # our side partitioned, DIFFERENT bucket → disjoint → no re-stage
+    assert conflicts(["height_bucket=3/part-x.parquet"]) == set()
+    # racer untouched table → never a conflict
+    assert (
+        pub._conflicting_tables(
+            out, old_v, new_v, {"other": (["part-1.parquet"], {})}
+        )
+        == set()
+    )

@@ -75,9 +75,14 @@ def parse_y4m_header(data: bytes) -> dict:
             num, _, den = val.partition(":")
             fps_num, fps_den = int(num), int(den or "1")
         elif tag == "I":
-            if val not in ("p", "?"):
+            # "I?" (unknown) is refused too: interlaced content tagged
+            # unknown would silently decode as combed progressive frames,
+            # corrupting every luma feature downstream — the contract is
+            # refuse-never-misdecode, and unknown is not progressive
+            if val != "p":
                 raise Y4mFormatError(
-                    f"interlaced content (I{val}) unsupported"
+                    f"interlaced or unknown-interlacing content (I{val}) "
+                    "unsupported"
                 )
         elif tag == "C":
             colorspace = "C" + val

@@ -100,6 +100,9 @@ def test_refusals_never_misdecode():
         decode_y4m(good[:idx] + b"FARME" + good[idx + 5 :])
     with pytest.raises(Y4mFormatError, match="interlaced"):
         parse_y4m_header(b"YUV4MPEG2 W4 H4 F25:1 It C420jpeg\n")
+    # unknown interlacing ("I?") must refuse too, not decode as progressive
+    with pytest.raises(Y4mFormatError, match="unknown-interlacing"):
+        parse_y4m_header(b"YUV4MPEG2 W4 H4 F25:1 I? C420jpeg\n")
     with pytest.raises(Y4mFormatError, match="colorspace"):
         parse_y4m_header(b"YUV4MPEG2 W4 H4 F25:1 C411\n")
     with pytest.raises(Y4mFormatError, match="divisible"):

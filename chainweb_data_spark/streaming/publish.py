@@ -82,15 +82,21 @@ point is unchanged (sidecars are staged and fsynced BEFORE the
 that :func:`vacuum` reclaims by its embedded version, age-gated).
 Pre-r9 stores (checkpoints with inline ``tables``) read unchanged.
 
-Known residual at EXTREME file counts (tens of millions of live files):
-snapshots still materialize on the DRIVER as Python dicts, and
-``read_published`` passes explicit file lists to ``spark.read`` — both
-O(live files) in driver memory.  The production answer is Delta's next
-move too: read the checkpoint sidecar AS a DataFrame and plan scans from
-it cluster-side.  At the million-file scale this repo's partitioned
-layouts target (files are compacted toward 100MB-1GB; a 100 TB table is
-~10^5-10^6 files), the driver-side dict is tens of MB — fine; the
-sidecar keeps checkpoint BYTES and file-set reads bounded well past it.
+Snapshot resolution is CLUSTER-SIDE on the scale path (r10, closing the
+former "known residual at extreme file counts"): :func:`snapshot_files_df`
+reads the checkpoint sidecar as a Spark DataFrame and ships only the
+O(delta) commits since it from the driver, so ``vacuum(spark=...)`` plans
+its orphan sweep as a distributed-listing anti-join (collecting only the
+orphans it deletes — Delta's vacuum shape) and ``pin_version(spark=...)``
+probes snapshot re-readability in executors (collecting at most one
+missing row).  ``read_published`` resolves PER TABLE through a filtered,
+column-pruned sidecar read — O(that table's files), never O(all live
+files), with stats bytes fetched only when a ``where`` needs them.  The
+remaining O(table files) driver artifact is the explicit path list handed
+to ``spark.read`` — the same place Delta keeps it (a scan's file index
+lives on the JVM driver by construction).  The dependency-free driver
+paths (``spark=None``) remain the defaults and are fine to ~10^6 files;
+the 1M-file sweep comparing both is a ``scripts/txlog_rehearsal.py`` row.
 """
 
 from __future__ import annotations
@@ -238,6 +244,83 @@ def _read_checkpoint_sidecar(
     return tables, stats
 
 
+def _read_sidecar_table(
+    out_dir: str, commit: dict, table: str, with_stats: bool
+) -> tuple[list, dict]:
+    """ONE table's rows out of a checkpoint sidecar — predicate-pushed
+    (``filters`` prunes row groups on the ``table`` column, which the
+    writer emits in sorted runs) and column-pruned, so resolving a single
+    table never deserializes the other tables' file names or any stats
+    bytes it doesn't need."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_manifest_path(out_dir), commit["ckpt"])
+    cols = ["file"] + (["stats"] if with_stats else [])
+    arr = pq.read_table(path, columns=cols, filters=[("table", "==", table)])
+    files = arr.column("file").to_pylist()
+    stats: dict = {}
+    if with_stats:
+        for rel, s in zip(files, arr.column("stats").to_pylist()):
+            if s:
+                stats[rel] = json.loads(s)
+    return files, stats
+
+
+def _table_files(
+    out_dir: str, version: int, table: str, with_stats: bool
+) -> tuple[list, dict]:
+    """Resolve ONE table's ``(files, stats)`` at ``version`` — the
+    read_published path (r10): per-table filtered sidecar read + per-table
+    delta replay, so reading one table of an N-table store costs O(that
+    table's files + deltas), never O(all live files).  Shares the resolved
+    snapshot cache on hit; on miss it deliberately does not populate it
+    (a one-table entry would poison full resolves)."""
+    root = os.path.abspath(out_dir)
+    hit = _SNAP_CACHE.get((root, version))
+    if hit is not None:
+        return (
+            list(hit["tables"].get(table, [])),
+            dict(hit["stats"].get(table, {})) if with_stats else {},
+        )
+    deltas: list[dict] = []
+    v = version
+    while True:
+        commit = _load_commit(out_dir, v)
+        if "ckpt" in commit:
+            files, stats = _read_sidecar_table(
+                out_dir, commit, table, with_stats
+            )
+            break
+        if "tables" in commit:
+            files = list(commit["tables"].get(table, []))
+            stats = (
+                dict(commit.get("stats", {}).get(table, {}))
+                if with_stats
+                else {}
+            )
+            break
+        deltas.append(commit)
+        v = commit.get("parent", v - 1)
+        if v < 1:
+            raise RuntimeError(
+                f"commit chain for version {version} in {out_dir} has no "
+                "checkpoint ancestor — log is corrupt"
+            )
+    for delta in reversed(deltas):
+        rm = delta.get("remove", {}).get(table)
+        if rm:
+            gone = set(rm)
+            files = [f for f in files if f not in gone]
+            for rel in rm:
+                stats.pop(rel, None)
+        ad = delta.get("add", {}).get(table)
+        if ad:
+            files.extend(ad)
+        if with_stats:
+            stats.update(delta.get("stats_add", {}).get(table, {}))
+    return sorted(files), stats
+
+
 def _latest_version(out_dir: str) -> int:
     """Newest committed version: start from the CURRENT hint and probe
     forward (a crash between the commit link and the hint update, or a
@@ -383,6 +466,151 @@ def _snapshot_files(out_dir: str, version: int) -> dict[str, list]:
     return {t: sorted(fs) for t, fs in base.items() if fs}
 
 
+def snapshot_files_df(
+    spark: SparkSession, out_dir: str, version: int
+) -> DataFrame:
+    """The snapshot's live file SET at ``version`` as a DataFrame of
+    ``(table string, file string)`` — the CLUSTER-SIDE resolve (r10,
+    closing the module's former driver-dict residual): the checkpoint
+    sidecar is scanned by Spark where it lies, and only the O(delta)
+    commits since it ship from the driver (as a broadcast anti-join set
+    plus a union), so resolution never materializes O(live files) Python
+    state no matter how many files are live.  Pre-r9 inline checkpoints
+    fall back to hydrating through the driver — those stores carried
+    their whole snapshot in one JSON and are driver-bounded by
+    construction; their next checkpoint lands as a sidecar."""
+    from pyspark.sql import functions as F
+
+    deltas: list[dict] = []
+    base: DataFrame | None = None
+    v = version
+    while True:
+        commit = _load_commit(out_dir, v)
+        if "ckpt" in commit:
+            base = spark.read.parquet(
+                os.path.join(_manifest_path(out_dir), commit["ckpt"])
+            ).select("table", "file")
+            break
+        if "tables" in commit:  # inline / legacy: already driver-sized
+            rows = [
+                (t, f) for t, fs in commit["tables"].items() for f in fs
+            ]
+            base = spark.createDataFrame(rows, "table string, file string")
+            break
+        deltas.append(commit)
+        v = commit.get("parent", v - 1)
+        if v < 1:
+            raise RuntimeError(
+                f"commit chain for version {version} in {out_dir} has no "
+                "checkpoint ancestor — log is corrupt"
+            )
+    # fold the delta chain driver-side (it is O(changed files) by the
+    # commit protocol): file names are never reused, so the net effect is
+    # one removed-set anti-join plus one added-rows union
+    removed: set[tuple] = set()
+    added: list[tuple] = []
+    added_set: set[tuple] = set()
+    for delta in reversed(deltas):
+        for t, rels in delta.get("remove", {}).items():
+            for rel in rels:
+                key = (t, rel)
+                if key in added_set:
+                    added_set.discard(key)
+                else:
+                    removed.add(key)
+        for t, rels in delta.get("add", {}).items():
+            for rel in rels:
+                added_set.add((t, rel))
+    added = sorted(added_set)
+    if removed:
+        rm_df = spark.createDataFrame(
+            sorted(removed), "table string, file string"
+        )
+        base = base.join(F.broadcast(rm_df), ["table", "file"], "left_anti")
+    if added:
+        base = base.unionByName(
+            spark.createDataFrame(added, "table string, file string")
+        )
+    return base
+
+
+def _disk_files_df(
+    spark: SparkSession, out_dir: str, tables: list[str]
+) -> DataFrame:
+    """One row per data file currently ON DISK under the given tables'
+    directories: ``(table, file, mtime)``.  The driver lists only each
+    table directory's immediate children (O(partition directories)); the
+    per-directory recursive walks run in EXECUTORS via ``mapInPandas`` —
+    the distributed-listing shape Delta's vacuum uses.  Requires storage
+    visible to executors, which holds for local mode and for any shared
+    filesystem / object store a real cluster would run against."""
+    seeds: list[tuple] = []
+    for t in tables:
+        tdir = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.isdir(tdir):
+            continue
+        seeds.append((t, ""))  # the directory's own immediate files
+        for e in os.listdir(tdir):
+            if not e.startswith(("_", ".")) and os.path.isdir(
+                os.path.join(tdir, e)
+            ):
+                seeds.append((t, e))
+    schema = "table string, file string, mtime double"
+    if not seeds:
+        return spark.createDataFrame([], schema)
+    root = os.path.abspath(out_dir)
+
+    def _walk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            t_out: list[str] = []
+            f_out: list[str] = []
+            m_out: list[float] = []
+
+            def emit(t: str, tdir: str, full: str) -> None:
+                try:
+                    m = os.path.getmtime(full)
+                except OSError:
+                    return  # vanished concurrently
+                t_out.append(t)
+                f_out.append(os.path.relpath(full, tdir))
+                m_out.append(m)
+
+            for t, sub in zip(pdf["table"], pdf["sub"]):
+                tdir = os.path.join(root, f"{t}.parquet")
+                if sub == "":
+                    try:
+                        entries = os.listdir(tdir)
+                    except OSError:
+                        continue
+                    for e in entries:
+                        full = os.path.join(tdir, e)
+                        if e.startswith(("_", ".")) or os.path.isdir(full):
+                            continue  # subdirs are their own seeds
+                        emit(t, tdir, full)
+                else:
+                    for wroot, _dirs, files in os.walk(
+                        os.path.join(tdir, sub)
+                    ):
+                        for fname in files:
+                            if fname.startswith(("_", ".")):
+                                continue
+                            emit(t, tdir, os.path.join(wroot, fname))
+            yield pd.DataFrame(
+                {"table": t_out, "file": f_out, "mtime": m_out}
+            )
+
+    n_part = max(
+        1, min(len(seeds), spark.sparkContext.defaultParallelism)
+    )
+    return (
+        spark.createDataFrame(seeds, "table string, sub string")
+        .repartition(n_part)
+        .mapInPandas(_walk, schema)
+    )
+
+
 def read_manifest(out_dir: str, version: int | None = None) -> dict:
     """The snapshot at ``version`` (default: newest): ``{"version": N,
     "tables": {name: [relative files]}, "stats": {name: {file: {col:
@@ -429,6 +657,10 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             "op": op,
             "ckpt": ckpt_name,
             "n_files": n_files,
+            # table NAMES are O(dozens) — carrying them here lets
+            # consumers (vacuum's candidate-table seeding) learn the
+            # snapshot's tables without scanning the O(live files) sidecar
+            "table_names": sorted(tables),
         }
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
@@ -574,7 +806,10 @@ def pinned_versions(out_dir: str) -> dict[int, str | None]:
 
 
 def pin_version(
-    out_dir: str, version: int, name: str | None = None
+    out_dir: str,
+    version: int,
+    name: str | None = None,
+    spark: SparkSession | None = None,
 ) -> dict:
     """Take a RETENTION LEASE on snapshot ``version``: commit a ``pin``
     log entry that :func:`vacuum` (and therefore every maintenance op's
@@ -601,15 +836,40 @@ def pin_version(
             f"pin_version: version {version} not in committed range "
             f"1..{latest} of {out_dir!r}"
         )
-    snap = {"tables": _snapshot_files(out_dir, version)}  # stats-pruned
+    if spark is None:
+        snap = {"tables": _snapshot_files(out_dir, version)}  # stats-pruned
 
-    def _missing_file() -> str | None:
-        for t, fs in snap["tables"].items():
-            tdir = os.path.join(out_dir, f"{t}.parquet")
-            for rel in fs:
-                if not os.path.exists(os.path.join(tdir, rel)):
-                    return f"{t}/{rel}"
-        return None
+        def _missing_file() -> str | None:
+            for t, fs in snap["tables"].items():
+                tdir = os.path.join(out_dir, f"{t}.parquet")
+                for rel in fs:
+                    if not os.path.exists(os.path.join(tdir, rel)):
+                        return f"{t}/{rel}"
+            return None
+    else:
+        # r10 scale path: the snapshot file set never touches the driver —
+        # the sidecar-resolved DataFrame is probed for existence in
+        # EXECUTORS and only the first missing row (O(1)) is collected.
+        # Re-invoking the DataFrame re-runs the probe, so the post-commit
+        # re-verify below is a genuinely fresh look at the filesystem.
+        files_df = snapshot_files_df(spark, out_dir, version)
+        root = os.path.abspath(out_dir)
+
+        def _probe(batches):
+            for pdf in batches:
+                mask = [
+                    not os.path.exists(
+                        os.path.join(root, f"{t}.parquet", rel)
+                    )
+                    for t, rel in zip(pdf["table"], pdf["file"])
+                ]
+                yield pdf[mask]
+
+        def _missing_file() -> str | None:
+            miss = files_df.mapInPandas(
+                _probe, "table string, file string"
+            ).take(1)
+            return f"{miss[0]['table']}/{miss[0]['file']}" if miss else None
 
     gone = _missing_file()
     if gone is not None:
@@ -763,15 +1023,30 @@ def read_published(
     (lo, hi)}, either bound None for open) SKIPS files whose footer stats
     are disjoint from the bounds — the result may still contain
     non-matching rows (callers apply the row filter; this prunes I/O,
-    like Delta data skipping, it does not implement the predicate)."""
-    manifest = read_manifest(out_dir, version=version)
-    all_files = manifest["tables"].get(table, [])
+    like Delta data skipping, it does not implement the predicate).
+
+    Resolution is PER-TABLE (r10): the checkpoint sidecar is read
+    filtered to ``table`` and column-pruned (stats bytes only when a
+    ``where`` needs them), so reading one table of an N-table store
+    costs O(that table's files), not O(all live files).  The explicit
+    path list handed to ``spark.read`` is the one remaining O(table
+    files) driver artifact — the same place Delta keeps it (the scan's
+    file index lives on the JVM driver by construction)."""
+    latest = _latest_version(out_dir)
+    if version is None:
+        version = latest
+    elif version > latest:
+        raise ValueError(f"version {version} > latest committed {latest}")
+    if version == 0:
+        return None
+    all_files, per_file = _table_files(
+        out_dir, version, table, with_stats=bool(where)
+    )
     if not all_files:
         return None
     tdir = os.path.join(out_dir, f"{table}.parquet")
     files = all_files
     if where:
-        per_file = manifest.get("stats", {}).get(table, {})
         files = [f for f in files if _file_may_match(per_file.get(f), where)]
         if not files:
             # every file pruned: empty result with the table's full schema
@@ -1322,7 +1597,10 @@ def rewrite_published_many(
 
 
 def vacuum(
-    out_dir: str, keep_versions: int = 0, min_age_s: float = 0.0
+    out_dir: str,
+    keep_versions: int = 0,
+    min_age_s: float = 0.0,
+    spark: SparkSession | None = None,
 ) -> list[str]:
     """Delete data files referenced by NO retained snapshot (crash orphans
     from batches that staged but never committed, and files compacted
@@ -1346,7 +1624,16 @@ def vacuum(
     A directory with NO commit log yet (a legacy table written by the
     non-atomic path, awaiting ``ensure_manifest`` adoption) is left
     untouched: an empty live set there means "nothing published", not
-    "everything is garbage"."""
+    "everything is garbage".
+
+    ``spark`` (r10) switches the data-file phase to the CLUSTER-SIDE
+    plan: live sets come from :func:`snapshot_files_df` (sidecar scanned
+    by Spark), the on-disk inventory from a distributed directory walk,
+    and the orphan set from an anti-join — the driver collects only the
+    O(orphans) rows it must delete, never the O(live files) sets.  The
+    default (``spark=None``) keeps the dependency-free driver path,
+    fine to ~10^6 files; identical reclamation semantics (rehearsed
+    side-by-side in ``scripts/txlog_rehearsal.py``)."""
     latest = _latest_version(out_dir)
     removed: list[str] = []
     if latest == 0:
@@ -1360,24 +1647,12 @@ def vacuum(
             return now - os.path.getmtime(p) >= min_age_s
         except OSError:
             return False  # vanished concurrently — another vacuum got it
-    live: dict[str, set] = {}
     retained = set(range(max(1, latest - keep_versions), latest + 1))
     # retention leases: every PINNED snapshot stays fully readable no
     # matter how far past the keep_versions horizon it falls — the
     # dataset_snapshot provenance contract (pin_version)
-    retained.update(pinned_versions(out_dir))
-    for v in sorted(retained):
-        for t, fs in _snapshot_files(out_dir, v).items():
-            live.setdefault(t, set()).update(fs)
-    # re-read the pin set as LATE as possible (cheap post-r9: checkpoint
-    # fold) and union in any lease that committed while the live set was
-    # being built — narrows the pin/vacuum window to the microseconds
-    # between this read and the deletes; pin_version's post-commit
-    # re-verify turns whatever slips through into a loud failure
-    for v in set(pinned_versions(out_dir)) - retained:
-        retained.add(v)
-        for t, fs in _snapshot_files(out_dir, v).items():
-            live.setdefault(t, set()).update(fs)
+    pins = set(pinned_versions(out_dir))
+    retained.update(pins)
     staging_root = os.path.join(out_dir, "_staging")
     if os.path.isdir(staging_root):
         for d in os.listdir(staging_root):
@@ -1403,11 +1678,46 @@ def vacuum(
             if os.path.exists(os.path.join(mdir, _commit_name(cv))):
                 ref = _load_commit(out_dir, cv).get("ckpt")
             p = os.path.join(mdir, name)
+            if cv > latest:
+                # a sidecar AHEAD of the newest commit is most likely an
+                # in-flight writer's (renamed, commit link not yet created)
+                # — unlike a staged DATA file, deleting it mid-window breaks
+                # every snapshot resolve at/after that checkpoint until the
+                # next one lands, so these always get the full grace window
+                # even under an explicit min_age_s=0 vacuum
+                try:
+                    if time.time() - os.path.getmtime(p) < VACUUM_GRACE_S:
+                        continue
+                except OSError:
+                    continue
             if name != ref and _old_enough(p):
                 os.remove(p)
                 removed.append(os.path.join(_MANIFEST_DIR, name))
     if not os.path.isdir(out_dir):
         return removed
+    # re-read the pin set as LATE as possible (cheap post-r9: checkpoint
+    # fold) and union in any lease that committed while the sweeps above
+    # ran — narrows the pin/vacuum window to the gap between this read
+    # and the deletes; pin_version's post-commit re-verify turns whatever
+    # slips through into a loud failure
+    late = set(pinned_versions(out_dir)) - retained
+    pins |= late
+    retained |= late
+    if spark is not None:
+        removed.extend(
+            _vacuum_data_spark(
+                spark, out_dir, sorted(retained), pins, now, min_age_s
+            )
+        )
+        return sorted(removed)
+    live: dict[str, set] = {}
+    pin_files: dict[int, dict[str, set]] = {}
+    for v in sorted(retained):
+        snap_fs = {t: set(fs) for t, fs in _snapshot_files(out_dir, v).items()}
+        if v in pins:
+            pin_files[v] = snap_fs
+        for t, fs in snap_fs.items():
+            live.setdefault(t, set()).update(fs)
     # candidate tables: top-level <table>.parquet dirs PLUS every name the
     # retained snapshots reference — manifest table names may be nested
     # ("dedup_index/minhash_bands", the curation sink's unified commit),
@@ -1419,19 +1729,171 @@ def vacuum(
         if entry.endswith(".parquet")
     }
     candidates |= set(live)
+    seen: dict[str, set] = {}
     for table in sorted(candidates):
         entry = f"{table}.parquet"
         keep = live.get(table, set())
         tdir = os.path.join(out_dir, entry)
         if not os.path.isdir(tdir):
             continue
+        t_seen = seen.setdefault(table, set())
         for root, _dirs, files in os.walk(tdir):
             for fname in files:
                 if fname.startswith(("_", ".")):
                     continue
                 full = os.path.join(root, fname)
                 rel = os.path.relpath(full, tdir)
+                t_seen.add(rel)
                 if rel not in keep and _old_enough(full):
                     os.remove(full)
                     removed.append(os.path.join(entry, rel))
+    # HOLLOW-LEASE detection (r9 advice): pin_version's loud-failure
+    # guarantee needs the pinning process to survive to its post-commit
+    # re-verify — a crash in that window (or a lost unpin race in its
+    # cleanup) leaves a lease whose data files are already reclaimed, and
+    # nothing would ever notice.  The sweep above just enumerated every
+    # on-disk file, so the probe is free set algebra: any pinned snapshot
+    # referencing a file the walk never saw is no longer re-readable.
+    # Warn rather than auto-release: vacuum is a reader of the pin
+    # registry, and silently unpinning would erase the provenance evidence
+    # the operator needs to investigate the loss.
+    for v in sorted(pin_files):
+        for t, fs in pin_files[v].items():
+            gone = fs - seen.get(t, set())
+            if gone:
+                _warn_hollow(out_dir, v, t, sorted(gone)[0], len(gone) - 1)
+                break
     return sorted(removed)
+
+
+def _live_table_names(out_dir: str, version: int) -> set[str]:
+    """The table NAMES a snapshot references — O(#tables + deltas)
+    metadata, never a file-list scan: delta commits carry names as their
+    add/remove keys, r10 checkpoints carry ``table_names`` in the commit
+    JSON, and older checkpoints fall back to a columnar unique() over the
+    sidecar's dictionary-encoded table column (pre-r9 inline forms just
+    read their keys)."""
+    names: set[str] = set()
+    v = version
+    while True:
+        commit = _load_commit(out_dir, v)
+        if "table_names" in commit:
+            names.update(commit["table_names"])
+            return names
+        if "ckpt" in commit:
+            import pyarrow.parquet as pq
+
+            arr = pq.read_table(
+                os.path.join(_manifest_path(out_dir), commit["ckpt"]),
+                columns=["table"],
+            )
+            names.update(arr.column("table").unique().to_pylist())
+            return names
+        if "tables" in commit:
+            names.update(commit["tables"])
+            return names
+        names.update(commit.get("add", {}))
+        names.update(commit.get("remove", {}))
+        v = commit.get("parent", v - 1)
+        if v < 1:
+            raise RuntimeError(
+                f"commit chain for version {version} in {out_dir} has no "
+                "checkpoint ancestor — log is corrupt"
+            )
+
+
+def _warn_hollow(
+    out_dir: str, version: int, table: str, rel: str, n_more: int
+) -> None:
+    import warnings
+
+    more = f" (and {n_more} more)" if n_more > 0 else ""
+    warnings.warn(
+        f"vacuum: pinned version {version} in {out_dir!r} is HOLLOW —"
+        f" {table}/{rel}{more} no longer exist on disk; the lease"
+        " promises a snapshot that cannot be re-read.  Investigate, then"
+        f" release it with unpin_version(out_dir, {version}).",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
+def _vacuum_data_spark(
+    spark: SparkSession,
+    out_dir: str,
+    retained: list[int],
+    pins: set[int],
+    now: float,
+    min_age_s: float,
+) -> list[str]:
+    """The data-file phase of :func:`vacuum`, planned cluster-side: live
+    sets are DataFrames resolved from the checkpoint sidecar
+    (:func:`snapshot_files_df`), the on-disk inventory is a distributed
+    walk (:func:`_disk_files_df`), and orphans fall out of one anti-join
+    — the driver only ever collects the O(orphans) rows it deletes plus
+    an O(1) hollow-lease probe per pin.  Same reclamation semantics as
+    the driver path (one sweep of both at 1M synthetic files is a
+    ``scripts/txlog_rehearsal.py`` row)."""
+    from pyspark.sql import functions as F
+
+    live: DataFrame | None = None
+    pin_dfs: dict[int, DataFrame] = {}
+    for v in retained:
+        df = snapshot_files_df(spark, out_dir, v)
+        if v in pins:
+            pin_dfs[v] = df
+        live = df if live is None else live.unionByName(df)
+    if live is None:
+        return []
+    if len(retained) > 1:
+        live = live.distinct()
+    # candidate tables: pure metadata — retained snapshots' table NAMES
+    # (O(#tables), no file-list scan) plus any top-level directory
+    # holding only dead files
+    candidates = {
+        entry[: -len(".parquet")]
+        for entry in os.listdir(out_dir)
+        if entry.endswith(".parquet")
+    }
+    for v in retained:
+        candidates |= _live_table_names(out_dir, v)
+    disk = _disk_files_df(spark, out_dir, sorted(candidates))
+    if pin_dfs:
+        disk = disk.persist()  # reused by each pin's hollow probe
+    removed: list[str] = []
+    try:
+        # hint the anti-join to sort-merge: the planner's static estimate
+        # sees the live side as a ~10MB compressed sidecar and elects to
+        # BROADCAST it — a hashed relation of every live file name on the
+        # JVM driver, the exact O(live files) driver state this path
+        # exists to avoid (and measured slower than SMJ at 1M files even
+        # locally: 3.6 s vs 1.9 s).  SMJ shuffles both sides on the key —
+        # the plan that still works at 10^8 files
+        orphans = disk.join(live.hint("merge"), ["table", "file"], "left_anti")
+        if min_age_s > 0:
+            # the concurrent-writer grace window, evaluated on the mtimes
+            # the distributed walk recorded
+            orphans = orphans.filter(F.col("mtime") <= float(now - min_age_s))
+        for r in orphans.select("table", "file").collect():  # O(orphans)
+            entry = f"{r['table']}.parquet"
+            full = os.path.join(out_dir, entry, r["file"])
+            try:
+                os.remove(full)
+            except OSError:
+                continue  # vanished concurrently — another vacuum got it
+            removed.append(os.path.join(entry, r["file"]))
+        # hollow-lease probe: a pinned file the (pre-delete, persisted)
+        # disk inventory never saw is already lost — same detection as
+        # the driver path, O(1) collected per pin
+        for v in sorted(pin_dfs):
+            miss = (
+                pin_dfs[v]
+                .join(disk, ["table", "file"], "left_anti")
+                .take(1)
+            )
+            if miss:
+                _warn_hollow(out_dir, v, miss[0]["table"], miss[0]["file"], 0)
+    finally:
+        if pin_dfs:
+            disk.unpersist()
+    return removed

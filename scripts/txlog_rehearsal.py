@@ -13,6 +13,27 @@ full_rewrite: {...}}} with per-commit bytes written (mean), total bytes,
 wall seconds, and worst-case snapshot-resolve time for the log.
 
 Usage: python scripts/txlog_rehearsal.py [live_files] [n_commits]
+
+Two Spark-backed modes (r10):
+
+  --bigsweep [n_files]   The 1M-file sweep: a store whose checkpoint
+      sidecar names ``n_files`` live files (default 1M), with real
+      orphans planted on disk.  Runs vacuum BOTH ways — the classic
+      driver path (hydrates O(live files) Python sets) and the r10
+      cluster path (``vacuum(spark=...)``: sidecar scanned by Spark,
+      distributed disk walk, orphan anti-join, O(orphans) collected) —
+      and reports wall seconds + Python-driver RSS growth for each,
+      plus the resolve-only comparison (``_snapshot_files`` vs
+      ``snapshot_files_df``).  Both must reclaim exactly the planted
+      orphans or the row is refused.
+
+  --race [rounds]        Two genuinely interleaved writers (threads,
+      shared session) publishing to the same table for ``rounds``
+      commits each — once on DISJOINT height_bucket partitions (the
+      reference's chain-range workers) and once on OVERLAPPING ids with
+      shared PKs.  Asserts zero lost rows and zero duplicate PKs in
+      both, and reports how many rebases took the verbatim fast path vs
+      a conflict re-stage.
 """
 
 import json
@@ -160,7 +181,211 @@ def run_checkpoint_form(base: str, live_files: int) -> dict:
     }
 
 
+def _vm_rss_mb() -> float:
+    """Current (not peak) resident set of THIS Python process, MB."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return round(int(line.split()[1]) / 1024.0, 1)
+    return -1.0
+
+
+def run_bigsweep(n_files: int) -> dict:
+    """Vacuum planning at ``n_files`` live files, driver path vs the r10
+    cluster path, on twin stores with identical planted orphans."""
+    from chainweb_data_spark.session import get_spark
+    from chainweb_data_spark.streaming import publish as pub10
+
+    spark = get_spark("txlog-bigsweep")
+    tables = _seed_snapshot(n_files)
+    n_orphans = 512
+    report: dict = {"live_files": sum(len(v) for v in tables.values()),
+                    "planted_orphans": n_orphans}
+    base = tempfile.mkdtemp(prefix="txlog-bigsweep-")
+    try:
+        # warm the session once (worker pool, codegen, parquet reader) —
+        # the number under test is a long-lived maintenance service's
+        # steady-state planning cost, not JVM cold-start: a tiny
+        # throwaway store runs the full spark-vacuum path untimed
+        warm = os.path.join(base, "_warm")
+        os.makedirs(warm)
+        pub10._write_manifest(
+            warm,
+            {"version": 1, "tables": _seed_snapshot(600), "op": "seed"},
+        )
+        pub10.vacuum(warm, keep_versions=0, spark=spark)
+        for mode in ("driver", "spark"):
+            out = os.path.join(base, mode)
+            os.makedirs(out)
+            # v1 checkpoint: the O(n_files) snapshot rides the parquet
+            # sidecar; the commit JSON stays O(1)
+            pub10._write_manifest(
+                out, {"version": 1, "tables": tables, "op": "seed"}
+            )
+            # plant real orphan bytes no commit references, spread over
+            # the partition dirs, plus a FEW real live files (the sweep
+            # must leave them)
+            kept = []
+            for t in TABLES[:2]:
+                tdir = os.path.join(out, f"{t}.parquet")
+                for i in range(n_orphans // 2):
+                    d = os.path.join(tdir, f"height_bucket={i % 64}")
+                    os.makedirs(d, exist_ok=True)
+                    with open(
+                        os.path.join(d, f"part-orphan-{i:05d}.parquet"), "wb"
+                    ) as f:
+                        f.write(b"x")
+                for rel in tables[t][:8]:
+                    full = os.path.join(tdir, rel)
+                    os.makedirs(os.path.dirname(full), exist_ok=True)
+                    with open(full, "wb") as f:
+                        f.write(b"y")
+                    kept.append(full)
+
+            pub10._SNAP_CACHE.clear()
+            rss0 = _vm_rss_mb()
+            t0 = time.perf_counter()
+            if mode == "spark":
+                removed = pub10.vacuum(out, keep_versions=0, spark=spark)
+            else:
+                removed = pub10.vacuum(out, keep_versions=0)
+            wall = time.perf_counter() - t0
+            rss1 = _vm_rss_mb()
+            assert len(removed) == n_orphans, (mode, len(removed))
+            assert all(os.path.exists(p) for p in kept), mode
+            report[f"vacuum_{mode}"] = {
+                "wall_s": round(wall, 3),
+                "driver_rss_growth_mb": round(rss1 - rss0, 1),
+            }
+        # resolve-only comparison at the same version
+        out = os.path.join(base, "spark")
+        pub10._SNAP_CACHE.clear()
+        t0 = time.perf_counter()
+        n_drv = sum(len(v) for v in pub10._snapshot_files(out, 1).values())
+        t_drv = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_spk = pub10.snapshot_files_df(spark, out, 1).count()
+        t_spk = time.perf_counter() - t0
+        assert n_drv == n_spk == report["live_files"]
+        report["resolve_driver_s"] = round(t_drv, 3)
+        report["resolve_spark_s"] = round(t_spk, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return report
+
+
+def run_race(rounds: int) -> dict:
+    """Two interleaved writers on one table: disjoint partitions (the
+    verbatim-rebase fast path) vs overlapping PKs (conflict re-stage)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.session import get_spark
+    from chainweb_data_spark.streaming import publish as pub10
+
+    spark = get_spark("txlog-race")
+    PK = {"t": ("id",)}
+    report: dict = {"rounds_per_writer": rounds}
+
+    def batch(lo, hi, bucket_base):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                (F.col("id") * 2).alias("val"),
+                (bucket_base + F.col("id") % 4).alias("height_bucket"),
+            )
+            .coalesce(1)
+        )
+
+    for scenario in ("disjoint", "overlap"):
+        base = tempfile.mkdtemp(prefix=f"txlog-race-{scenario}-")
+        out = os.path.join(base, "store")
+        # count conflict decisions by wrapping the detector: each racing
+        # retry calls it once; the tables it returns are re-staged, the
+        # rest rebase verbatim
+        races = {"detector_calls": 0, "tables_restaged": 0}
+        orig_conflicts = pub10._conflicting_tables
+
+        def counting(out_dir, old_v, new_v, staged):
+            res = orig_conflicts(out_dir, old_v, new_v, staged)
+            races["detector_calls"] += 1
+            races["tables_restaged"] += len(res)
+            return res
+
+        pub10._conflicting_tables = counting
+        errors: list = []
+        expected: set = set()
+
+        def writer(w: int):
+            try:
+                for r in range(rounds):
+                    if scenario == "disjoint":
+                        lo = (r * 2 + w) * 50
+                        hi = lo + 50
+                        bb = w * 4  # buckets {0..3} vs {4..7}
+                    else:
+                        lo = r * 100 + w * 25  # 25 shared ids per round
+                        hi = lo + 50
+                        bb = 0  # same bucket space — PK collisions
+                    expected.update(range(lo, hi))
+                    pub10.publish_batch(
+                        spark, {"t": batch(lo, hi, bb)}, out, pks=PK,
+                        max_retries=8,
+                    )
+            except Exception as e:  # pragma: no cover - rehearsal guard
+                errors.append(e)
+
+        try:
+            threads = [
+                threading.Thread(target=writer, args=(w,)) for w in (0, 1)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            assert not errors, errors
+            df = pub10.read_published(spark, out, "t")
+            got = {r["id"] for r in df.select("id").collect()}
+            dup_pks = (
+                df.groupBy("id").count().filter(F.col("count") > 1).count()
+            )
+            assert got == expected, (
+                f"{scenario}: lost {len(expected - got)} rows, "
+                f"phantom {len(got - expected)}"
+            )
+            assert dup_pks == 0, f"{scenario}: {dup_pks} duplicate PKs"
+            report[scenario] = {
+                "commits": pub10._latest_version(out),
+                "rows": len(got),
+                "lost_rows": 0,
+                "duplicate_pks": 0,
+                "conflict_checks": races["detector_calls"],
+                "tables_restaged": races["tables_restaged"],
+                "verbatim_rebases": races["detector_calls"]
+                - races["tables_restaged"],
+                "wall_s": round(wall, 2),
+            }
+        finally:
+            pub10._conflicting_tables = orig_conflicts
+            shutil.rmtree(base, ignore_errors=True)
+    return report
+
+
 def main() -> None:
+    if "--bigsweep" in sys.argv:
+        i = sys.argv.index("--bigsweep")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1_000_000
+        print(json.dumps({"bigsweep": run_bigsweep(n)}))
+        return
+    if "--race" in sys.argv:
+        i = sys.argv.index("--race")
+        rounds = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 12
+        print(json.dumps({"race": run_race(rounds)}))
+        return
     live_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n_commits = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     tables = _seed_snapshot(live_files)

@@ -139,6 +139,15 @@ def test_orphan_sidecars_reclaimed_referenced_kept(spark, tmp_path):
     shutil.copy(os.path.join(mdir, ref), crash)
     removed = vacuum(out, keep_versions=0)
     assert os.path.join("_manifest", os.path.basename(loser)) in removed
+    # a sidecar AHEAD of the latest commit is indistinguishable from an
+    # IN-FLIGHT writer's (renamed, link not yet created) — r10: it always
+    # gets the full grace window, even under explicit min_age_s=0, because
+    # deleting it would break every resolve at that checkpoint after the
+    # writer's os.link succeeds
+    assert os.path.exists(crash)
+    old = pub.time.time() - pub.VACUUM_GRACE_S - 5
+    os.utime(crash, (old, old))
+    removed = vacuum(out, keep_versions=0)
     assert os.path.join("_manifest", os.path.basename(crash)) in removed
     for name in live_sidecars:
         assert os.path.exists(os.path.join(mdir, name))

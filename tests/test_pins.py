@@ -255,3 +255,33 @@ def test_pin_lost_race_with_vacuum_fails_loudly(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(pub, "_write_manifest", orig)
     # the hollow lease was released, not left dangling
     assert v_old not in pinned_versions(out)
+
+
+def test_vacuum_detects_hollow_lease(spark, tmp_path):
+    """r10 (ADVICE): pin_version's loud-failure guarantee needs the
+    pinning process to SURVIVE to its post-commit re-verify — a crash in
+    that window leaves a lease whose files are already gone, and until
+    now nothing ever noticed.  vacuum's sweep sees every on-disk file, so
+    it now warns when a pinned snapshot references a file the walk never
+    found."""
+    import warnings
+
+    out = str(tmp_path / "hl")
+    publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    publish_batch(spark, {"t": _batch(spark, 10, 20)}, out, pks=PK)
+    v_pin = read_manifest(out)["version"]
+    pin_version(out, v_pin, name="provenance")
+
+    # healthy lease: the sweep stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        vacuum(out, keep_versions=0)
+
+    # simulate the crash window: a pinned data file reclaimed out-of-band
+    victim = pub._snapshot_files(out, v_pin)["t"][0]
+    os.remove(os.path.join(out, "t.parquet", victim))
+    with pytest.warns(RuntimeWarning, match="HOLLOW"):
+        vacuum(out, keep_versions=0)
+    # detection does not auto-release: the lease (the provenance evidence)
+    # survives for the operator to investigate
+    assert v_pin in pinned_versions(out)

@@ -1,0 +1,206 @@
+"""Cluster-side txlog resolution (streaming/publish.py, r10): snapshots
+as DataFrames (`snapshot_files_df`), vacuum's orphan sweep as a
+distributed-listing anti-join (`vacuum(spark=...)`), and pin_version's
+re-readability probe in executors (`pin_version(spark=...)`) — the
+Delta-shaped scale path that replaces O(live files) driver dicts.
+
+The load-bearing property throughout: the spark paths reclaim/probe/
+resolve EXACTLY what the driver paths do, so every existing txlog
+guarantee transfers verbatim."""
+
+import os
+
+import pytest
+
+import chainweb_data_spark.streaming.publish as pub
+from chainweb_data_spark.streaming.publish import (
+    compact_published,
+    pin_version,
+    publish_batch,
+    read_manifest,
+    read_published,
+    snapshot_files_df,
+    unpin_version,
+    vacuum,
+)
+
+PK = {"t": ("id",), "u": ("id",)}
+
+
+def _batch(spark, lo, hi):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id"),
+            (F.col("id") * 2).alias("val"),
+            (F.col("id") % 4).alias("height_bucket"),
+        )
+        .coalesce(1)
+    )
+
+
+def _grow(spark, out, n, two_tables=False):
+    for i in range(n):
+        lo = i * 10
+        tables = {"t": _batch(spark, lo, lo + 10)}
+        if two_tables:
+            tables["u"] = _batch(spark, lo, lo + 5)
+        publish_batch(spark, tables, out, pks=PK)
+
+
+def _df_rows(df):
+    return sorted((r["table"], r["file"]) for r in df.collect())
+
+
+def _dict_rows(d):
+    return sorted((t, f) for t, fs in d.items() for f in fs)
+
+
+def test_snapshot_files_df_matches_driver_resolve(spark, tmp_path):
+    """Across a checkpoint boundary, through deltas, after compaction
+    removes, and at time-travel versions, the DataFrame resolve must be
+    row-for-row the driver resolve."""
+    out = str(tmp_path / "eq")
+    _grow(spark, out, pub.CHECKPOINT_EVERY + 3, two_tables=True)
+    compact_published(spark, out, "t", keep_versions=99)  # removes, no reclaim
+    latest = read_manifest(out)["version"]
+    for v in (1, 2, pub.CHECKPOINT_EVERY, pub.CHECKPOINT_EVERY + 1, latest):
+        pub._SNAP_CACHE.clear()
+        want = _dict_rows(pub._snapshot_files(out, v))
+        assert _df_rows(snapshot_files_df(spark, out, v)) == want
+
+
+def test_table_files_matches_full_resolve(spark, tmp_path):
+    """read_published's per-table filtered resolve (files AND stats) must
+    equal the corresponding slice of the full-manifest resolve."""
+    out = str(tmp_path / "tf")
+    _grow(spark, out, pub.CHECKPOINT_EVERY + 2, two_tables=True)
+    latest = read_manifest(out)["version"]
+    for v in (1, pub.CHECKPOINT_EVERY, latest):
+        for table in ("t", "u", "never_written"):
+            pub._SNAP_CACHE.clear()
+            files, stats = pub._table_files(out, v, table, with_stats=True)
+            pub._SNAP_CACHE.clear()
+            full = pub._resolve(out, v)
+            assert files == full["tables"].get(table, [])
+            assert stats == full["stats"].get(table, {})
+
+
+def test_spark_vacuum_reclaims_exactly_what_driver_vacuum_does(
+    spark, tmp_path
+):
+    """Twin stores, identical content and orphans: vacuum(spark=...) and
+    the classic driver vacuum must remove the same data files and leave
+    the same survivors."""
+    outs = {}
+    for mode in ("driver", "spark"):
+        out = str(tmp_path / mode)
+        _grow(spark, out, 4, two_tables=True)
+        compact_published(spark, out, "t", keep_versions=99)
+        # a crash orphan: staged bytes no commit references
+        orphan = os.path.join(out, "t.parquet", "height_bucket=0")
+        os.makedirs(orphan, exist_ok=True)
+        with open(os.path.join(orphan, "part-crash-orphan.parquet"), "wb") as f:
+            f.write(b"junk")
+        outs[mode] = out
+    removed_driver = vacuum(outs["driver"], keep_versions=0)
+    removed_spark = vacuum(outs["spark"], keep_versions=0, spark=spark)
+    # part-file names embed per-store uuids, so compare SHAPE (count per
+    # directory) plus the planted orphan's fate, not literal names
+    assert removed_driver and len(removed_driver) == len(removed_spark)
+
+    def _by_dir(rels):
+        from collections import Counter
+
+        return Counter(os.path.dirname(r) for r in rels)
+
+    assert _by_dir(removed_driver) == _by_dir(removed_spark)
+    for removed in (removed_driver, removed_spark):
+        assert any(r.endswith("part-crash-orphan.parquet") for r in removed)
+
+    def _alive(out):
+        walked = []
+        for entry in ("t.parquet", "u.parquet"):
+            base = os.path.join(out, entry)
+            for root, _d, files in os.walk(base):
+                for fn in files:
+                    walked.append(
+                        os.path.join(
+                            entry, os.path.relpath(os.path.join(root, fn), base)
+                        )
+                    )
+        return sorted(walked)
+
+    # survivors in each store are exactly that store's live manifest
+    for mode, out in outs.items():
+        pub._SNAP_CACHE.clear()
+        live = _dict_rows(
+            {
+                f"{t}.parquet": fs
+                for t, fs in read_manifest(out)["tables"].items()
+            }
+        )
+        assert sorted(os.path.join(t, f) for t, f in live) == _alive(out), mode
+    # both stores still read end to end after the sweep
+    for out in outs.values():
+        pub._SNAP_CACHE.clear()
+        assert read_published(spark, out, "t").count() == 40
+
+
+def test_spark_vacuum_honors_grace_window_and_pins(spark, tmp_path):
+    out = str(tmp_path / "gr")
+    _grow(spark, out, 3)
+    v_pin = read_manifest(out)["version"]
+    pin_version(out, v_pin, name="lease", spark=spark)
+    compact_published(spark, out, "t", keep_versions=99)
+    # young orphan survives a grace-windowed spark vacuum
+    orphan = os.path.join(out, "t.parquet", "part-young-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    removed = vacuum(out, keep_versions=0, min_age_s=3600, spark=spark)
+    assert removed == [] and os.path.exists(orphan)
+    # without the grace window it is reclaimed, but the PINNED snapshot's
+    # files survive even at keep_versions=0
+    removed = vacuum(out, keep_versions=0, spark=spark)
+    assert "part-young-orphan.parquet" in " ".join(removed)
+    pub._SNAP_CACHE.clear()
+    got = {
+        r["id"]
+        for r in read_published(spark, out, "t", version=v_pin).collect()
+    }
+    assert got == set(range(0, 30))
+
+
+def test_spark_pin_probe_matches_driver_semantics(spark, tmp_path):
+    out = str(tmp_path / "pp")
+    _grow(spark, out, 3)  # 3 files per bucket — above compaction's min_files
+    v_old = 2  # v1 is the empty adopt commit; v2 is the first publish
+    # healthy: both paths accept
+    c = pin_version(out, v_old, name="a", spark=spark)
+    assert c["op"] == "pin"
+    unpin_version(out, v_old)
+    # reclaimed: both paths refuse with the same loud error
+    compact_published(spark, out, "t", keep_versions=0)
+    vacuum(out, keep_versions=0)
+    with pytest.raises(ValueError, match="no longer re-readable"):
+        pin_version(out, v_old, spark=spark)
+    with pytest.raises(ValueError, match="no longer re-readable"):
+        pin_version(out, v_old)
+
+
+def test_spark_vacuum_detects_hollow_lease(spark, tmp_path):
+    import warnings
+
+    out = str(tmp_path / "hl")
+    _grow(spark, out, 2)
+    v_pin = read_manifest(out)["version"]
+    pin_version(out, v_pin, name="prov", spark=spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        vacuum(out, keep_versions=0, spark=spark)
+    victim = pub._snapshot_files(out, v_pin)["t"][0]
+    os.remove(os.path.join(out, "t.parquet", victim))
+    with pytest.warns(RuntimeWarning, match="HOLLOW"):
+        vacuum(out, keep_versions=0, spark=spark)

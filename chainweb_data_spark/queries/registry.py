@@ -99,8 +99,9 @@ def register(name: str, oracle: str | None = None):
 # configuration), Spark-4-native twins of
 # gated queries (cw_continuation_history_rcte — native WITH RECURSIVE;
 # json_variant_extract — VariantType parse-once extraction), and the
-# multimodal resize/frame-sample/audio legs (the gate slot for the binary
-# pipeline is multimodal_image_features).
+# multimodal resize/frame-sample legs (the binary pipeline's gate slots
+# are the REAL-codec queries: multimodal_png_features,
+# multimodal_wav_features, multimodal_y4m_frames).
 GATE_PRIORITY: tuple[str, ...] = (
     # chainweb domain (reference endpoint surface)
     "cw_recent_txs",
@@ -132,7 +133,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "like_search",
     "doc_like_search",
     "region_revenue",
-    "latest_per_user",
+    # latest_per_user demoted r10 (still hash-checked by the local
+    # harness): its DISTINCT-ON/max_by latest-per-key kernel is the same
+    # one gated cw_richlist aggregates with and the sqlite balance tests
+    # pin independently, so kernel drift breaks a gated query and a unit
+    # test first; the slot funds the real-audio codec leg below
     # running_counters + json_extract_agg demoted r8 (still hash-checked
     # by the local harness): the W2/W3 running-scan window is the same
     # partitioned-window kernel gated epoch_pipeline and pack_sequences
@@ -178,7 +183,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # raw-vector refine, so ADC drift still breaks the gated query;
     # ann_ivfpq_topk stays hash-checked in the local tail
     "ann_ivfpq_rerank_topk",
-    "multimodal_image_features",
+    # multimodal_image_features demoted r10 (still hash-checked by the
+    # local harness): it is the synthetic-codec ANCESTOR of the gated
+    # multimodal_png_features — the registry dispatch they share means
+    # dispatch drift breaks the PNG gate, and the decode kernels are now
+    # better evidenced by the REAL-bytes codec legs (png gated r9, wav +
+    # y4m promoted below); the slot funds the video leg
     # time-series joins (round-5 operators: as-of + binned range join)
     "asof_join_orders",
     "range_join_orders",
@@ -215,6 +225,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_png_features",
     "mixture_by_tokens_docs",
     "bm25_search_batch_docs",
+    # round-10 promotions: the audio and video twins of the gated PNG
+    # path — REAL container bytes (integer-PCM WAV, YUV4MPEG2) decoded by
+    # pure-stdlib codecs with literal-VALUES oracles, the multimodal
+    # story's strongest evidence; y4m additionally gates the
+    # seek-sampling contract (every-k-th frame as offset arithmetic)
+    "multimodal_wav_features",
+    "multimodal_y4m_frames",
 )
 
 

@@ -91,12 +91,21 @@ def bounded_scan(
     cursor: Sequence | None = None,
     floor: int = 0,
     gauge: LoadGauge | None = None,
+    ceiling: int | None = None,
 ) -> BoundedScanResult:
     """Run one governed request-iteration.
 
     The cursor is the full keyset tuple of the last *emitted or examined*
     row position, exactly like the reference's ``BSContinuation`` — here
     (height-slice floor, keyset tuple).  ``cursor=None`` starts at the top.
+
+    ``ceiling`` (r10): the known maximum of ``height_col`` — when given,
+    the first request plans its slices from it WITHOUT the ``agg(max)``
+    data scan (``bounded_scan_published`` serves it from the txlog's
+    per-file footer stats, so request planning is metadata-only — the
+    reference's O(1) ``/stats`` spirit).  Must be the exact max (parquet
+    int min/max are exact): a loose upper bound would stay correct but
+    burn budget slices on empty height ranges.
 
     Per slice: one narrow job with BOTH bounds on ``height_col`` pushed to
     the scan, then keyset order + limit (TakeOrdered — no global sort).
@@ -120,10 +129,14 @@ def bounded_scan(
                 cursor=cursor,
                 floor=floor,
                 gauge=None,
+                ceiling=ceiling,
             )
     if cursor is not None:
         hi = int(cursor[0])  # cursor height bounds the next scan
         resume_pred = keyset_predicate(spec, cursor)
+    elif ceiling is not None:
+        hi = int(ceiling)  # metadata-served: no planning data scan
+        resume_pred = None
     else:
         row = df.agg(F.max(height_col).alias("m")).collect()[0]
         if row["m"] is None:
@@ -225,13 +238,47 @@ def bounded_scan_published(
     batches land in newer versions this session never reads; the vacuum
     retention horizon (``publish.MAINT_KEEP_VERSIONS``) bounds how long a
     parked session stays resumable, exactly like Postgres' snapshot
-    lifetime bounding the reference's."""
-    from ..streaming.publish import read_manifest, read_published
+    lifetime bounding the reference's.
+
+    First-request planning is METADATA-ONLY (r10): the height ceiling
+    that seeds the slice walk comes from the txlog's per-file footer
+    stats (recorded at stage time) instead of an ``agg(max)`` data scan —
+    no data file is opened before the first slice.  Files missing the
+    stat fall back to the scan, correct either way."""
+    from ..streaming.publish import _latest_version, read_published
 
     if version is None:
-        version = read_manifest(out_dir)["version"]
+        version = _latest_version(out_dir)
     df = read_published(spark, out_dir, table, version=version)
     if df is None:
         return BoundedScanResult([], None, 0), version
+    if cursor is None and "ceiling" not in kw:
+        c = _stats_ceiling(
+            out_dir, table, version, kw.get("height_col", "height")
+        )
+        if c is not None:
+            kw["ceiling"] = c
     res = bounded_scan(df, predicate, spec, cursor=cursor, **kw)
     return res, version
+
+
+def _stats_ceiling(
+    out_dir: str, table: str, version: int, col: str
+) -> int | None:
+    """``max(col)`` over the pinned snapshot from the txlog's per-file
+    footer stats — commit metadata, no data-file scan.  ``None`` (fall
+    back to the agg) when ANY live file lacks the column's range: a
+    partial max would silently truncate the walk's starting point, the
+    silent-wrong class this repo refuses."""
+    from ..streaming.publish import _table_files
+
+    files, stats = _table_files(out_dir, version, table, with_stats=True)
+    if not files:
+        return None
+    mx = None
+    for f in files:
+        rng = stats.get(f, {}).get(col)
+        if not rng or rng[1] is None:
+            return None
+        mx = rng[1] if mx is None else max(mx, rng[1])
+    return int(mx)

@@ -264,3 +264,58 @@ def test_snapshot_pinned_pagination_is_isolated(spark, tmp_path):
     )
     assert v_live > v_pinned
     assert any(r.rk.startswith("aa-") for r in res.rows)
+
+
+def test_published_first_request_plans_ceiling_from_stats(spark, tmp_path):
+    """r10 (r9 verdict #5): bounded_scan_published's first request must
+    derive its height ceiling from the txlog's per-file footer stats —
+    commit metadata — not an agg(max) data scan.  Proven by bombing
+    DataFrame.agg for the call's duration: the slices themselves never
+    aggregate, so any agg is the planning scan this test forbids.  The
+    drained result must still equal the un-governed query."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from chainweb_data_spark.plans.bounded_scan import (
+        _stats_ceiling,
+        bounded_scan_published,
+    )
+    from chainweb_data_spark.streaming.publish import publish_batch
+
+    out = str(tmp_path / "log")
+    pks = {"idx": ("height", "rk")}
+    publish_batch(spark, {"idx": _table(spark, n=120, match_every=3)}, out, pks=pks)
+
+    # the stats ceiling is exact (parquet int min/max), so planning needs
+    # no data scan at all
+    assert _stats_ceiling(out, "idx", 2, "height") == 119
+    pred = F.col("flag") == 1
+    kw = dict(limit=7, slice_width=30, budget_slices=2, floor=0)
+
+    rows, cursor, version = [], None, None
+    first = True
+    while True:
+        if first:
+            with mock.patch.object(
+                DataFrame,
+                "agg",
+                side_effect=AssertionError(
+                    "agg(max) data scan before the first slice"
+                ),
+            ):
+                res, version = bounded_scan_published(
+                    spark, out, "idx", pred, SPEC, cursor=None, **kw
+                )
+            first = False
+        else:
+            res, version = bounded_scan_published(
+                spark, out, "idx", pred, SPEC,
+                cursor=cursor, version=version, **kw,
+            )
+        rows.extend((r.height, r.rk) for r in res.rows)
+        if res.next_cursor is None:
+            break
+        cursor = res.next_cursor
+    want = [(h, f"rk-{h:05d}") for h in range(119, -1, -1) if h % 3 == 0]
+    assert rows == want

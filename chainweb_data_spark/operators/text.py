@@ -633,6 +633,13 @@ def tfidf_topk_terms(
     return _topk_terms(scored, id_col, k, ["token", "tf", "df", "score"])
 
 
+#: GK-sketch accuracy for corpus_report(exact_median=False): the approx
+#: median's rank error is bounded by n / accuracy per stratum — 0.01% at
+#: 10,000, i.e. ±100 ranks per billion-row stratum, with sketch memory
+#: O(accuracy · log n) instead of the exact path's O(n) buffer.
+_APPROX_MEDIAN_ACCURACY = 10_000
+
+
 def corpus_report(
     df: DataFrame,
     group_col: str,
@@ -657,8 +664,14 @@ def corpus_report(
     ``exact_median=False`` — `approx_percentile` (t-digest-style GK
     sketch, map-side combinable, bounded memory) replaces the buffering
     aggregate and every other column is unchanged (r9: the documented
-    swap is now the one argument it claimed to be; sanity-tested within
-    tolerance of the exact path).  `dup_text_frac` counts distinct
+    swap is now the one argument it claimed to be).  The approx path's
+    CONTRACT (r10, the pinned error bar): with accuracy
+    ``_APPROX_MEDIAN_ACCURACY`` = 10,000 the result is an actual data
+    value whose RANK is within ``n / accuracy`` (0.01% of the stratum
+    size) of the true median rank — the GK sketch's guarantee, stated in
+    rank terms because value error depends on the distribution.
+    Asserted against the exact path on the sf0.1 bench corpus
+    (``tests/test_text_extras.py``).  `dup_text_frac` counts distinct
     md5(text) against docs — the exact-dup rate per stratum without
     running the dedup itself."""
     feat = quality_features(df, text_col)
@@ -667,7 +680,7 @@ def corpus_report(
         F.percentile(F.length(text_col), F.lit(0.5))
         if exact_median
         else F.percentile_approx(
-            F.length(text_col), F.lit(0.5), F.lit(10_000)
+            F.length(text_col), F.lit(0.5), F.lit(_APPROX_MEDIAN_ACCURACY)
         ).cast("double")
     )
     return (

@@ -566,3 +566,54 @@ def test_mixture_by_tokens_deterministic_and_edge_cases(spark):
         tx.mixture_by_tokens(
             docs, "doc_id", "source", "n_tokens", w, -5
         )
+
+
+def test_corpus_report_approx_median_rank_bound_at_bench_scale(spark):
+    """r10 (r9 verdict #7): the open-scale approx-median path's error bar
+    is a CONTRACT, not a vibe — with accuracy A the returned value's rank
+    sits within n/A of the true median rank (the GK guarantee).  Asserted
+    per stratum on the sf0.1 bench corpus against the exact path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.operators.text import (
+        _APPROX_MEDIAN_ACCURACY,
+        corpus_report,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):  # pragma: no cover - bench data absent
+        import pytest
+
+        pytest.skip("sf0.1 bench corpus not present")
+    docs = spark.read.parquet(os.path.join(sf01, "documents.parquet"))
+    approx = {
+        r["source"]: r["median_chars"]
+        for r in corpus_report(
+            docs, "source", "text", exact_median=False
+        ).collect()
+    }
+    lens = docs.select(
+        "source", F.length("text").alias("len")
+    ).groupBy("source", "len").count()
+    by_src = {}
+    for r in lens.collect():
+        by_src.setdefault(r["source"], []).append((r["len"], r["count"]))
+    assert len(by_src) >= 2  # several strata or the bound is vacuous
+    assert sum(c for ps in by_src.values() for _l, c in ps) >= 5_000
+    for src, pairs in by_src.items():
+        n = sum(c for _l, c in pairs)
+        assert n > 100  # sources are uneven; smallest stratum ~250 docs
+        med = approx[src]
+        rank_lt = sum(c for l, c in pairs if l < med)
+        rank_le = sum(c for l, c in pairs if l <= med)
+        target = 0.5 * n
+        tol = n / _APPROX_MEDIAN_ACCURACY + 1  # +1: rank discreteness
+        # the value's rank interval must intersect the allowed band
+        assert rank_lt - tol <= target <= rank_le + tol, (
+            src, n, med, rank_lt, rank_le
+        )
+        # and the approx median is an ACTUAL data value (GK returns
+        # members, never interpolations)
+        assert any(l == med for l, _c in pairs), (src, med)

@@ -68,3 +68,37 @@ def test_harness_catches_int_vs_float():
     # same class on both sides stays green
     assert_dtypes_compatible(ints, ints.copy(), "int-vs-int")
     assert_dtypes_compatible(floats, floats.copy(), "float-vs-float")
+
+
+def test_harness_catches_wrong_numeric_class_in_literal_values_oracle(
+    spark, con
+):
+    """r10 (r9 verdict #8): the codec queries' oracles are literal VALUES
+    rows over real bytes, and a codec edit that regenerates them can
+    silently flip a column's numeric class (412 vs 412.0) — exactly the
+    int-vs-float shape the dtype-strict harness exists for.  Prove the
+    FULL compare() path (not just the dtype helper) fails a
+    deliberately-wrong VALUES oracle, and passes the corrected one."""
+    df = spark.createDataFrame(
+        [(1, 412.0), (2, 96.5)], "sample_id int, rms double"
+    )
+    wrong = (
+        "SELECT * FROM (VALUES (1, 412), (2, 96)) AS t(sample_id, rms)"
+    )  # rms as INTEGER: wrong class AND wrong value rendering
+    with pytest.raises(AssertionError):
+        compare(df, con, wrong, "values-wrong-class")
+    # integral-valued doubles against an int VALUES column must ALSO fail
+    # on class alone (the driver hashes 412 vs 412.0 differently)
+    df_integral = spark.createDataFrame(
+        [(1, 412.0), (2, 96.0)], "sample_id int, rms double"
+    )
+    wrong_integral = (
+        "SELECT * FROM (VALUES (1, 412), (2, 96)) AS t(sample_id, rms)"
+    )
+    with pytest.raises(AssertionError, match="dtype class mismatch"):
+        compare(df_integral, con, wrong_integral, "values-integral-collision")
+    right = (
+        "SELECT * FROM (VALUES (1, CAST(412.0 AS DOUBLE)), "
+        "(2, CAST(96.5 AS DOUBLE))) AS t(sample_id, rms)"
+    )
+    compare(df, con, right, "values-right-class")

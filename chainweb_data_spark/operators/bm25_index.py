@@ -137,7 +137,7 @@ def bm25_update_index(
     ``compact_every``-th batch rewrites each bucket's live files into one
     (``compact_published`` — one log flip, term order preserved via
     ``sort_within=POSTINGS_SORT``, racing commits rebased).  Returns the
-    committed snapshot."""
+    commit record (``publish_batch``'s ``{version, op, add}``)."""
     width = _index_bucket_width(out_dir) or BUCKET_HEX
     toks, tf, dfreq = _term_freq_scaffold(docs, id_col, text_col)
     dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))

@@ -628,20 +628,55 @@ def read_manifest(out_dir: str, version: int | None = None) -> dict:
 
 
 def _write_manifest(out_dir: str, manifest: dict) -> None:
-    """Commit ``manifest`` (a full target snapshot, optionally carrying
-    ``stats`` and an ``op`` tag) as version N.
+    """Commit ``manifest`` as version N — the single commit choke point.
 
-    The durable form is chosen here: checkpoints (v1 and every
-    ``CHECKPOINT_EVERY``-th version) store the snapshot verbatim; other
-    versions store only the delta against N-1 — O(changed files), not
-    O(live files).  The commit point is ``os.link`` of the fsync'd temp
-    file to ``v<N>.json``: put-if-absent, so a concurrent committer of the
-    same version raises :class:`ConcurrentWriteError` instead of silently
-    clobbering.  ``CURRENT`` is updated after, as a discovery hint only."""
+    Two accepted shapes:
+
+    - FULL form (``tables`` [+ ``stats``]): the target snapshot.  The
+      durable encoding is chosen here — checkpoints (v1 and every
+      ``CHECKPOINT_EVERY``-th version) store the snapshot verbatim (the
+      parquet sidecar); other versions store only the computed delta
+      against N-1.
+    - DELTA form (``add`` [+ ``stats_add``], no ``tables`` — the r10 hot
+      path, :func:`_commit_append`): the caller states exactly which
+      files it added and the record is written directly, O(staged files)
+      with NO parent-snapshot hydration or set-diff.  Refused on
+      checkpoint versions (those owe readers a full snapshot).
+
+    Either way the commit point is :func:`_link_commit`'s put-if-absent
+    ``os.link`` — a concurrent committer of the same version raises
+    :class:`ConcurrentWriteError` instead of silently clobbering."""
     mdir = _manifest_path(out_dir)
     os.makedirs(mdir, exist_ok=True)
     version = manifest["version"]
     op = manifest.get("op", "write")
+    if "tables" not in manifest:
+        if version == 1 or version % CHECKPOINT_EVERY == 0:
+            raise ValueError(
+                f"delta-form commit for checkpoint version {version} — "
+                "checkpoints must carry the full snapshot (_commit_append "
+                "routes them through the full form)"
+            )
+        commit = {
+            "version": version,
+            "parent": version - 1,
+            "ts": round(time.time(), 3),
+            "op": op,
+        }
+        add = {
+            t: sorted(fs) for t, fs in manifest.get("add", {}).items() if fs
+        }
+        if add:
+            commit["add"] = add
+        stats_add = {
+            t: per
+            for t, per in manifest.get("stats_add", {}).items()
+            if per and t in add
+        }
+        if stats_add:
+            commit["stats_add"] = stats_add
+        _link_commit(mdir, version, commit)
+        return
     tables = {t: sorted(fs) for t, fs in manifest["tables"].items() if fs}
     stats = {t: s for t, s in manifest.get("stats", {}).items() if s}
 
@@ -710,6 +745,14 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
 
+    _link_commit(mdir, version, commit)
+
+
+def _link_commit(mdir: str, version: int, commit: dict) -> None:
+    """Durably publish one commit record: fsync'd temp file + ``os.link``
+    to ``v<N>.json`` (put-if-absent — THE commit point; a concurrent
+    committer of the same version raises :class:`ConcurrentWriteError`
+    instead of silently clobbering), then the CURRENT discovery hint."""
     name = _commit_name(version)
     tmp = os.path.join(mdir, f".{name}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
@@ -720,7 +763,7 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         os.link(tmp, os.path.join(mdir, name))  # the commit point
     except FileExistsError:
         raise ConcurrentWriteError(
-            f"version {version} already committed in {out_dir}"
+            f"version {version} already committed in {os.path.dirname(mdir)}"
         ) from None
     finally:
         os.unlink(tmp)
@@ -730,6 +773,54 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(cur_tmp, os.path.join(mdir, "CURRENT"))  # hint, not the commit
+
+
+def _commit_append(
+    out_dir: str,
+    version: int,
+    add: dict[str, list],
+    stats_add: dict[str, dict],
+    op: str = "publish",
+) -> None:
+    """Commit ``version`` as a pure ADDITION of files — the hot write
+    path (r10).  Non-checkpoint versions write the delta record DIRECTLY
+    from what the writer already knows it staged: O(staged files) driver
+    work, no parent-snapshot hydration, no full-list set-diff.  The old
+    route (hand ``_write_manifest`` a full target snapshot and let it
+    diff against the parent) cost O(live files) of driver CPU on EVERY
+    commit — measured 660 ms/commit at 1M live files
+    (``txlog_rehearsal.py 1000000``) for a writer adding 3 files, the
+    kind of tax a micro-batch sink pays every few seconds forever.
+    Checkpoint versions (v1 and every ``CHECKPOINT_EVERY``-th) still
+    resolve the parent snapshot and write the full sidecar form — the
+    amortized O(live files) the protocol requires there, and the cache
+    makes the resolve a ≤15-delta replay.
+
+    Same commit point (``_link_commit``'s put-if-absent), so racing
+    writers fail loudly and rebase exactly as before; both forms funnel
+    through ``_write_manifest``, the single injectable choke point."""
+    if version == 1 or version % CHECKPOINT_EVERY == 0:
+        base = (
+            _resolve(out_dir, version - 1)
+            if version > 1
+            else {"tables": {}, "stats": {}}
+        )
+        tables = {t: list(fs) for t, fs in base["tables"].items()}
+        stats = {t: dict(s) for t, s in base["stats"].items()}
+        for t, fs in add.items():
+            tables.setdefault(t, []).extend(fs)
+        for t, per in stats_add.items():
+            if per:
+                stats.setdefault(t, {}).update(per)
+        _write_manifest(
+            out_dir,
+            {"version": version, "tables": tables, "stats": stats, "op": op},
+        )
+        return
+    _write_manifest(
+        out_dir,
+        {"version": version, "op": op, "add": add, "stats_add": stats_add},
+    )
 
 
 def history(out_dir: str) -> list[dict]:
@@ -1284,12 +1375,21 @@ def publish_batch(
     a deterministic function of the row's content (height/key buckets);
     flat tables are always conservatively re-staged.  ``layouts``
     optionally pins a table's physical file shape as ``{table:
-    (cluster_cols, sort_cols)}`` — see ``_stage_table``.  Returns the
-    committed snapshot."""
+    (cluster_cols, sort_cols)}`` — see ``_stage_table``.
+
+    Returns the COMMIT RECORD ``{"version": N, "op": "publish"|"noop",
+    "add": {table: n_files}}`` — version metadata only (r10): the hot
+    write path commits O(staged files) deltas directly
+    (:func:`_commit_append`) and never hydrates the full snapshot, so
+    returning one would cost more than the commit; callers that want the
+    snapshot read it (``read_manifest`` / ``read_published``)."""
     pks = pks or TABLE_PKS
     # adopt legacy (log-less) layouts and pin v1 before staging — see
     # ensure_manifest for why this must precede the first staged file
-    manifest = ensure_manifest(out_dir)
+    # (rare one-time path; the hot loop skips the full-snapshot resolve)
+    if _latest_version(out_dir) == 0:
+        ensure_manifest(out_dir)
+    base_v = _latest_version(out_dir)
     staged: dict[str, tuple[list[str], dict]] = {}
     # stage CONCURRENTLY: each table's probe+write is an independent small
     # Spark job against its own directory, and a micro-batch commit is
@@ -1325,33 +1425,31 @@ def publish_batch(
         # an empty delta: retention (MAINT_KEEP_VERSIONS) counts VERSIONS,
         # so a run of no-op commits (crash-replay storms) would silently
         # shrink the real time-travel / pinned-reader horizon toward zero
-        return manifest
+        return {"version": _latest_version(out_dir), "op": "noop", "add": {}}
     for attempt in range(max_retries + 1):
-        new_tables = {t: list(fs) for t, fs in manifest["tables"].items()}
-        new_stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
-        for name, (files, fstats) in staged.items():
-            new_tables.setdefault(name, []).extend(files)
-            if fstats:
-                new_stats.setdefault(name, {}).update(fstats)
-        committed = {
-            "version": manifest["version"] + 1,
-            "tables": new_tables,
-            "stats": new_stats,
-            "op": "publish",
+        add = {name: files for name, (files, _s) in staged.items()}
+        stats_add = {
+            name: fstats for name, (_f, fstats) in staged.items() if fstats
         }
         try:
-            _write_manifest(out_dir, committed)
-            return committed
+            _commit_append(
+                out_dir, base_v + 1, add, stats_add, op="publish"
+            )
+            return {
+                "version": base_v + 1,
+                "op": "publish",
+                "add": {t: len(fs) for t, fs in add.items()},
+            }
         except ConcurrentWriteError:
             if attempt == max_retries:
                 raise
-            fresh = read_manifest(out_dir)
+            fresh_v = _latest_version(out_dir)
             # conflict detection before the rebase: re-stage any table
             # whose partitions the racers touched (its pre-race anti-join
             # may have missed their rows); the stale staged files become
             # orphans for vacuum
             for name in _conflicting_tables(
-                out_dir, manifest["version"], fresh["version"], staged
+                out_dir, base_v, fresh_v, staged
             ):
                 staged.pop(name)
                 nf, ns = _stage_table(
@@ -1366,8 +1464,8 @@ def publish_batch(
                     staged[name] = (nf, ns)
             if not staged:
                 # every row turned out already-published by the racers
-                return fresh
-            manifest = fresh  # rebase and retry
+                return {"version": fresh_v, "op": "noop", "add": {}}
+            base_v = fresh_v  # rebase and retry
     raise AssertionError("unreachable")
 
 

@@ -72,16 +72,26 @@ def run_log(base: str, tables: dict, n_commits: int) -> dict:
     out = os.path.join(base, "log")
     os.makedirs(out)
     pub._write_manifest(out, {"version": 1, "tables": tables, "op": "seed"})
+    per_commit: list[tuple[bool, float]] = []
     t0 = time.perf_counter()
     for b in range(n_commits):
-        snap = pub.read_manifest(out)
-        new = {t: fs for t, fs in snap["tables"].items()}
-        for t in TABLES[:3]:  # a block batch touches a few tables
-            new[t] = new[t] + [f"height_bucket={b % 64}/part-new-{b}-{t[:4]}.parquet"]
-        pub._write_manifest(
-            out, {"version": snap["version"] + 1, "tables": new, "op": "publish"}
+        # the r10 writer path: version discovery + a DIRECT delta commit
+        # of the files this batch staged (publish_batch's _commit_append)
+        # — O(staged files) per commit; checkpoint versions resolve the
+        # parent and write the full sidecar form (amortized)
+        v = pub._latest_version(out)
+        add = {
+            t: [f"height_bucket={b % 64}/part-new-{b}-{t[:4]}.parquet"]
+            for t in TABLES[:3]  # a block batch touches a few tables
+        }
+        tc = time.perf_counter()
+        pub._commit_append(out, v + 1, add, {}, op="publish")
+        per_commit.append(
+            ((v + 1) % pub.CHECKPOINT_EVERY == 0, time.perf_counter() - tc)
         )
     wall = time.perf_counter() - t0
+    deltas = sorted(s for ck, s in per_commit if not ck)
+    ckpts = [s for ck, s in per_commit if ck]
     # worst-case COLD resolve (fresh reader, no snapshot cache): the
     # version just before a checkpoint replays CHECKPOINT_EVERY-1 deltas
     latest = pub._latest_version(out)
@@ -96,6 +106,15 @@ def run_log(base: str, tables: dict, n_commits: int) -> dict:
         "bytes_per_commit": round(total / (n_commits + 1)),
         "wall_s": round(wall, 2),
         "commit_ms": round(wall / n_commits * 1000, 2),
+        # the split the mean hides: delta commits are O(staged files)
+        # regardless of table size (r10 _commit_append); the amortized
+        # spikes are the every-16th checkpoint's full-snapshot sidecar
+        "delta_commit_ms_p50": round(deltas[len(deltas) // 2] * 1000, 2)
+        if deltas
+        else None,
+        "checkpoint_ms_mean": round(sum(ckpts) / len(ckpts) * 1000, 2)
+        if ckpts
+        else None,
         "worst_resolve_ms": round(resolve_s * 1000, 2),
     }
 

@@ -137,11 +137,14 @@ def test_publish_probe_skips_published_duplicates(spark, tmp_path_factory, raw_r
     out = str(tmp_path_factory.mktemp("dup-pub") / "tables")
     tables = payload_to_tables(_raw_df(spark, raw_rows), event_min_height=ACTIVATION)
     m1 = publish_batch(spark, tables, out)
+    files_after_first = read_manifest(out)["tables"]
     m2 = publish_batch(spark, tables, out)
     # the re-publish is a true no-op: no files AND no version burned
     # (empty deltas would shrink the retention horizon)
-    assert m2["version"] == m1["version"]
-    assert m2["tables"] == m1["tables"], "re-publish added files despite no new rows"
+    assert m2["version"] == m1["version"] and m2["op"] == "noop"
+    assert read_manifest(out)["tables"] == files_after_first, (
+        "re-publish added files despite no new rows"
+    )
 
 
 def test_manifest_flip_is_atomic_rename(tmp_path):

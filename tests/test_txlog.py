@@ -729,3 +729,34 @@ def test_conflict_detection_flat_wildcard_and_bucket_overlap(spark, tmp_path):
         )
         == set()
     )
+
+
+def test_publish_commits_delta_directly_and_returns_commit_record(
+    spark, tmp_path
+):
+    """r10: the hot write path commits O(staged files) deltas DIRECTLY —
+    no parent-snapshot hydration, no full-list set-diff — and returns a
+    commit record, not a hydrated snapshot.  The on-disk delta must name
+    exactly the staged files; delta-form commits are refused on
+    checkpoint versions (readers are owed a full snapshot there)."""
+    out = str(tmp_path / "dd")
+    rec = publish_batch(spark, {"t": _batch(spark, 0, 10)}, out, pks=PK)
+    assert rec["op"] == "publish" and rec["version"] == 2  # v1 = adopt
+    assert set(rec["add"]) == {"t"} and rec["add"]["t"] >= 1
+    c = pub._load_commit(out, 2)
+    assert "tables" not in c and "ckpt" not in c and "remove" not in c
+    assert c["parent"] == 1 and c["op"] == "publish"
+    # the delta names exactly the live files the snapshot resolves to
+    assert sorted(c["add"]["t"]) == read_manifest(out)["tables"]["t"]
+    # and their footer stats rode the same commit
+    assert set(c["stats_add"]["t"]) == set(c["add"]["t"])
+    # a delta-form commit on a checkpoint version is a protocol violation
+    with pytest.raises(ValueError, match="checkpoint version"):
+        pub._write_manifest(
+            out,
+            {
+                "version": pub.CHECKPOINT_EVERY,
+                "op": "publish",
+                "add": {"t": ["bogus.parquet"]},
+            },
+        )

@@ -675,6 +675,8 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         }
         if stats_add:
             commit["stats_add"] = stats_add
+        if "pin" in manifest:  # pin/unpin ops change no files — O(1) commit
+            commit["pin"] = manifest["pin"]
         _link_commit(mdir, version, commit)
         return
     tables = {t: sorted(fs) for t, fs in manifest["tables"].items() if fs}
@@ -970,16 +972,10 @@ def pin_version(
             "pin BEFORE the retention horizon passes"
         )
     for _ in range(2):
-        manifest = read_manifest(out_dir)
-        commit = {
-            "version": manifest["version"] + 1,
-            "tables": manifest["tables"],
-            "stats": manifest.get("stats", {}),
-            "op": "pin",
-            "pin": {"version": version, "name": name},
-        }
         try:
-            _write_manifest(out_dir, commit)
+            commit = _commit_pin_op(
+                out_dir, "pin", {"version": version, "name": name}
+            )
         except ConcurrentWriteError:
             continue
         # re-verify AFTER the lease is durable: a vacuum that snapshotted
@@ -1011,22 +1007,37 @@ def unpin_version(out_dir: str, version: int) -> dict:
             f"{out_dir!r}"
         )
     for _ in range(2):
-        manifest = read_manifest(out_dir)
-        commit = {
-            "version": manifest["version"] + 1,
-            "tables": manifest["tables"],
-            "stats": manifest.get("stats", {}),
-            "op": "unpin",
-            "pin": {"version": version},
-        }
         try:
-            _write_manifest(out_dir, commit)
-            return commit
+            return _commit_pin_op(out_dir, "unpin", {"version": version})
         except ConcurrentWriteError:
             continue
     raise ConcurrentWriteError(
         f"unpin_version: lost the commit race twice in {out_dir!r}"
     )
+
+
+def _commit_pin_op(out_dir: str, op: str, pin: dict) -> dict:
+    """One ``pin``/``unpin`` log entry.  A lease changes NO files, so off
+    checkpoint boundaries this is an O(1) delta-form commit (r10 — the
+    old path hydrated the full snapshot just to re-state it); a commit
+    landing ON a checkpoint boundary carries the full snapshot form the
+    protocol owes readers there (and folds the pin set, `_write_manifest`).
+    Raises :class:`ConcurrentWriteError` on a lost race; returns the
+    commit written."""
+    v_next = _latest_version(out_dir) + 1
+    if v_next == 1 or v_next % CHECKPOINT_EVERY == 0:
+        manifest = read_manifest(out_dir)
+        commit = {
+            "version": v_next,
+            "tables": manifest["tables"],
+            "stats": manifest.get("stats", {}),
+            "op": op,
+            "pin": pin,
+        }
+    else:
+        commit = {"version": v_next, "op": op, "pin": pin}
+    _write_manifest(out_dir, commit)
+    return commit
 
 
 def ensure_manifest(out_dir: str) -> dict:

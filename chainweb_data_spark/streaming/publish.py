@@ -1927,6 +1927,18 @@ def _warn_hollow(
     )
 
 
+def _orphans_df(disk: DataFrame, live: DataFrame) -> DataFrame:
+    """On-disk files referenced by no retained snapshot.  The anti-join
+    is HINTED to sort-merge: the planner's static estimate sees the live
+    side as a ~10MB compressed sidecar and elects to BROADCAST it — a
+    hashed relation of every live file name on the JVM driver, the exact
+    O(live files) driver state this path exists to avoid (and measured
+    slower than SMJ at 1M files even locally: 3.6 s vs 1.9 s).  SMJ
+    shuffles both sides on the key — the plan that still works at 10^8
+    files.  Plan-guarded by ``tests/test_txlog_spark.py``."""
+    return disk.join(live.hint("merge"), ["table", "file"], "left_anti")
+
+
 def _vacuum_data_spark(
     spark: SparkSession,
     out_dir: str,
@@ -1971,14 +1983,7 @@ def _vacuum_data_spark(
         disk = disk.persist()  # reused by each pin's hollow probe
     removed: list[str] = []
     try:
-        # hint the anti-join to sort-merge: the planner's static estimate
-        # sees the live side as a ~10MB compressed sidecar and elects to
-        # BROADCAST it — a hashed relation of every live file name on the
-        # JVM driver, the exact O(live files) driver state this path
-        # exists to avoid (and measured slower than SMJ at 1M files even
-        # locally: 3.6 s vs 1.9 s).  SMJ shuffles both sides on the key —
-        # the plan that still works at 10^8 files
-        orphans = disk.join(live.hint("merge"), ["table", "file"], "left_anti")
+        orphans = _orphans_df(disk, live)
         if min_age_s > 0:
             # the concurrent-writer grace window, evaluated on the mtimes
             # the distributed walk recorded

@@ -204,3 +204,31 @@ def test_spark_vacuum_detects_hollow_lease(spark, tmp_path):
     os.remove(os.path.join(out, "t.parquet", victim))
     with pytest.warns(RuntimeWarning, match="HOLLOW"):
         vacuum(out, keep_versions=0, spark=spark)
+
+
+def test_orphan_antijoin_never_broadcasts_the_live_set(spark, tmp_path):
+    """Plan guard for the r10 headline claim: the orphan sweep's
+    anti-join must SORT-MERGE, never broadcast the live side — a
+    broadcast rebuilds every live file name as a hashed relation on the
+    JVM driver, the exact O(live files) driver state the cluster path
+    exists to remove (the planner's static estimate WOULD pick it: the
+    sidecar reads as ~10MB compressed)."""
+    out = str(tmp_path / "pl")
+    _grow(spark, out, 3)
+    live = snapshot_files_df(spark, out, read_manifest(out)["version"])
+    disk = pub._disk_files_df(spark, out, ["t"])
+    plan = (
+        pub._orphans_df(disk, live)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # and it still computes the right answer on a store with one orphan
+    orphan = os.path.join(out, "t.parquet", "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    disk = pub._disk_files_df(spark, out, ["t"])
+    rows = pub._orphans_df(disk, live).select("file").collect()
+    assert [r["file"] for r in rows] == ["part-orphan.parquet"]

@@ -216,8 +216,10 @@ def rewrite_zordered(
 
     if keep_versions is None:
         keep_versions = pub.MAINT_KEEP_VERSIONS
-    manifest = pub.read_manifest(out_dir)
-    files = manifest["tables"].get(table, [])
+    latest = pub._latest_version(out_dir)
+    if latest == 0:
+        return {}
+    files, _ = pub._table_files(out_dir, latest, table, with_stats=False)
     if not files:
         return {}
     tdir = os.path.join(out_dir, f"{table}.parquet")
@@ -261,17 +263,19 @@ def rewrite_zordered(
 
     input_files = set(files)
     for rebase in (False, True):
-        new_stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
-        new_stats[table] = stats
         try:
-            pub._write_manifest(
+            # delta-form swap (r11): exactly {remove: the old layout,
+            # add: the z-files} — no full-snapshot hydration; a swap
+            # landing on a checkpoint boundary builds the sidecar
+            # cluster-side past CLUSTER_PATH_MIN_FILES
+            pub._commit_delta(
                 out_dir,
-                {
-                    "version": manifest["version"] + 1,
-                    "tables": {**manifest["tables"], table: sorted(moved)},
-                    "stats": new_stats,
-                    "op": "zorder",
-                },
+                latest + 1,
+                add={table: sorted(moved)},
+                remove={table: sorted(input_files)},
+                stats_add={table: stats},
+                op="zorder",
+                spark=spark,
             )
             pub.vacuum(out_dir, keep_versions=keep_versions, min_age_s=pub.VACUUM_GRACE_S)
             out = {"files": len(moved), "ranges": ranges}
@@ -281,8 +285,11 @@ def rewrite_zordered(
         except pub.ConcurrentWriteError:
             if rebase:
                 raise
-            manifest = pub.read_manifest(out_dir)
-            if set(manifest["tables"].get(table, [])) != input_files:
+            latest = pub._latest_version(out_dir)
+            fresh, _ = pub._table_files(
+                out_dir, latest, table, with_stats=False
+            )
+            if set(fresh) != input_files:
                 # the racing commit changed THIS table — the z-layout's
                 # file list would drop (or resurrect) rows; abandon and
                 # reclaim the staged files
@@ -321,11 +328,17 @@ def expire_files(
     if keep_versions is None:
         keep_versions = pub.MAINT_KEEP_VERSIONS
     for attempt in range(max_retries + 1):
-        manifest = pub.read_manifest(out_dir)
-        files = manifest["tables"].get(table, [])
+        latest = pub._latest_version(out_dir)
+        if latest == 0:
+            return {"removed": 0, "kept": 0}
+        # per-table resolution (r11): files + their stats come from the
+        # filtered, column-pruned sidecar read — O(this table's files),
+        # never a full-snapshot hydration
+        files, per_file = pub._table_files(
+            out_dir, latest, table, with_stats=True
+        )
         if not files:
             return {"removed": 0, "kept": 0}
-        per_file = manifest.get("stats", {}).get(table, {})
         drop = set()
         for rel in files:
             rng = per_file.get(rel, {}).get(col)
@@ -338,25 +351,22 @@ def expire_files(
                 continue
         if not drop:
             return {"removed": 0, "kept": len(files)}
-        keep = [f for f in files if f not in drop]
-        stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
-        tstats = stats.get(table, {})
-        for rel in drop:
-            tstats.pop(rel, None)
         try:
-            pub._write_manifest(
+            # metadata-only delta commit: remove the expired files, add
+            # nothing — O(dropped files) however large the table is
+            pub._commit_delta(
                 out_dir,
-                {
-                    "version": manifest["version"] + 1,
-                    "tables": {**manifest["tables"], table: keep},
-                    "stats": stats,
-                    "op": "expire",
-                },
+                latest + 1,
+                add={},
+                remove={table: sorted(drop)},
+                stats_add={},
+                op="expire",
+                spark=spark,
             )
         except pub.ConcurrentWriteError:
             if attempt == max_retries:
                 raise
             continue
         pub.vacuum(out_dir, keep_versions=keep_versions, min_age_s=pub.VACUUM_GRACE_S)
-        return {"removed": len(drop), "kept": len(keep)}
+        return {"removed": len(drop), "kept": len(files) - len(drop)}
     raise AssertionError("unreachable")

@@ -94,9 +94,26 @@ column-pruned sidecar read — O(that table's files), never O(all live
 files), with stats bytes fetched only when a ``where`` needs them.  The
 remaining O(table files) driver artifact is the explicit path list handed
 to ``spark.read`` — the same place Delta keeps it (a scan's file index
-lives on the JVM driver by construction).  The dependency-free driver
-paths (``spark=None``) remain the defaults and are fine to ~10^6 files;
-the 1M-file sweep comparing both is a ``scripts/txlog_rehearsal.py`` row.
+lives on the JVM driver by construction).
+
+Checkpoint WRITES are cluster-side too (r11, closing the last
+O(live files) driver path): past :data:`CLUSTER_PATH_MIN_FILES` a
+checkpoint's sidecar is DERIVED by Spark from the previous sidecar plus
+the O(delta) commit chain and written by a Spark job
+(:func:`_write_checkpoint_spark`) — the driver ships only the delta and
+links the O(1) commit JSON; row order and stats encoding match the
+driver builder byte-for-byte.  Every writer (publish, compact, z-order,
+expire, rewrite, pin) now commits DELTA-form through
+:func:`_commit_delta` — exactly the files it changed, no parent
+hydration or set-diff anywhere between checkpoints — and the
+maintenance ops resolve their inputs per-table.  The cluster paths
+AUTO-SELECT: ``vacuum``/``pin_version``/``unpin_version`` default to
+:data:`AUTO`, which picks the active SparkSession once the store's
+live-file count (free metadata: ``n_files`` in every checkpoint commit
++ delta folds, :func:`_store_n_files`) crosses the threshold; explicit
+``spark=None`` keeps the dependency-free driver path, fine to ~10^6
+files.  The 1M/4M-file sweeps comparing all paths are
+``scripts/txlog_rehearsal.py`` rows.
 """
 
 from __future__ import annotations
@@ -121,6 +138,31 @@ CHECKPOINT_EVERY = 16
 #: per-file stats are kept for at most this many columns (footer order) to
 #: bound commit JSON size on wide tables.
 _MAX_STATS_COLUMNS = 24
+
+#: live-file count past which the maintenance consumers (vacuum,
+#: pin_version, checkpoint construction) AUTO-SELECT the cluster-side
+#: plan when a SparkSession is reachable (r11 — mechanism-not-policy
+#: with a safe default: below the threshold the dependency-free driver
+#: path is faster, above it the driver path's O(live files) dicts are
+#: exactly the state the cluster path exists to avoid; the README's
+#: 1M/4M crossover table is where the number comes from).  The count is
+#: free metadata: every checkpoint commit JSON carries ``n_files``, and
+#: :func:`_store_n_files` folds the deltas since.  Pass ``spark=None``
+#: explicitly to force the driver path, or a session to force the
+#: cluster path, regardless of size.
+CLUSTER_PATH_MIN_FILES = 1_000_000
+
+
+class _AutoSpark:
+    """Sentinel default for ``spark=`` parameters: resolve to the active
+    SparkSession iff the store's live-file count crosses
+    :data:`CLUSTER_PATH_MIN_FILES` (see :func:`_resolve_spark_arg`)."""
+
+    def __repr__(self) -> str:  # pragma: no cover - repr cosmetics
+        return "AUTO"
+
+
+AUTO = _AutoSpark()
 
 #: how many snapshots BEFORE the newest the maintenance ops
 #: (compact_published, rewrite_zordered, expire_files) retain when they
@@ -352,6 +394,47 @@ def _latest_version(out_dir: str) -> int:
     return v
 
 
+def _store_n_files(out_dir: str, version: int) -> int | None:
+    """The snapshot's live-file COUNT at ``version`` from commit metadata
+    alone — O(deltas since the last checkpoint), never a file-list scan:
+    checkpoint commits carry ``n_files`` in their O(1) JSON, and each
+    delta states exactly how many files it added/removed.  Pre-r9 inline
+    checkpoints pay one JSON parse (those stores are driver-bounded by
+    construction).  ``None`` when nothing is committed."""
+    if version < 1:
+        return None
+    n = 0
+    v = version
+    while v >= 1:
+        c = _load_commit(out_dir, v)
+        if "n_files" in c:
+            return int(c["n_files"]) + n
+        if "tables" in c:  # inline / legacy checkpoint
+            return sum(len(fs) for fs in c["tables"].values()) + n
+        n += sum(len(fs) for fs in c.get("add", {}).values())
+        n -= sum(len(fs) for fs in c.get("remove", {}).values())
+        v = c.get("parent", v - 1)
+    raise RuntimeError(
+        f"commit chain for version {version} in {out_dir} has no "
+        "checkpoint ancestor — log is corrupt"
+    )
+
+
+def _resolve_spark_arg(spark, out_dir: str):
+    """Resolve a consumer's ``spark`` argument: :data:`AUTO` (the
+    default) picks the active SparkSession when the store's live-file
+    count has crossed :data:`CLUSTER_PATH_MIN_FILES` — the point where
+    the driver path's O(live files) Python dicts become the bottleneck —
+    and the driver path otherwise; an explicit session or ``None``
+    passes through untouched (the caller's override)."""
+    if not isinstance(spark, _AutoSpark):
+        return spark
+    n = _store_n_files(out_dir, _latest_version(out_dir))
+    if n is not None and n >= CLUSTER_PATH_MIN_FILES:
+        return SparkSession.getActiveSession()
+    return None
+
+
 #: resolved snapshots keyed by (abspath, version).  A committed version is
 #: immutable (put-if-absent commit files are never rewritten), so entries
 #: never go stale; the cache turns the single-writer hot loop's resolve
@@ -479,8 +562,22 @@ def snapshot_files_df(
     fall back to hydrating through the driver — those stores carried
     their whole snapshot in one JSON and are driver-bounded by
     construction; their next checkpoint lands as a sidecar."""
+    return _snapshot_df(spark, out_dir, version, with_stats=False)
+
+
+def _snapshot_df(
+    spark: SparkSession, out_dir: str, version: int, with_stats: bool
+) -> DataFrame:
+    """The shared cluster-side resolve behind :func:`snapshot_files_df`
+    (file sets) and :func:`_write_checkpoint_spark` (``with_stats=True``
+    adds the per-file stats-JSON string column, the sidecar's dominant
+    payload — only the checkpoint writer wants those bytes moved)."""
     from pyspark.sql import functions as F
 
+    cols = ["table", "file"] + (["stats"] if with_stats else [])
+    schema = "table string, file string" + (
+        ", stats string" if with_stats else ""
+    )
     deltas: list[dict] = []
     base: DataFrame | None = None
     v = version
@@ -489,13 +586,29 @@ def snapshot_files_df(
         if "ckpt" in commit:
             base = spark.read.parquet(
                 os.path.join(_manifest_path(out_dir), commit["ckpt"])
-            ).select("table", "file")
+            ).select(*cols)
             break
         if "tables" in commit:  # inline / legacy: already driver-sized
-            rows = [
-                (t, f) for t, fs in commit["tables"].items() for f in fs
-            ]
-            base = spark.createDataFrame(rows, "table string, file string")
+            st = commit.get("stats", {})
+            if with_stats:
+                rows = [
+                    (
+                        t,
+                        f,
+                        json.dumps(
+                            st[t][f], separators=(",", ":")
+                        )
+                        if st.get(t, {}).get(f)
+                        else None,
+                    )
+                    for t, fs in commit["tables"].items()
+                    for f in fs
+                ]
+            else:
+                rows = [
+                    (t, f) for t, fs in commit["tables"].items() for f in fs
+                ]
+            base = spark.createDataFrame(rows, schema)
             break
         deltas.append(commit)
         v = commit.get("parent", v - 1)
@@ -506,32 +619,141 @@ def snapshot_files_df(
             )
     # fold the delta chain driver-side (it is O(changed files) by the
     # commit protocol): file names are never reused, so the net effect is
-    # one removed-set anti-join plus one added-rows union
+    # one removed-set anti-join plus one added-rows union.  stats_add
+    # keys are a subset of the same delta's add (enforced at the
+    # _write_manifest choke point), so added rows carry their stats.
     removed: set[tuple] = set()
-    added: list[tuple] = []
-    added_set: set[tuple] = set()
+    added: dict[tuple, str | None] = {}
     for delta in reversed(deltas):
         for t, rels in delta.get("remove", {}).items():
             for rel in rels:
                 key = (t, rel)
-                if key in added_set:
-                    added_set.discard(key)
+                if key in added:
+                    del added[key]
                 else:
                     removed.add(key)
+        st = delta.get("stats_add", {})
         for t, rels in delta.get("add", {}).items():
+            per = st.get(t, {})
             for rel in rels:
-                added_set.add((t, rel))
-    added = sorted(added_set)
+                s = per.get(rel)
+                added[(t, rel)] = (
+                    json.dumps(s, separators=(",", ":")) if s else None
+                )
     if removed:
         rm_df = spark.createDataFrame(
             sorted(removed), "table string, file string"
         )
         base = base.join(F.broadcast(rm_df), ["table", "file"], "left_anti")
     if added:
-        base = base.unionByName(
-            spark.createDataFrame(added, "table string, file string")
-        )
+        if with_stats:
+            add_rows = [(t, f, s) for (t, f), s in sorted(added.items())]
+        else:
+            add_rows = sorted(added)
+        base = base.unionByName(spark.createDataFrame(add_rows, schema))
     return base
+
+
+def _write_checkpoint_spark(
+    spark: SparkSession,
+    out_dir: str,
+    version: int,
+    add: dict[str, list],
+    remove: dict[str, list],
+    stats_add: dict[str, dict],
+    op: str,
+    pin: dict | None = None,
+) -> None:
+    """Write checkpoint ``version`` with the snapshot derived and
+    serialized CLUSTER-SIDE (r11 — closing the last O(live files) driver
+    path): the parent snapshot comes from :func:`_snapshot_df` (previous
+    sidecar scanned by Spark + the O(delta) commit chain), this commit's
+    own add/remove folds in the same way, and the new sidecar parquet is
+    written by a Spark job — the driver ships only O(delta) rows and
+    never hydrates a file list.  Row order (sorted by table, file) and
+    stats encoding match :func:`_write_checkpoint_sidecar` exactly, so
+    the two builders are byte-comparable and every sidecar reader works
+    on either.  ``n_files`` / ``table_names`` for the O(1) commit JSON
+    come from the written file's own parquet footer (no second job).
+
+    The sidecar is durable (fsync + rename into ``_manifest``) BEFORE
+    the commit JSON links — same protocol as the driver builder: a crash
+    or a lost commit race leaves an orphan sidecar that :func:`vacuum`
+    reclaims by its embedded version; the staging dir lives under
+    ``_staging`` where vacuum already sweeps crashed builds."""
+    from pyspark.sql import functions as F
+
+    df = _snapshot_df(spark, out_dir, version - 1, with_stats=True)
+    rm = sorted((t, rel) for t, rels in remove.items() for rel in rels)
+    if rm:
+        rm_df = spark.createDataFrame(rm, "table string, file string")
+        df = df.join(F.broadcast(rm_df), ["table", "file"], "left_anti")
+    add_rows = sorted(
+        (
+            t,
+            rel,
+            json.dumps(stats_add[t][rel], separators=(",", ":"))
+            if stats_add.get(t, {}).get(rel)
+            else None,
+        )
+        for t, rels in add.items()
+        for rel in rels
+    )
+    if add_rows:
+        df = df.unionByName(
+            spark.createDataFrame(
+                add_rows, "table string, file string, stats string"
+            )
+        )
+    staging = os.path.join(
+        out_dir, "_staging", f"ckpt-build-{uuid.uuid4().hex}"
+    )
+    (
+        df.repartition(1)
+        .sortWithinPartitions("table", "file")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(staging)
+    )
+    parts = [
+        f
+        for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    if len(parts) != 1:  # pragma: no cover - repartition(1) guarantees it
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"checkpoint build wrote {len(parts)} part files, expected 1"
+        )
+    mdir = _manifest_path(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    name = f"ckpt-v{version}-{uuid.uuid4().hex[:12]}.parquet"
+    src = os.path.join(staging, parts[0])
+    with open(src, "rb") as f:
+        os.fsync(f.fileno())
+    os.rename(src, os.path.join(mdir, name))
+    shutil.rmtree(staging, ignore_errors=True)
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(mdir, name)
+    n_files = pq.ParquetFile(path).metadata.num_rows
+    table_names = sorted(
+        pq.read_table(path, columns=["table"])
+        .column("table")
+        .unique()
+        .to_pylist()
+    )
+    manifest = {
+        "version": version,
+        "op": op,
+        "ckpt": name,
+        "n_files": int(n_files),
+        "table_names": table_names,
+    }
+    if pin is not None:
+        manifest["pin"] = pin
+    _write_manifest(out_dir, manifest)
 
 
 def _disk_files_df(
@@ -543,7 +765,15 @@ def _disk_files_df(
     per-directory recursive walks run in EXECUTORS via ``mapInPandas`` —
     the distributed-listing shape Delta's vacuum uses.  Requires storage
     visible to executors, which holds for local mode and for any shared
-    filesystem / object store a real cluster would run against."""
+    filesystem / object store a real cluster would run against (the
+    caller cross-checks the inventory against a driver probe and fails
+    loudly when the walk sees nothing the driver can see —
+    :func:`_vacuum_data_spark`).
+
+    Hidden (``_``/``.``-prefixed) SUBDIRECTORIES are walked — only file
+    NAMES filter, exactly like the driver vacuum's walk — so a crashed
+    non-staged writer's ``_temporary`` tree reclaims identically on both
+    paths (r11, closing the one reclamation divergence)."""
     seeds: list[tuple] = []
     for t in tables:
         tdir = os.path.join(out_dir, f"{t}.parquet")
@@ -551,9 +781,7 @@ def _disk_files_df(
             continue
         seeds.append((t, ""))  # the directory's own immediate files
         for e in os.listdir(tdir):
-            if not e.startswith(("_", ".")) and os.path.isdir(
-                os.path.join(tdir, e)
-            ):
+            if os.path.isdir(os.path.join(tdir, e)):
                 seeds.append((t, e))
     schema = "table string, file string, mtime double"
     if not seeds:
@@ -601,8 +829,12 @@ def _disk_files_df(
                 {"table": t_out, "file": f_out, "mtime": m_out}
             )
 
+    # half the cores, not all: each seed partition is a statfs-bound walk
+    # of one directory, and scheduling 32 tiny tasks cost ~2 s of fixed
+    # overhead at 1M files where 16 fatter ones amortize it (r11 trim);
+    # on a real cluster the walk is I/O-bound and extra slots don't help
     n_part = max(
-        1, min(len(seeds), spark.sparkContext.defaultParallelism)
+        1, min(len(seeds), spark.sparkContext.defaultParallelism // 2 or 1)
     )
     return (
         spark.createDataFrame(seeds, "table string, sub string")
@@ -627,21 +859,43 @@ def read_manifest(out_dir: str, version: int | None = None) -> dict:
     return _resolve(out_dir, version)
 
 
+def _fold_checkpoint_pins(
+    out_dir: str, version: int, op: str, pin: dict | None
+) -> dict[str, str | None]:
+    """The ACTIVE pin set this checkpoint must fold (the table-state
+    amortization applied to leases): pinned_versions then replays at
+    most CHECKPOINT_EVERY-1 commits instead of the whole log."""
+    pins = {} if version == 1 else _pins_at(out_dir, version - 1)
+    if op == "pin":
+        pins[int(pin["version"])] = pin.get("name")
+    elif op == "unpin":
+        pins.pop(int(pin["version"]), None)
+    return {str(k): n for k, n in sorted(pins.items())}
+
+
 def _write_manifest(out_dir: str, manifest: dict) -> None:
     """Commit ``manifest`` as version N — the single commit choke point.
 
-    Two accepted shapes:
+    Three accepted shapes:
 
     - FULL form (``tables`` [+ ``stats``]): the target snapshot.  The
       durable encoding is chosen here — checkpoints (v1 and every
       ``CHECKPOINT_EVERY``-th version) store the snapshot verbatim (the
       parquet sidecar); other versions store only the computed delta
       against N-1.
-    - DELTA form (``add`` [+ ``stats_add``], no ``tables`` — the r10 hot
-      path, :func:`_commit_append`): the caller states exactly which
-      files it added and the record is written directly, O(staged files)
-      with NO parent-snapshot hydration or set-diff.  Refused on
-      checkpoint versions (those owe readers a full snapshot).
+    - DELTA form (``add`` and/or ``remove`` [+ ``stats_add``], no
+      ``tables`` — the r10/r11 hot path, :func:`_commit_delta`): the
+      caller states exactly which files it added/removed and the record
+      is written directly, O(changed files) with NO parent-snapshot
+      hydration or set-diff.  ``stats_add`` is filtered to the files in
+      ``add`` (the protocol invariant the cluster-side resolves rely
+      on).  Refused on checkpoint versions (those owe readers a full
+      snapshot).
+    - PRE-BUILT CHECKPOINT form (``ckpt`` + ``n_files`` +
+      ``table_names``, no ``tables`` — :func:`_write_checkpoint_spark`,
+      r11): the sidecar parquet was already staged and made durable by a
+      Spark job; only the O(1) commit JSON (with the pin fold) is
+      written here.  Refused OFF checkpoint versions.
 
     Either way the commit point is :func:`_link_commit`'s put-if-absent
     ``os.link`` — a concurrent committer of the same version raises
@@ -650,12 +904,34 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
     os.makedirs(mdir, exist_ok=True)
     version = manifest["version"]
     op = manifest.get("op", "write")
+    is_ckpt_version = version == 1 or version % CHECKPOINT_EVERY == 0
+    if "ckpt" in manifest and "tables" not in manifest:
+        if not is_ckpt_version:
+            raise ValueError(
+                f"pre-built checkpoint commit for non-checkpoint version "
+                f"{version} — deltas between checkpoints use the delta form"
+            )
+        commit = {
+            "version": version,
+            "ts": round(time.time(), 3),
+            "op": op,
+            "ckpt": manifest["ckpt"],
+            "n_files": int(manifest["n_files"]),
+            "table_names": sorted(manifest["table_names"]),
+        }
+        if "pin" in manifest:
+            commit["pin"] = manifest["pin"]
+        commit["pins"] = _fold_checkpoint_pins(
+            out_dir, version, op, manifest.get("pin")
+        )
+        _link_commit(mdir, version, commit)
+        return
     if "tables" not in manifest:
-        if version == 1 or version % CHECKPOINT_EVERY == 0:
+        if is_ckpt_version:
             raise ValueError(
                 f"delta-form commit for checkpoint version {version} — "
-                "checkpoints must carry the full snapshot (_commit_append "
-                "routes them through the full form)"
+                "checkpoints must carry the full snapshot (_commit_delta "
+                "routes them through the full or pre-built form)"
             )
         commit = {
             "version": version,
@@ -668,11 +944,19 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         }
         if add:
             commit["add"] = add
+        remove = {
+            t: sorted(fs)
+            for t, fs in manifest.get("remove", {}).items()
+            if fs
+        }
+        if remove:
+            commit["remove"] = remove
         stats_add = {
-            t: per
+            t: {rel: s for rel, s in per.items() if rel in set(add[t])}
             for t, per in manifest.get("stats_add", {}).items()
             if per and t in add
         }
+        stats_add = {t: per for t, per in stats_add.items() if per}
         if stats_add:
             commit["stats_add"] = stats_add
         if "pin" in manifest:  # pin/unpin ops change no files — O(1) commit
@@ -682,7 +966,7 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
     tables = {t: sorted(fs) for t, fs in manifest["tables"].items() if fs}
     stats = {t: s for t, s in manifest.get("stats", {}).items() if s}
 
-    if version == 1 or version % CHECKPOINT_EVERY == 0:
+    if is_ckpt_version:
         # the O(live files) payload goes to a parquet sidecar; the commit
         # JSON stays O(1) bytes no matter how many files are live
         ckpt_name, n_files = _write_checkpoint_sidecar(
@@ -701,17 +985,9 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         }
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
-        # fold the ACTIVE pin set into every checkpoint (the table-state
-        # amortization applied to leases): pinned_versions then replays
-        # at most CHECKPOINT_EVERY-1 commits instead of the whole log
-        pins = {} if version == 1 else _pins_at(out_dir, version - 1)
-        if op == "pin":
-            pins[int(manifest["pin"]["version"])] = manifest["pin"].get(
-                "name"
-            )
-        elif op == "unpin":
-            pins.pop(int(manifest["pin"]["version"]), None)
-        commit["pins"] = {str(k): n for k, n in sorted(pins.items())}
+        commit["pins"] = _fold_checkpoint_pins(
+            out_dir, version, op, manifest.get("pin")
+        )
     else:
         base = _resolve(out_dir, version - 1)
         add: dict[str, list[str]] = {}
@@ -783,25 +1059,58 @@ def _commit_append(
     add: dict[str, list],
     stats_add: dict[str, dict],
     op: str = "publish",
+    spark: SparkSession | None = None,
 ) -> None:
     """Commit ``version`` as a pure ADDITION of files — the hot write
-    path (r10).  Non-checkpoint versions write the delta record DIRECTLY
-    from what the writer already knows it staged: O(staged files) driver
+    path (r10); :func:`_commit_delta` with an empty remove set."""
+    _commit_delta(out_dir, version, add, {}, stats_add, op=op, spark=spark)
+
+
+def _commit_delta(
+    out_dir: str,
+    version: int,
+    add: dict[str, list],
+    remove: dict[str, list],
+    stats_add: dict[str, dict],
+    op: str = "publish",
+    spark: SparkSession | None = None,
+    pin: dict | None = None,
+) -> None:
+    """Commit ``version`` from exactly what the writer CHANGED — the
+    single delta-shaped commit every writer (publish, compact, z-order,
+    expire, rewrite, pin) funnels through (r11).  Non-checkpoint
+    versions write the delta record DIRECTLY: O(changed files) driver
     work, no parent-snapshot hydration, no full-list set-diff.  The old
     route (hand ``_write_manifest`` a full target snapshot and let it
     diff against the parent) cost O(live files) of driver CPU on EVERY
     commit — measured 660 ms/commit at 1M live files
     (``txlog_rehearsal.py 1000000``) for a writer adding 3 files, the
     kind of tax a micro-batch sink pays every few seconds forever.
-    Checkpoint versions (v1 and every ``CHECKPOINT_EVERY``-th) still
-    resolve the parent snapshot and write the full sidecar form — the
-    amortized O(live files) the protocol requires there, and the cache
-    makes the resolve a ≤15-delta replay.
+
+    Checkpoint versions (v1 and every ``CHECKPOINT_EVERY``-th) owe
+    readers the full snapshot.  Above :data:`CLUSTER_PATH_MIN_FILES`
+    (with a ``spark`` session supplied or auto-resolved by the caller)
+    the sidecar is derived and written CLUSTER-SIDE
+    (:func:`_write_checkpoint_spark`: previous sidecar + delta chain,
+    one Spark job — the r11 path that keeps the driver O(delta) even on
+    the amortized commit); below it, or with no session, the driver
+    resolves the parent and writes the sidecar itself (fast at small
+    counts: the cache makes the resolve a ≤15-delta replay).
 
     Same commit point (``_link_commit``'s put-if-absent), so racing
-    writers fail loudly and rebase exactly as before; both forms funnel
+    writers fail loudly and rebase exactly as before; all forms funnel
     through ``_write_manifest``, the single injectable choke point."""
     if version == 1 or version % CHECKPOINT_EVERY == 0:
+        if (
+            spark is not None
+            and version > 1
+            and (_store_n_files(out_dir, version - 1) or 0)
+            >= CLUSTER_PATH_MIN_FILES
+        ):
+            _write_checkpoint_spark(
+                spark, out_dir, version, add, remove, stats_add, op, pin=pin
+            )
+            return
         base = (
             _resolve(out_dir, version - 1)
             if version > 1
@@ -809,20 +1118,37 @@ def _commit_append(
         )
         tables = {t: list(fs) for t, fs in base["tables"].items()}
         stats = {t: dict(s) for t, s in base["stats"].items()}
+        for t, rels in remove.items():
+            gone = set(rels)
+            tables[t] = [f for f in tables.get(t, []) if f not in gone]
+            if t in stats:
+                for rel in rels:
+                    stats[t].pop(rel, None)
         for t, fs in add.items():
             tables.setdefault(t, []).extend(fs)
         for t, per in stats_add.items():
             if per:
                 stats.setdefault(t, {}).update(per)
-        _write_manifest(
-            out_dir,
-            {"version": version, "tables": tables, "stats": stats, "op": op},
-        )
+        manifest = {
+            "version": version,
+            "tables": tables,
+            "stats": stats,
+            "op": op,
+        }
+        if pin is not None:
+            manifest["pin"] = pin
+        _write_manifest(out_dir, manifest)
         return
-    _write_manifest(
-        out_dir,
-        {"version": version, "op": op, "add": add, "stats_add": stats_add},
-    )
+    manifest = {
+        "version": version,
+        "op": op,
+        "add": add,
+        "remove": remove,
+        "stats_add": stats_add,
+    }
+    if pin is not None:
+        manifest["pin"] = pin
+    _write_manifest(out_dir, manifest)
 
 
 def history(out_dir: str) -> list[dict]:
@@ -902,7 +1228,7 @@ def pin_version(
     out_dir: str,
     version: int,
     name: str | None = None,
-    spark: SparkSession | None = None,
+    spark: SparkSession | None | _AutoSpark = AUTO,
 ) -> dict:
     """Take a RETENTION LEASE on snapshot ``version``: commit a ``pin``
     log entry that :func:`vacuum` (and therefore every maintenance op's
@@ -912,7 +1238,16 @@ def pin_version(
     byte-identically re-readable until :func:`unpin_version` releases it.
     Refuses a version that is uncommitted or whose files are ALREADY
     reclaimed (a lease on an unreadable snapshot would promise the
-    impossible).  Returns the new live snapshot.
+    impossible).  Returns the pin COMMIT RECORD ({version, op, pin} —
+    an O(1) delta commit off checkpoint boundaries, r10), not a
+    snapshot; callers that want the snapshot read it
+    (``read_manifest`` / ``read_published``).
+
+    ``spark`` defaults to :data:`AUTO`: past
+    :data:`CLUSTER_PATH_MIN_FILES` live files the re-readability probe
+    runs in executors on the active session (collecting ≤1 row); below
+    it — or with an explicit ``spark=None`` — the dependency-free driver
+    probe runs.  Pass a session explicitly to force the cluster path.
 
     Concurrency: a vacuum IN FLIGHT while this commits may have read the
     pin set before the pin landed.  The files are re-verified AFTER the
@@ -929,6 +1264,7 @@ def pin_version(
             f"pin_version: version {version} not in committed range "
             f"1..{latest} of {out_dir!r}"
         )
+    spark = _resolve_spark_arg(spark, out_dir)
     if spark is None:
         snap = {"tables": _snapshot_files(out_dir, version)}  # stats-pruned
 
@@ -974,7 +1310,8 @@ def pin_version(
     for _ in range(2):
         try:
             commit = _commit_pin_op(
-                out_dir, "pin", {"version": version, "name": name}
+                out_dir, "pin", {"version": version, "name": name},
+                spark=spark,
             )
         except ConcurrentWriteError:
             continue
@@ -995,20 +1332,30 @@ def pin_version(
     )
 
 
-def unpin_version(out_dir: str, version: int) -> dict:
+def unpin_version(
+    out_dir: str,
+    version: int,
+    spark: SparkSession | None | _AutoSpark = AUTO,
+) -> dict:
     """Release the retention lease on ``version`` (a ``unpin`` log
     entry); its files become reclaimable by the next :func:`vacuum` when
     outside the normal retention horizon.  Refuses when no active pin
     exists — an unpin that silently no-ops would mask a double-release
-    bug in the caller's provenance bookkeeping."""
+    bug in the caller's provenance bookkeeping.  ``spark`` (default
+    :data:`AUTO`, like :func:`pin_version`) only matters when the commit
+    lands on a checkpoint boundary — the sidecar is then built
+    cluster-side past :data:`CLUSTER_PATH_MIN_FILES`."""
     if version not in pinned_versions(out_dir):
         raise ValueError(
             f"unpin_version: version {version} holds no active pin in "
             f"{out_dir!r}"
         )
+    spark = _resolve_spark_arg(spark, out_dir)
     for _ in range(2):
         try:
-            return _commit_pin_op(out_dir, "unpin", {"version": version})
+            return _commit_pin_op(
+                out_dir, "unpin", {"version": version}, spark=spark
+            )
         except ConcurrentWriteError:
             continue
     raise ConcurrentWriteError(
@@ -1016,28 +1363,24 @@ def unpin_version(out_dir: str, version: int) -> dict:
     )
 
 
-def _commit_pin_op(out_dir: str, op: str, pin: dict) -> dict:
+def _commit_pin_op(
+    out_dir: str, op: str, pin: dict, spark: SparkSession | None = None
+) -> dict:
     """One ``pin``/``unpin`` log entry.  A lease changes NO files, so off
     checkpoint boundaries this is an O(1) delta-form commit (r10 — the
     old path hydrated the full snapshot just to re-state it); a commit
     landing ON a checkpoint boundary carries the full snapshot form the
-    protocol owes readers there (and folds the pin set, `_write_manifest`).
+    protocol owes readers there (and folds the pin set) — built
+    cluster-side past :data:`CLUSTER_PATH_MIN_FILES` when ``spark`` is
+    supplied, like every other checkpoint (:func:`_commit_delta`).
     Raises :class:`ConcurrentWriteError` on a lost race; returns the
-    commit written."""
+    commit record written ({version, op, pin}, plus the checkpoint keys
+    when the version lands on a boundary)."""
     v_next = _latest_version(out_dir) + 1
-    if v_next == 1 or v_next % CHECKPOINT_EVERY == 0:
-        manifest = read_manifest(out_dir)
-        commit = {
-            "version": v_next,
-            "tables": manifest["tables"],
-            "stats": manifest.get("stats", {}),
-            "op": op,
-            "pin": pin,
-        }
-    else:
-        commit = {"version": v_next, "op": op, "pin": pin}
-    _write_manifest(out_dir, commit)
-    return commit
+    _commit_delta(
+        out_dir, v_next, {}, {}, {}, op=op, spark=spark, pin=pin
+    )
+    return {"version": v_next, "op": op, "pin": pin}
 
 
 def ensure_manifest(out_dir: str) -> dict:
@@ -1153,11 +1496,24 @@ def read_published(
         if not files:
             # every file pruned: empty result with the table's full schema
             # (one-file read keeps partition columns via basePath)
-            schema = (
-                spark.read.option("basePath", tdir)
-                .parquet(os.path.join(tdir, all_files[0]))
-                .schema
-            )
+            try:
+                schema = (
+                    spark.read.option("basePath", tdir)
+                    .parquet(os.path.join(tdir, all_files[0]))
+                    .schema
+                )
+            except Exception as e:
+                # the probe file can vanish between resolve and read if a
+                # concurrent vacuum reclaimed this snapshot's horizon —
+                # surface the snapshot context instead of an opaque
+                # parquet path error (r11)
+                raise RuntimeError(
+                    f"read_published: schema probe file "
+                    f"{table}/{all_files[0]} of snapshot v{version} in "
+                    f"{out_dir!r} is unreadable — was the version vacuumed "
+                    "between resolve and read?  Pin the version "
+                    "(pin_version) to hold its files."
+                ) from e
             return spark.createDataFrame([], schema)
     return spark.read.option("basePath", tdir).parquet(
         *[os.path.join(tdir, f) for f in files]
@@ -1443,8 +1799,12 @@ def publish_batch(
             name: fstats for name, (_f, fstats) in staged.items() if fstats
         }
         try:
+            # spark rides along for the amortized checkpoint commits: at
+            # ≥ CLUSTER_PATH_MIN_FILES the sidecar is derived and written
+            # cluster-side instead of hydrating O(live files) driver dicts
             _commit_append(
-                out_dir, base_v + 1, add, stats_add, op="publish"
+                out_dir, base_v + 1, add, stats_add, op="publish",
+                spark=spark,
             )
             return {
                 "version": base_v + 1,
@@ -1503,11 +1863,20 @@ def compact_published(
     long-run bound.  On a version race the swap is rebased if every
     replaced file is still live in the fresh snapshot, else abandoned
     (compaction is an optimization; the orphaned rewrite is vacuumed).
-    Returns {partition: (files_before, files_after)}."""
+    Returns {partition: (files_before, files_after)}.
+
+    Resolution and commit are PER-TABLE and delta-form (r11): the input
+    file list comes from the filtered sidecar read (never O(all live
+    files)), and the swap commits exactly {remove: replaced, add:
+    rewritten} — no full-snapshot hydration anywhere on the path; a
+    swap landing on a checkpoint boundary builds the sidecar
+    cluster-side past :data:`CLUSTER_PATH_MIN_FILES`."""
     from collections import defaultdict
 
-    manifest = read_manifest(out_dir)
-    files = manifest["tables"].get(table, [])
+    latest = _latest_version(out_dir)
+    if latest == 0:
+        return {}
+    files, _ = _table_files(out_dir, latest, table, with_stats=False)
     if not files:
         return {}
     tdir = os.path.join(out_dir, f"{table}.parquet")
@@ -1551,33 +1920,26 @@ def compact_published(
         done[part or "."] = (len(rels), len(moved))
     if not done:
         return {}
+    gone = set(replaced)
     for rebase in (False, True):
-        gone = set(replaced)
-        new_list = [f for f in manifest["tables"][table] if f not in gone]
-        new_list.extend(added)
-        stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
-        tstats = stats.setdefault(table, {})
-        for rel in replaced:
-            tstats.pop(rel, None)
-        tstats.update(added_stats)
         try:
-            _write_manifest(
+            _commit_delta(
                 out_dir,
-                {
-                    "version": manifest["version"] + 1,
-                    "tables": {**manifest["tables"], table: sorted(new_list)},
-                    "stats": stats,
-                    "op": "compact",
-                },
+                latest + 1,
+                add={table: sorted(added)},
+                remove={table: sorted(replaced)},
+                stats_add={table: added_stats},
+                op="compact",
+                spark=spark,
             )
             vacuum(out_dir, keep_versions=keep_versions, min_age_s=VACUUM_GRACE_S)
             return done
         except ConcurrentWriteError:
             if rebase:
                 raise
-            manifest = read_manifest(out_dir)
-            live = set(manifest["tables"].get(table, []))
-            if not gone <= live:
+            latest = _latest_version(out_dir)
+            live, _ = _table_files(out_dir, latest, table, with_stats=False)
+            if not gone <= set(live):
                 # a racing commit already dropped some input file — the
                 # rewrite no longer describes the live table; abandon it
                 vacuum(out_dir, keep_versions=keep_versions, min_age_s=VACUUM_GRACE_S)
@@ -1599,7 +1961,15 @@ def live_partition_values(
     prefix = f"{column}="
     vals: set[str] = set()
     if os.path.isdir(_manifest_path(out_dir)):
-        for rel in read_manifest(out_dir)["tables"].get(table, []):
+        latest = _latest_version(out_dir)
+        # per-table filtered resolve (r11): a per-batch format guard must
+        # not pay O(all live files) for one table's partition values
+        files = (
+            _table_files(out_dir, latest, table, with_stats=False)[0]
+            if latest
+            else []
+        )
+        for rel in files:
             head = rel.replace(os.sep, "/").split("/", 1)[0]
             if head.startswith(prefix):
                 vals.add(head.split("=", 1)[1])
@@ -1650,10 +2020,19 @@ def rewrite_published_many(
     could pair new codes with old metadata).  ``extra_appends`` stages
     additional tables whose staged files are APPENDED to (not replacing)
     their live lists in the same commit — the rebuild's meta-epoch row.
-    Same single-writer contract as ``rewrite_published``."""
-    manifest = read_manifest(out_dir)
-    new_tables = dict(manifest["tables"])
-    stats = {t: dict(s) for t, s in manifest.get("stats", {}).items()}
+    Same single-writer contract as ``rewrite_published``.
+
+    Commits DELTA-form (r11): remove = each rewritten table's old live
+    list (resolved per-table from the filtered sidecar), add = the
+    staged files — never a full-snapshot hydration; a migration landing
+    on a checkpoint boundary builds the sidecar cluster-side past
+    :data:`CLUSTER_PATH_MIN_FILES`.  Returns the commit record
+    ``{"version": N, "op": op, "add": {table: n_files}}``."""
+    latest = _latest_version(out_dir)
+    version = latest + 1
+    add: dict[str, list[str]] = {}
+    remove: dict[str, list[str]] = {}
+    stats_add: dict[str, dict] = {}
 
     def _stage_rewrite(table: str, df: DataFrame) -> tuple[list[str], dict]:
         tdir = os.path.join(out_dir, f"{table}.parquet")
@@ -1688,28 +2067,35 @@ def rewrite_published_many(
 
     for table, df in tables.items():
         moved, new_stats = _stage_rewrite(table, df)
-        new_tables[table] = moved
-        stats[table] = new_stats
+        old = (
+            _table_files(out_dir, latest, table, with_stats=False)[0]
+            if latest
+            else []
+        )
+        if old:
+            remove[table] = old
+        add[table] = moved
+        stats_add[table] = new_stats
     for table, df in (extra_appends or {}).items():
         moved, new_stats = _stage_rewrite(table, df)
-        new_tables[table] = sorted(new_tables.get(table, []) + moved)
-        stats.setdefault(table, {}).update(new_stats)
-    committed = {
-        "version": manifest["version"] + 1,
-        "tables": new_tables,
-        "stats": stats,
-        "op": op,
-    }
-    _write_manifest(out_dir, committed)
+        add[table] = sorted(add.get(table, []) + moved)
+        stats_add.setdefault(table, {}).update(new_stats)
+    _commit_delta(
+        out_dir, version, add, remove, stats_add, op=op, spark=spark
+    )
     vacuum(out_dir, keep_versions=keep_versions, min_age_s=VACUUM_GRACE_S)
-    return committed
+    return {
+        "version": version,
+        "op": op,
+        "add": {t: len(fs) for t, fs in add.items()},
+    }
 
 
 def vacuum(
     out_dir: str,
     keep_versions: int = 0,
     min_age_s: float = 0.0,
-    spark: SparkSession | None = None,
+    spark: SparkSession | None | _AutoSpark = AUTO,
 ) -> list[str]:
     """Delete data files referenced by NO retained snapshot (crash orphans
     from batches that staged but never committed, and files compacted
@@ -1740,13 +2126,19 @@ def vacuum(
     by Spark), the on-disk inventory from a distributed directory walk,
     and the orphan set from an anti-join — the driver collects only the
     O(orphans) rows it must delete, never the O(live files) sets.  The
-    default (``spark=None``) keeps the dependency-free driver path,
-    fine to ~10^6 files; identical reclamation semantics (rehearsed
-    side-by-side in ``scripts/txlog_rehearsal.py``)."""
+    default is :data:`AUTO` (r11): the cluster plan engages by itself on
+    the active session once the store crosses
+    :data:`CLUSTER_PATH_MIN_FILES` live files (the README's measured
+    crossover), so a deployment that grows past the driver path's
+    comfort zone doesn't silently degrade; ``spark=None`` explicitly
+    forces the dependency-free driver path, fine to ~10^6 files.
+    Identical reclamation semantics either way (rehearsed side-by-side
+    in ``scripts/txlog_rehearsal.py``)."""
     latest = _latest_version(out_dir)
     removed: list[str] = []
     if latest == 0:
         return removed
+    spark = _resolve_spark_arg(spark, out_dir)
     now = time.time()
 
     def _old_enough(p: str) -> bool:
@@ -1978,11 +2370,40 @@ def _vacuum_data_spark(
     }
     for v in retained:
         candidates |= _live_table_names(out_dir, v)
-    disk = _disk_files_df(spark, out_dir, sorted(candidates))
-    if pin_dfs:
-        disk = disk.persist()  # reused by each pin's hollow probe
+    # persisted: reused by the sanity probe, the orphan scan, and each
+    # pin's hollow probe — one distributed walk, not three
+    disk = _disk_files_df(spark, out_dir, sorted(candidates)).persist()
     removed: list[str] = []
     try:
+        # sanity cross-check (r11): when out_dir is NOT visible to
+        # executors (non-shared storage) the distributed walk silently
+        # returns an empty inventory — the fail direction is safe (no
+        # wrong deletes) but every pinned snapshot would warn HOLLOW and
+        # the vacuum would no-op with no signal.  One known-live file
+        # per table (O(#tables) collected) must appear in the walk
+        # whenever the DRIVER can see it; if the driver sees bytes the
+        # executors' walk missed, the storage contract is broken — fail
+        # loudly instead of reporting "nothing to reclaim".
+        disk_counts = {
+            r["table"]: r["n"]
+            for r in disk.groupBy("table")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for r in (
+            live.groupBy("table").agg(F.min("file").alias("file")).collect()
+        ):
+            if disk_counts.get(r["table"], 0):
+                continue
+            full = os.path.join(out_dir, f"{r['table']}.parquet", r["file"])
+            if os.path.exists(full):
+                raise RuntimeError(
+                    f"vacuum(spark=...): the distributed walk saw NO files "
+                    f"under {r['table']}.parquet but the driver can see "
+                    f"{r['file']} — out_dir {out_dir!r} is not visible to "
+                    "executors (non-shared storage?); use the driver path "
+                    "(spark=None) or run against shared storage"
+                )
         orphans = _orphans_df(disk, live)
         if min_age_s > 0:
             # the concurrent-writer grace window, evaluated on the mtimes
@@ -1998,16 +2419,18 @@ def _vacuum_data_spark(
             removed.append(os.path.join(entry, r["file"]))
         # hollow-lease probe: a pinned file the (pre-delete, persisted)
         # disk inventory never saw is already lost — same detection as
-        # the driver path, O(1) collected per pin
+        # the driver path.  The count is exact (one distributed count,
+        # O(1) collected) so the warning reports the full loss, not just
+        # the first file (r11 advice); the sample row is a second tiny
+        # job only on the already-broken path.
         for v in sorted(pin_dfs):
-            miss = (
-                pin_dfs[v]
-                .join(disk, ["table", "file"], "left_anti")
-                .take(1)
-            )
-            if miss:
-                _warn_hollow(out_dir, v, miss[0]["table"], miss[0]["file"], 0)
+            anti = pin_dfs[v].join(disk, ["table", "file"], "left_anti")
+            n_gone = anti.count()
+            if n_gone:
+                miss = anti.take(1)[0]
+                _warn_hollow(
+                    out_dir, v, miss["table"], miss["file"], n_gone - 1
+                )
     finally:
-        if pin_dfs:
-            disk.unpersist()
+        disk.unpersist()
     return removed

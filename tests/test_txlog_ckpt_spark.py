@@ -1,0 +1,328 @@
+"""Cluster-side checkpoint WRITES and the auto-selected scale path
+(streaming/publish.py, r11): past ``CLUSTER_PATH_MIN_FILES`` the
+checkpoint sidecar is derived from the previous sidecar + the delta
+chain and written by a Spark job (`_write_checkpoint_spark`), every
+writer commits delta-form (`_commit_delta`), and vacuum/pin_version
+auto-select the cluster plan from the store's free ``n_files`` metadata.
+
+The load-bearing property throughout: the spark-built checkpoint is
+VALUE-IDENTICAL to the driver-built one (same rows, same order, same
+stats encoding), so every sidecar consumer works on either."""
+
+import json
+import os
+
+import pytest
+
+import chainweb_data_spark.streaming.publish as pub
+from chainweb_data_spark.streaming.publish import (
+    pin_version,
+    publish_batch,
+    read_manifest,
+    read_published,
+    unpin_version,
+    vacuum,
+)
+
+PK = {"t": ("id",)}
+
+
+def _meta_commit(out, i, spark=None):
+    """One synthetic delta commit (deterministic file names, so twin
+    stores are byte-comparable): adds a file to two tables with stats,
+    and every 5th commit also removes an earlier file."""
+    v = pub._latest_version(out) + 1
+    add = {
+        "t": [f"height_bucket={i % 4}/part-{i:04d}.parquet"],
+        "u": [f"part-u-{i:04d}.parquet"],
+    }
+    stats_add = {"t": {add["t"][0]: {"id": [i * 10, i * 10 + 9]}}}
+    remove = {}
+    if i and i % 5 == 0:
+        j = i - 2
+        remove = {"u": [f"part-u-{j:04d}.parquet"]}
+    pub._commit_delta(
+        out, v, add, remove, stats_add, op="publish", spark=spark
+    )
+
+
+def _grow_meta(out, n, spark=None, seed_files=0):
+    os.makedirs(out, exist_ok=True)
+    seed = {
+        "t": [f"height_bucket=0/seed-{k:04d}.parquet" for k in range(seed_files)]
+    }
+    pub._write_manifest(out, {"version": 1, "tables": seed, "op": "seed"})
+    for i in range(n):
+        _meta_commit(out, i, spark=spark)
+
+
+def test_spark_checkpoint_is_value_identical_to_driver_checkpoint(
+    spark, tmp_path, monkeypatch
+):
+    """Twin stores with identical commit histories: the v16 checkpoint
+    built cluster-side must carry the same commit metadata and a sidecar
+    with exactly the same (table, file, stats) rows in the same order as
+    the driver-built one — and resolve identically afterwards."""
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+    outs = {}
+    for mode in ("driver", "spark"):
+        out = str(tmp_path / mode)
+        # cross the v16 boundary with deltas carrying adds, removes, a
+        # pin, and an unpin — everything the sidecar + pins fold covers
+        os.makedirs(out)
+        pub._write_manifest(
+            out,
+            {"version": 1, "tables": {"t": ["height_bucket=0/seed.parquet"]},
+             "op": "seed"},
+        )
+        sp = spark if mode == "spark" else None
+        for i in range(12):
+            _meta_commit(out, i, spark=sp)
+        pub._commit_pin_op(out, "pin", {"version": 3, "name": "lease"},
+                           spark=sp)
+        pub._commit_pin_op(out, "pin", {"version": 5, "name": "kept"},
+                           spark=sp)
+        pub._commit_pin_op(out, "unpin", {"version": 3}, spark=sp)
+        while pub._latest_version(out) < pub.CHECKPOINT_EVERY + 1:
+            _meta_commit(out, pub._latest_version(out), spark=sp)
+        outs[mode] = out
+
+    cks = {}
+    for mode, out in outs.items():
+        c = pub._load_commit(out, pub.CHECKPOINT_EVERY)
+        assert "ckpt" in c and "tables" not in c, (mode, c)
+        cks[mode] = c
+    # the O(1) commit metadata agrees exactly
+    for key in ("n_files", "table_names", "pins", "op"):
+        assert cks["driver"][key] == cks["spark"][key], key
+    # the sidecars are value-identical, row order included
+    payloads = {}
+    for mode, out in outs.items():
+        t = pq.read_table(
+            os.path.join(out, "_manifest", cks[mode]["ckpt"])
+        )
+        payloads[mode] = t.to_pydict()
+        assert t.column_names == ["table", "file", "stats"], mode
+    assert payloads["driver"] == payloads["spark"]
+    # and both stores resolve identically at / around the boundary
+    for v in (pub.CHECKPOINT_EVERY - 1, pub.CHECKPOINT_EVERY,
+              pub.CHECKPOINT_EVERY + 1):
+        snaps = {}
+        for mode, out in outs.items():
+            pub._SNAP_CACHE.clear()
+            snaps[mode] = pub._resolve(out, v)
+        assert snaps["driver"] == snaps["spark"], v
+
+
+def test_spark_checkpoint_path_keeps_snap_cache_clean(
+    spark, tmp_path, monkeypatch
+):
+    """The cluster-side checkpoint build must never hydrate the parent
+    snapshot into _SNAP_CACHE — the O(live files) driver dict the path
+    exists to avoid."""
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+    out = str(tmp_path / "nc")
+    _grow_meta(out, 3, spark=spark)
+    pub._SNAP_CACHE.clear()
+
+    def boom(*a, **k):  # the driver resolve must not run on this path
+        raise AssertionError("_resolve called on the cluster checkpoint path")
+
+    monkeypatch.setattr(pub, "_resolve", boom)
+    while pub._latest_version(out) < pub.CHECKPOINT_EVERY:
+        _meta_commit(out, pub._latest_version(out), spark=spark)
+    assert pub._SNAP_CACHE == {}
+    c = pub._load_commit(out, pub.CHECKPOINT_EVERY)
+    assert "ckpt" in c
+
+
+def test_store_n_files_folds_delta_metadata(tmp_path):
+    out = str(tmp_path / "nf")
+    _grow_meta(out, 20, seed_files=3)
+    latest = pub._latest_version(out)
+    for v in (1, 5, pub.CHECKPOINT_EVERY, latest):
+        pub._SNAP_CACHE.clear()
+        want = sum(len(fs) for fs in pub._snapshot_files(out, v).values())
+        assert pub._store_n_files(out, v) == want, v
+    assert pub._store_n_files(out, 0) is None
+
+
+def test_auto_select_routes_vacuum_and_pin_through_cluster_path(
+    spark, tmp_path, monkeypatch
+):
+    """With an active session and a store past the (monkeypatched)
+    threshold, vacuum()/pin_version() called WITHOUT a spark argument
+    must route cluster-side; spark=None must force the driver path."""
+    out = str(tmp_path / "auto")
+    for i in range(3):
+        publish_batch(
+            spark,
+            {"t": spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id", "id * 2 as val", "id % 4 as height_bucket")},
+            out,
+            pks=PK,
+        )
+    calls = {"vacuum": 0, "snap_df": 0}
+    orig_vds = pub._vacuum_data_spark
+    orig_sdf = pub.snapshot_files_df
+
+    def counting_vds(*a, **k):
+        calls["vacuum"] += 1
+        return orig_vds(*a, **k)
+
+    def counting_sdf(*a, **k):
+        calls["snap_df"] += 1
+        return orig_sdf(*a, **k)
+
+    monkeypatch.setattr(pub, "_vacuum_data_spark", counting_vds)
+    monkeypatch.setattr(pub, "snapshot_files_df", counting_sdf)
+
+    # below threshold: AUTO resolves to the driver path
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 10**9)
+    vacuum(out, keep_versions=99)
+    v = read_manifest(out)["version"]
+    pin_version(out, v, name="a")
+    unpin_version(out, v)
+    assert calls == {"vacuum": 0, "snap_df": 0}
+
+    # past threshold: AUTO picks the active session
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+    vacuum(out, keep_versions=99)
+    assert calls["vacuum"] == 1
+    pin_version(out, v, name="a")
+    assert calls["snap_df"] >= 1
+    unpin_version(out, v)
+
+    # explicit None is the small-store override, regardless of size
+    before = dict(calls)
+    vacuum(out, keep_versions=99, spark=None)
+    pin_version(out, v, name="b", spark=None)
+    unpin_version(out, v, spark=None)
+    assert calls == before
+
+
+def test_maintenance_ops_commit_delta_form(spark, tmp_path):
+    """compact / z-order / expire must write delta commits (add/remove,
+    no full snapshot) off checkpoint boundaries — the r11 form that
+    keeps every maintenance commit O(changed files)."""
+    from chainweb_data_spark.sources.maintenance import (
+        expire_files,
+        rewrite_zordered,
+    )
+
+    out = str(tmp_path / "mf")
+    for i in range(3):
+        publish_batch(
+            spark,
+            {"t": spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id", "id * 2 as val", "id % 4 as height_bucket")},
+            out,
+            pks=PK,
+        )
+    pub.compact_published(spark, out, "t", keep_versions=99)
+    v = pub._latest_version(out)
+    c = pub._load_commit(out, v)
+    assert c["op"] == "compact" and "tables" not in c and "ckpt" not in c
+    assert c["add"] and c["remove"]
+
+    rewrite_zordered(spark, out, "t", ["id"], target_files=2,
+                     keep_versions=99)
+    c = pub._load_commit(out, pub._latest_version(out))
+    assert c["op"] == "zorder" and "tables" not in c
+    assert c["add"]["t"] and c["remove"]["t"]
+
+    res = expire_files(spark, out, "t", "id", 10**9, keep_versions=99)
+    assert res["removed"] > 0
+    c = pub._load_commit(out, pub._latest_version(out))
+    assert c["op"] == "expire" and "tables" not in c
+    assert c.get("remove", {}).get("t") and "add" not in c
+    # the table still resolves and reads coherently after all three
+    pub._SNAP_CACHE.clear()
+    assert read_published(spark, out, "t") is None  # everything expired
+
+
+def test_hidden_dir_orphans_reclaim_identically(spark, tmp_path):
+    """A crashed non-staged writer's _temporary tree inside a table dir
+    must be reclaimed by BOTH vacuum paths (r11 advice: the spark walk
+    previously skipped hidden top-level subdirectories)."""
+    removed = {}
+    for mode in ("driver", "spark"):
+        out = str(tmp_path / mode)
+        publish_batch(
+            spark,
+            {"t": spark.range(0, 10).selectExpr(
+                "id", "id % 4 as height_bucket")},
+            out,
+            pks=PK,
+        )
+        tmpdir = os.path.join(out, "t.parquet", "_temporary", "0")
+        os.makedirs(tmpdir)
+        with open(os.path.join(tmpdir, "part-crashed.parquet"), "wb") as f:
+            f.write(b"junk")
+        removed[mode] = vacuum(
+            out, keep_versions=0, spark=spark if mode == "spark" else None
+        )
+    for mode, rels in removed.items():
+        assert any("part-crashed.parquet" in r for r in rels), (mode, rels)
+
+
+def test_spark_vacuum_raises_when_walk_sees_nothing_the_driver_can(
+    spark, tmp_path, monkeypatch
+):
+    """Non-shared storage guard: an empty distributed inventory for a
+    table whose live files the driver CAN see must fail loudly, not
+    report 'nothing to reclaim'."""
+    out = str(tmp_path / "inv")
+    publish_batch(
+        spark,
+        {"t": spark.range(0, 10).selectExpr("id", "id % 4 as height_bucket")},
+        out,
+        pks=PK,
+    )
+
+    def empty_walk(sp, out_dir, tables):
+        return sp.createDataFrame([], "table string, file string, mtime double")
+
+    monkeypatch.setattr(pub, "_disk_files_df", empty_walk)
+    with pytest.raises(RuntimeError, match="not visible to executors"):
+        vacuum(out, keep_versions=0, spark=spark)
+
+
+def test_spark_hollow_warning_reports_full_count(spark, tmp_path):
+    out = str(tmp_path / "hc")
+    for i in range(3):
+        publish_batch(
+            spark,
+            {"t": spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id", "id % 4 as height_bucket")},
+            out,
+            pks=PK,
+        )
+    v_pin = read_manifest(out)["version"]
+    pin_version(out, v_pin, name="prov", spark=spark)
+    victims = pub._snapshot_files(out, v_pin)["t"][:3]
+    for rel in victims:
+        os.remove(os.path.join(out, "t.parquet", rel))
+    with pytest.warns(RuntimeWarning, match=r"and 2 more"):
+        vacuum(out, keep_versions=0, spark=spark)
+
+
+def test_read_published_schema_probe_error_names_the_snapshot(
+    spark, tmp_path
+):
+    out = str(tmp_path / "probe")
+    publish_batch(
+        spark,
+        {"t": spark.range(0, 10).selectExpr("id", "id % 4 as height_bucket")},
+        out,
+        pks=PK,
+    )
+    # a where that prunes EVERY file forces the schema probe; deleting
+    # the probe file first simulates a vacuum racing the read
+    files = pub._snapshot_files(out, read_manifest(out)["version"])["t"]
+    for rel in files:
+        os.remove(os.path.join(out, "t.parquet", rel))
+    with pytest.raises(RuntimeError, match="schema probe"):
+        read_published(spark, out, "t", where={"id": (10**6, None)})

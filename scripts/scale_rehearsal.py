@@ -441,13 +441,118 @@ def main() -> None:
                 )
 
             row[f"{label}_probe_s"] = timed(probe, spark, sf_dir)
+
+            # migrated-index probe (r11 verdict #5): a stranded r8-era
+            # 16-bucket index, migrated in place (one log flip), must
+            # probe with the same growth as a fresh 256-bucket build —
+            # the claim migrate_bm25_index exists to deliver
+            import chainweb_data_spark.operators.bm25_index as bi
+            from chainweb_data_spark.operators.bm25_index import (
+                migrate_bm25_index,
+            )
+
+            mig = f"/tmp/cds_scale/bm25mig_{label}"
+            _sh.rmtree(mig, ignore_errors=True)
+            old_hex = bi.BUCKET_HEX
+            bi.BUCKET_HEX = 1  # the r8 shipping width
+            try:
+                bm25_build_index(spark, docs, mig)
+            finally:
+                bi.BUCKET_HEX = old_hex
+            migrate_bm25_index(spark, mig)
+
+            def probe_mig(spark_, _sf, _idx=mig):
+                return bm25_search_indexed(
+                    spark_, _idx, "merge scan table", k=10
+                )
+
+            row[f"{label}_migrated_probe_s"] = timed(probe_mig, spark, sf_dir)
         row["probe_growth"] = round(
             row["scaled_probe_s"] / max(row["base_probe_s"], 1e-9), 2
+        )
+        row["migrated_probe_growth"] = round(
+            row["scaled_migrated_probe_s"]
+            / max(row["base_migrated_probe_s"], 1e-9),
+            2,
         )
         row["quadratic_would_be"] = mult * mult
         return row
 
     result["queries"]["bm25_search_indexed_probe"] = bm25_probe_row()
+
+    # r11 verdict #5: bounded_scan_published's FIRST-REQUEST planning is
+    # metadata-only (height ceiling from txlog footer stats, no agg(max)
+    # data scan), so its wall must stay ~flat at 10× rows — the bounded
+    # envelope (≤ budget × slice_width heights scanned) is row-count
+    # independent by design.  Self-contained txlog stores so the row
+    # measures planning, not the documents fixture.
+    def bounded_scan_plan_row() -> dict:
+        import shutil as _sh
+
+        from pyspark.sql import functions as F
+
+        import chainweb_data_spark.streaming.publish as pub
+        from chainweb_data_spark.plans.bounded_scan import (
+            CursorSpec,
+            bounded_scan_published,
+        )
+        from chainweb_data_spark.streaming.publish import publish_batch
+
+        spec = CursorSpec(cols=("height", "rk"), descs=(True, False))
+        pks = {"idx": ("height", "rk")}
+        base_n = 100_000
+        row: dict = {"base_rows": base_n, "scaled_rows": base_n * mult}
+        for label, n in (("base", base_n), ("scaled", base_n * mult)):
+            out = f"/tmp/cds_scale/bscan_{label}_{_BASE_TAG}_{n}"
+            _sh.rmtree(out, ignore_errors=True)
+            step = n // 4
+            for b in range(4):  # same file count at both scales
+                df = (
+                    spark.range(b * step, (b + 1) * step)
+                    .select(
+                        F.col("id").alias("height"),
+                        F.format_string("rk-%010d", "id").alias("rk"),
+                        (F.col("id") % 2).cast("int").alias("flag"),
+                    )
+                    .coalesce(1)
+                )
+                publish_batch(spark, {"idx": df}, out, pks=pks)
+
+            def first_request(spark_, _sf, _out=out):
+                pub._SNAP_CACHE.clear()  # a COLD first request, every run
+                res, _v = bounded_scan_published(
+                    spark_,
+                    _out,
+                    "idx",
+                    F.col("flag") == 1,
+                    spec,
+                    limit=10,
+                    slice_width=1000,
+                    budget_slices=4,
+                )
+                assert len(res.rows) == 10
+
+                class _Done:  # timed() collects; give it a no-op
+                    def collect(self):
+                        return []
+
+                return _Done()
+
+            row[f"{label}_first_request_s"] = timed(
+                first_request, spark, BASE_SF
+            )
+            _sh.rmtree(out, ignore_errors=True)
+        row["growth"] = round(
+            row["scaled_first_request_s"]
+            / max(row["base_first_request_s"], 1e-9),
+            2,
+        )
+        row["quadratic_would_be"] = mult * mult
+        return row
+
+    result["queries"]["bounded_scan_published_first_request"] = (
+        bounded_scan_plan_row()
+    )
 
     # the gated ann_lsh_topk pins 16 planes for its oracle, so bucket
     # occupancy — and rerank pair count — grows linearly with the corpus

@@ -288,6 +288,82 @@ def run_bigsweep(n_files: int) -> dict:
         assert n_drv == n_spk == report["live_files"]
         report["resolve_driver_s"] = round(t_drv, 3)
         report["resolve_spark_s"] = round(t_spk, 3)
+
+        # AUTO-select row (r11): fresh orphans, vacuum() with NO spark
+        # argument — past CLUSTER_PATH_MIN_FILES it must route
+        # cluster-side by itself off the free n_files metadata
+        fresh = []
+        for i in range(64):
+            d = os.path.join(out, "blocks.parquet", f"height_bucket={i}")
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, f"part-auto-orphan-{i:03d}.parquet")
+            with open(p, "wb") as f:
+                f.write(b"x")
+            fresh.append(p)
+        calls = {"n": 0}
+        orig_vds = pub10._vacuum_data_spark
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig_vds(*a, **k)
+
+        pub10._vacuum_data_spark = counting
+        try:
+            pub10._SNAP_CACHE.clear()
+            t0 = time.perf_counter()
+            removed = pub10.vacuum(out, keep_versions=0)
+            wall = time.perf_counter() - t0
+        finally:
+            pub10._vacuum_data_spark = orig_vds
+        assert len(removed) == len(fresh), len(removed)
+        report["vacuum_auto"] = {
+            "wall_s": round(wall, 3),
+            "routed": "spark" if calls["n"] else "driver",
+            "threshold": pub10.CLUSTER_PATH_MIN_FILES,
+        }
+
+        # checkpoint-COMMIT rows (r11): the amortized every-16th commit
+        # that used to hydrate the full snapshot on the driver.  Advance
+        # each twin store to one version short of the boundary with tiny
+        # deltas, then time the checkpoint commit itself — driver-built
+        # sidecar vs the cluster-side build
+        for mode in ("driver", "spark"):
+            st = os.path.join(base, mode)
+            while (pub10._latest_version(st) + 1) % pub10.CHECKPOINT_EVERY:
+                v = pub10._latest_version(st) + 1
+                pub10._commit_delta(
+                    st, v,
+                    {"blocks": [f"part-delta-{v:04d}.parquet"]}, {}, {},
+                    op="publish",
+                )
+            v_ck = pub10._latest_version(st) + 1
+            add = {"blocks": [f"part-ck-{v_ck:04d}.parquet"]}
+            pub10._SNAP_CACHE.clear()
+            old_thresh = pub10.CLUSTER_PATH_MIN_FILES
+            if mode == "spark":
+                pub10.CLUSTER_PATH_MIN_FILES = 0  # force at any sweep size
+            try:
+                rss0 = _vm_rss_mb()
+                t0 = time.perf_counter()
+                pub10._commit_delta(
+                    st, v_ck, add, {}, {}, op="publish",
+                    spark=spark if mode == "spark" else None,
+                )
+                wall = time.perf_counter() - t0
+                rss1 = _vm_rss_mb()
+            finally:
+                pub10.CLUSTER_PATH_MIN_FILES = old_thresh
+            c = pub10._load_commit(st, v_ck)
+            assert "ckpt" in c, (mode, c)
+            report[f"ckpt_commit_{mode}"] = {
+                "wall_s": round(wall, 3),
+                "driver_rss_growth_mb": round(rss1 - rss0, 1),
+                "n_files": c["n_files"],
+            }
+        assert (
+            report["ckpt_commit_driver"]["n_files"]
+            == report["ckpt_commit_spark"]["n_files"]
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return report
@@ -394,6 +470,173 @@ def run_race(rounds: int) -> dict:
     return report
 
 
+def run_race_spark(rounds: int) -> dict:
+    """The r10/r11 CLUSTER paths under genuine interleaving (r11 verdict
+    ask): a writer thread publishing micro-batches while a maintenance
+    thread loops pin_version(spark=) → vacuum(spark=) → pinned-snapshot
+    re-read → unpin — so distributed walks, executor pin probes, and
+    checkpoint builds all run while commits land.  Pre-aged orphans are
+    planted for the sweeps to reclaim (min_age_s=30 keeps the writer's
+    in-flight staging safe, exactly the production configuration).
+    Asserts zero lost rows / duplicate PKs, every pinned snapshot
+    re-readable while its lease was held, and zero HOLLOW warnings —
+    then injects one genuinely hollow lease, which MUST warn."""
+    import threading
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from chainweb_data_spark.session import get_spark
+    from chainweb_data_spark.streaming import publish as pub10
+
+    spark = get_spark("txlog-race-spark")
+    PK = {"t": ("id",)}
+    base = tempfile.mkdtemp(prefix="txlog-race-spark-")
+    out = os.path.join(base, "store")
+
+    def batch(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                (F.col("id") * 2).alias("val"),
+                (F.col("id") % 4).alias("height_bucket"),
+            )
+            .coalesce(1)
+        )
+
+    report: dict = {"rounds": rounds}
+    errors: list = []
+    expected: set = set()
+    stop = threading.Event()
+    stats = {
+        "pins": 0,
+        "rereads_ok": 0,
+        "vacuums": 0,
+        "orphans_reclaimed": 0,
+        "pin_lost_races": 0,
+    }
+    hollow: list = []
+
+    # adopt an EMPTY v1 first: once a commit exists, junk planted below
+    # is an orphan — with no log it would be adopted as legacy data
+    os.makedirs(os.path.join(out, "t.parquet"), exist_ok=True)
+    pub10.ensure_manifest(out)
+    # pre-aged orphans: reclaimable through min_age_s=30 from the start
+    planted = 0
+    for i in range(48):
+        d = os.path.join(out, "t.parquet", f"height_bucket={i % 4}")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"part-aged-orphan-{i:03d}.parquet")
+        with open(p, "wb") as f:
+            f.write(b"x")
+        os.utime(p, (time.time() - 3600, time.time() - 3600))
+        planted += 1
+
+    def writer():
+        try:
+            for r in range(rounds):
+                lo = r * 50
+                expected.update(range(lo, lo + 50))
+                pub10.publish_batch(
+                    spark, {"t": batch(lo, lo + 50)}, out, pks=PK,
+                    max_retries=8,
+                )
+        except Exception as e:  # pragma: no cover - rehearsal guard
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def maintainer():
+        try:
+            while not errors and not stop.is_set():
+                v = pub10._latest_version(out)
+                if v < 2:
+                    time.sleep(0.02)
+                    continue
+                held = None
+                try:
+                    pub10.pin_version(out, v, name="race", spark=spark)
+                    held = v
+                    stats["pins"] += 1
+                except ValueError:
+                    # lost the pin/vacuum race — the LOUD contract
+                    stats["pin_lost_races"] += 1
+                with warnings.catch_warnings(record=True) as w:
+                    warnings.simplefilter("always")
+                    removed = pub10.vacuum(
+                        out, keep_versions=1, min_age_s=30.0, spark=spark
+                    )
+                hollow.extend(
+                    x for x in w if "HOLLOW" in str(x.message)
+                )
+                stats["vacuums"] += 1
+                stats["orphans_reclaimed"] += len(removed)
+                if held is not None:
+                    # the lease's promise: the snapshot re-reads fully
+                    pub10._SNAP_CACHE.clear()
+                    df = pub10.read_published(spark, out, "t", version=held)
+                    if df is not None:
+                        df.count()
+                    stats["rereads_ok"] += 1
+                    pub10.unpin_version(out, held)
+        except Exception as e:  # pragma: no cover - rehearsal guard
+            errors.append(e)
+
+    try:
+        threads = [
+            threading.Thread(target=writer),
+            threading.Thread(target=maintainer),
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        assert not errors, errors
+        assert not hollow, [str(x.message) for x in hollow]
+        df = pub10.read_published(spark, out, "t")
+        got = {r["id"] for r in df.select("id").collect()}
+        dup_pks = (
+            df.groupBy("id").count().filter(F.col("count") > 1).count()
+        )
+        assert got == expected, (
+            f"lost {len(expected - got)}, phantom {len(got - expected)}"
+        )
+        assert dup_pks == 0, f"{dup_pks} duplicate PKs"
+        assert stats["orphans_reclaimed"] >= planted, stats
+
+        # injected hollow lease: delete a pinned file mid-lease — the
+        # next spark vacuum MUST warn (and name the loss count)
+        v_pin = pub10._latest_version(out)
+        pub10.pin_version(out, v_pin, name="doomed", spark=spark)
+        victim = pub10._snapshot_files(out, v_pin)["t"][0]
+        os.remove(os.path.join(out, "t.parquet", victim))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            pub10.vacuum(out, keep_versions=0, min_age_s=30.0, spark=spark)
+        injected = [x for x in w if "HOLLOW" in str(x.message)]
+        assert injected, "injected hollow lease did not warn"
+
+        report.update(
+            {
+                "commits": pub10._latest_version(out),
+                "rows": len(got),
+                "lost_rows": 0,
+                "duplicate_pks": 0,
+                "planted_aged_orphans": planted,
+                **stats,
+                "hollow_warnings_unexpected": 0,
+                "injected_hollow_warned": True,
+                "wall_s": round(wall, 2),
+            }
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return report
+
+
 def main() -> None:
     if "--bigsweep" in sys.argv:
         i = sys.argv.index("--bigsweep")
@@ -402,8 +645,13 @@ def main() -> None:
         return
     if "--race" in sys.argv:
         i = sys.argv.index("--race")
-        rounds = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 12
-        print(json.dumps({"race": run_race(rounds)}))
+        rounds = 12
+        if len(sys.argv) > i + 1 and sys.argv[i + 1].isdigit():
+            rounds = int(sys.argv[i + 1])
+        if "--spark" in sys.argv:
+            print(json.dumps({"race_spark": run_race_spark(rounds)}))
+        else:
+            print(json.dumps({"race": run_race(rounds)}))
         return
     live_files = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n_commits = int(sys.argv[2]) if len(sys.argv) > 2 else 200

@@ -201,6 +201,12 @@ def _isolated_times(names: list[str]) -> dict[str, dict]:
             [sys.executable, os.path.abspath(__file__), "--only", name],
             capture_output=True, text=True, timeout=420,
         )
+        # sample AGAIN after the run and guard on the max: a spike that
+        # begins DURING the ~40 s subprocess would otherwise be recorded
+        # as a quiet before-load and the slow reading could still be
+        # stamped reproduces_isolated (r10 advice — the last gap in the
+        # r9 failure mode)
+        load1 = max(load1, os.getloadavg()[0])
         try:
             line = proc.stdout.strip().splitlines()[-1]
             out[name] = {
@@ -292,6 +298,7 @@ def main() -> None:
             if remeasured[n]["verdict"] == "session_artifact":
                 timings[n] = round(iso_s, 4)
 
+    load_after = os.getloadavg()
     result = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
@@ -299,9 +306,17 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "loadavg_before": [round(x, 2) for x in load_before],
-        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "loadavg_after": [round(x, 2) for x in load_after],
         "runs_per_query": n_runs,
         "noise_floor": {"abs_s": NOISE_FLOOR_ABS_S, "rel": NOISE_FLOOR_REL},
+        # headline-level ambient self-description (r10 verdict #6): the
+        # per-query guard only annotates REGRESSIONS, so a total taken
+        # under ambient load looked clean whenever the round got faster
+        # anyway — this flag makes every round-over-round comparison
+        # self-describing without a judge re-measure
+        "ambient_load": bool(
+            load_before[0] > float(CPUS) * LOAD_GUARD_FRACTION
+        ),
     }
     if remeasured:
         result["remeasured"] = remeasured

@@ -121,7 +121,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # testdata §2 operators
     "pricing_summary",
     "keyset_page",
-    "topk_per_group",
+    # topk_per_group demoted r11 (still hash-checked by the local
+    # harness): its rank-window top-k kernel is the same one gated
+    # cw_richlist runs on the domain tables (top-100 by balance) and the
+    # shard/epoch windows in gated epoch_pipeline exercise daily, so
+    # kernel drift breaks a gated query first; the slot funds the
+    # trained-classifier gate promoted below
     # range_filter + semi_join_exists + gap_detection demoted r9 (still
     # hash-checked by the local harness): every gated cw_* keyset/bounded
     # page embeds the height-range predicate (cw_bounded_search,
@@ -131,7 +136,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # the domain tables — drift in any of the three breaks a gated query.
     # The slots fund the round-8 flagships promoted below.
     "like_search",
-    "doc_like_search",
+    # doc_like_search demoted r11 (still hash-checked by the local
+    # harness): it is the P2 code-search twin of gated like_search —
+    # both run the identical LIKE '%s%' + coalesce kernel, one over
+    # events, one over documents — so kernel drift breaks the gated
+    # twin; the slot funds the exact-Jaccard dedup verifier below
     "region_revenue",
     # latest_per_user demoted r10 (still hash-checked by the local
     # harness): its DISTINCT-ON/max_by latest-per-key kernel is the same
@@ -232,6 +241,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     # seek-sampling contract (every-k-th frame as offset arithmetic)
     "multimodal_wav_features",
     "multimodal_y4m_frames",
+    # round-11 promotions: the trained linear quality gate (sampled
+    # driver fit, literal-weight oracle, pure-codegen scoring — the
+    # strongest ungated flagship) and the exact-Jaccard VERIFY half of
+    # the dedup chain (minhash_lsh_pairs alone gates only candidate
+    # generation; this gates candidates → exact-overlap confirmation,
+    # the half that decides what actually dedups)
+    "quality_classifier_docs",
+    "minhash_verified_pairs",
 )
 
 

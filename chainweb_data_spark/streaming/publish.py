@@ -252,6 +252,12 @@ def _write_checkpoint_sidecar(
             ),
             tmp,
             compression="zstd",
+            # bounded row groups: pyarrow's 1M-row default makes a
+            # 1M-file sidecar a SINGLE group — unsplittable, so every
+            # cluster-side consumer (vacuum's anti-join scan) reads it
+            # in one task; 256k keeps scans parallel and the sorted
+            # table column's per-group min/max pruning fine-grained
+            row_group_size=262_144,
         )
         with open(tmp, "rb") as f:
             os.fsync(f.fileno())
@@ -584,7 +590,12 @@ def _snapshot_df(
     while True:
         commit = _load_commit(out_dir, v)
         if "ckpt" in commit:
-            base = spark.read.parquet(
+            # explicit schema: the sidecar layout is fixed by protocol,
+            # and letting Spark infer it re-reads the footer on every
+            # resolve (~0.7 s at a 1M-row sidecar, pure overhead)
+            base = spark.read.schema(
+                "table string, file string, stats string"
+            ).parquet(
                 os.path.join(_manifest_path(out_dir), commit["ckpt"])
             ).select(*cols)
             break
@@ -713,6 +724,10 @@ def _write_checkpoint_spark(
         .sortWithinPartitions("table", "file")
         .write.mode("overwrite")
         .option("compression", "zstd")
+        # bounded row groups (same rationale as the driver builder's
+        # row_group_size): one giant group would make later sidecar
+        # scans single-task
+        .option("parquet.block.size", 16 * 1024 * 1024)
         .parquet(staging)
     )
     parts = [
@@ -737,12 +752,17 @@ def _write_checkpoint_spark(
     import pyarrow.parquet as pq
 
     path = os.path.join(mdir, name)
+    # n_files from the footer (free); table NAMES via a Spark distinct —
+    # a pyarrow unique() would materialize the whole O(live files)
+    # column on the driver, the exact state this builder exists to avoid
     n_files = pq.ParquetFile(path).metadata.num_rows
     table_names = sorted(
-        pq.read_table(path, columns=["table"])
-        .column("table")
-        .unique()
-        .to_pylist()
+        r["table"]
+        for r in spark.read.schema("table string, file string, stats string")
+        .parquet(path)
+        .select("table")
+        .distinct()
+        .collect()
     )
     manifest = {
         "version": version,
@@ -2319,6 +2339,19 @@ def _warn_hollow(
     )
 
 
+def _first_data_file(tdir: str) -> str | None:
+    """The first non-hidden data file the DRIVER can see under a table
+    directory — an early-exit walk touching O(1) entries, used only as
+    the storage-visibility probe of :func:`_vacuum_data_spark`."""
+    if not os.path.isdir(tdir):
+        return None
+    for root, _dirs, files in os.walk(tdir):
+        for fname in files:
+            if not fname.startswith(("_", ".")):
+                return os.path.relpath(os.path.join(root, fname), tdir)
+    return None
+
+
 def _orphans_df(disk: DataFrame, live: DataFrame) -> DataFrame:
     """On-disk files referenced by no retained snapshot.  The anti-join
     is HINTED to sort-merge: the planner's static estimate sees the live
@@ -2379,28 +2412,28 @@ def _vacuum_data_spark(
         # executors (non-shared storage) the distributed walk silently
         # returns an empty inventory — the fail direction is safe (no
         # wrong deletes) but every pinned snapshot would warn HOLLOW and
-        # the vacuum would no-op with no signal.  One known-live file
-        # per table (O(#tables) collected) must appear in the walk
-        # whenever the DRIVER can see it; if the driver sees bytes the
-        # executors' walk missed, the storage contract is broken — fail
-        # loudly instead of reporting "nothing to reclaim".
+        # the vacuum would no-op with no signal.  Any table whose
+        # directory the DRIVER can see a data file in (one early-exit
+        # walk per table, O(1) files touched) must have rows in the
+        # distributed inventory (one O(#tables) aggregate over the
+        # persisted walk); if the driver sees bytes the executors
+        # missed, the storage contract is broken — fail loudly instead
+        # of reporting "nothing to reclaim".
         disk_counts = {
             r["table"]: r["n"]
             for r in disk.groupBy("table")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        for r in (
-            live.groupBy("table").agg(F.min("file").alias("file")).collect()
-        ):
-            if disk_counts.get(r["table"], 0):
+        for t in candidates:
+            if disk_counts.get(t, 0):
                 continue
-            full = os.path.join(out_dir, f"{r['table']}.parquet", r["file"])
-            if os.path.exists(full):
+            seen = _first_data_file(os.path.join(out_dir, f"{t}.parquet"))
+            if seen is not None:
                 raise RuntimeError(
                     f"vacuum(spark=...): the distributed walk saw NO files "
-                    f"under {r['table']}.parquet but the driver can see "
-                    f"{r['file']} — out_dir {out_dir!r} is not visible to "
+                    f"under {t}.parquet but the driver can see "
+                    f"{seen} — out_dir {out_dir!r} is not visible to "
                     "executors (non-shared storage?); use the driver path "
                     "(spark=None) or run against shared storage"
                 )

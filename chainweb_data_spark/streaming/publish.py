@@ -152,6 +152,16 @@ _MAX_STATS_COLUMNS = 24
 #: cluster path, regardless of size.
 CLUSTER_PATH_MIN_FILES = 1_000_000
 
+#: live-file count past which a CLUSTER-BUILT checkpoint sidecar is
+#: written as a DIRECTORY of range-partitioned part files instead of a
+#: single file (Delta's multi-part checkpoint move, r11): one writer
+#: task per ~this many rows, so checkpoint serialization stays parallel
+#: at the 10^8-file regime instead of bottlenecking on a single task's
+#: sort+write.  Readers are unchanged — pyarrow and Spark both read a
+#: parquet directory natively, and the global (table, file) sort order
+#: is preserved across parts by range partitioning.
+SIDECAR_ROWS_PER_PART = 8_000_000
+
 
 class _AutoSpark:
     """Sentinel default for ``spark=`` parameters: resolve to the active
@@ -686,6 +696,11 @@ def _write_checkpoint_spark(
     the two builders are byte-comparable and every sidecar reader works
     on either.  ``n_files`` / ``table_names`` for the O(1) commit JSON
     come from the written file's own parquet footer (no second job).
+    Past :data:`SIDECAR_ROWS_PER_PART` estimated rows the sidecar is a
+    DIRECTORY of range-partitioned part files (Delta's multi-part
+    checkpoint): writer tasks serialize in parallel, readers (pyarrow
+    dataset, Spark) consume the directory natively, and the global
+    sort order survives across parts.
 
     The sidecar is durable (fsync + rename into ``_manifest``) BEFORE
     the commit JSON links — same protocol as the driver builder: a crash
@@ -719,9 +734,21 @@ def _write_checkpoint_spark(
     staging = os.path.join(
         out_dir, "_staging", f"ckpt-build-{uuid.uuid4().hex}"
     )
+    # MULTI-PART past SIDECAR_ROWS_PER_PART (Delta's multi-part
+    # checkpoint move): range-partitioned on the sort key, so the global
+    # (table, file) order is preserved across part files and every
+    # writer task serializes ~one part's rows — at 10^8 files a single
+    # repartition(1) task's sort+write would be the checkpoint's wall
+    est_rows = (_store_n_files(out_dir, version - 1) or 0) + sum(
+        len(fs) for fs in add.values()
+    )
+    n_parts = max(1, min(256, -(-est_rows // SIDECAR_ROWS_PER_PART)))
+    if n_parts == 1:
+        shaped = df.repartition(1)
+    else:
+        shaped = df.repartitionByRange(n_parts, "table", "file")
     (
-        df.repartition(1)
-        .sortWithinPartitions("table", "file")
+        shaped.sortWithinPartitions("table", "file")
         .write.mode("overwrite")
         .option("compression", "zstd")
         # bounded row groups (same rationale as the driver builder's
@@ -730,32 +757,40 @@ def _write_checkpoint_spark(
         .option("parquet.block.size", 16 * 1024 * 1024)
         .parquet(staging)
     )
+    import pyarrow.parquet as pq
+
     parts = [
         f
         for f in os.listdir(staging)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     ]
-    if len(parts) != 1:  # pragma: no cover - repartition(1) guarantees it
+    if not parts:  # pragma: no cover - the write above always emits one
         shutil.rmtree(staging, ignore_errors=True)
-        raise RuntimeError(
-            f"checkpoint build wrote {len(parts)} part files, expected 1"
-        )
+        raise RuntimeError("checkpoint build wrote no part files")
+    # n_files from the part footers (free — no data read or extra job)
+    n_files = 0
+    for p in parts:
+        src = os.path.join(staging, p)
+        n_files += pq.ParquetFile(src).metadata.num_rows
+        with open(src, "rb") as f:
+            os.fsync(f.fileno())
     mdir = _manifest_path(out_dir)
     os.makedirs(mdir, exist_ok=True)
     name = f"ckpt-v{version}-{uuid.uuid4().hex[:12]}.parquet"
-    src = os.path.join(staging, parts[0])
-    with open(src, "rb") as f:
-        os.fsync(f.fileno())
-    os.rename(src, os.path.join(mdir, name))
-    shutil.rmtree(staging, ignore_errors=True)
-
-    import pyarrow.parquet as pq
+    if len(parts) == 1:
+        # single-file shape: byte-compatible with the driver builder
+        os.rename(os.path.join(staging, parts[0]), os.path.join(mdir, name))
+        shutil.rmtree(staging, ignore_errors=True)
+    else:
+        # directory shape: the staging dir itself becomes the sidecar
+        # (one atomic rename; _SUCCESS/hidden files stay — pyarrow's
+        # dataset discovery and Spark both ignore '_'/'.' prefixes)
+        os.rename(staging, os.path.join(mdir, name))
 
     path = os.path.join(mdir, name)
-    # n_files from the footer (free); table NAMES via a Spark distinct —
-    # a pyarrow unique() would materialize the whole O(live files)
-    # column on the driver, the exact state this builder exists to avoid
-    n_files = pq.ParquetFile(path).metadata.num_rows
+    # table NAMES via a Spark distinct — a pyarrow unique() would
+    # materialize the whole O(live files) column on the driver, the
+    # exact state this builder exists to avoid
     table_names = sorted(
         r["table"]
         for r in spark.read.schema("table string, file string, stats string")
@@ -2212,7 +2247,10 @@ def vacuum(
                 except OSError:
                     continue
             if name != ref and _old_enough(p):
-                os.remove(p)
+                if os.path.isdir(p):  # multi-part sidecar (r11)
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
                 removed.append(os.path.join(_MANIFEST_DIR, name))
     if not os.path.isdir(out_dir):
         return removed

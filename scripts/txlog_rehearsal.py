@@ -375,6 +375,53 @@ def run_bigsweep(n_files: int) -> dict:
             report["ckpt_commit_driver"]["n_files"]
             == report["ckpt_commit_spark"]["n_files"]
         )
+
+        # MULTI-PART checkpoint row (r11): same cluster build with the
+        # part threshold forced low enough to range-partition the
+        # sidecar — at 10^8 files this is the difference between one
+        # writer task's giant sort+write and N parallel parts; here it
+        # measures the shape's overhead/benefit at the sweep's size
+        st = os.path.join(base, "spark")
+        while (pub10._latest_version(st) + 1) % pub10.CHECKPOINT_EVERY:
+            v = pub10._latest_version(st) + 1
+            pub10._commit_delta(
+                st, v, {"blocks": [f"part-mp-delta-{v:04d}.parquet"]},
+                {}, {}, op="publish",
+            )
+        v_ck = pub10._latest_version(st) + 1
+        old_thresh = pub10.CLUSTER_PATH_MIN_FILES
+        old_part = pub10.SIDECAR_ROWS_PER_PART
+        pub10.CLUSTER_PATH_MIN_FILES = 0
+        pub10.SIDECAR_ROWS_PER_PART = max(1, n_files // 8)
+        try:
+            pub10._SNAP_CACHE.clear()
+            t0 = time.perf_counter()
+            pub10._commit_delta(
+                st, v_ck, {"blocks": [f"part-mp-{v_ck:04d}.parquet"]},
+                {}, {}, op="publish", spark=spark,
+            )
+            wall = time.perf_counter() - t0
+        finally:
+            pub10.CLUSTER_PATH_MIN_FILES = old_thresh
+            pub10.SIDECAR_ROWS_PER_PART = old_part
+        c = pub10._load_commit(st, v_ck)
+        side = os.path.join(st, "_manifest", c["ckpt"])
+        n_parts = (
+            len([f for f in os.listdir(side)
+                 if not f.startswith(("_", "."))])
+            if os.path.isdir(side)
+            else 1
+        )
+        pub10._SNAP_CACHE.clear()
+        t0 = time.perf_counter()
+        n_resolved = pub10.snapshot_files_df(spark, st, v_ck).count()
+        t_res = time.perf_counter() - t0
+        assert n_resolved == c["n_files"]
+        report["ckpt_commit_spark_multipart"] = {
+            "wall_s": round(wall, 3),
+            "n_parts": n_parts,
+            "resolve_spark_s": round(t_res, 3),
+        }
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return report

@@ -138,6 +138,55 @@ def test_spark_checkpoint_path_keeps_snap_cache_clean(
     assert "ckpt" in c
 
 
+def test_multipart_sidecar_roundtrips_and_vacuums(
+    spark, tmp_path, monkeypatch
+):
+    """Past SIDECAR_ROWS_PER_PART the cluster-built checkpoint is a
+    DIRECTORY of range-partitioned parts (Delta's multi-part move):
+    every consumer — driver resolve, per-table filtered read, DataFrame
+    resolve, read_published — must work on it unchanged, and a race
+    loser's orphan multi-part sidecar must be reclaimed by vacuum."""
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+    monkeypatch.setattr(pub, "SIDECAR_ROWS_PER_PART", 10)  # force parts
+    out = str(tmp_path / "mp")
+    _grow_meta(out, pub.CHECKPOINT_EVERY + 1, spark=spark, seed_files=20)
+    c = pub._load_commit(out, pub.CHECKPOINT_EVERY)
+    side = os.path.join(out, "_manifest", c["ckpt"])
+    assert os.path.isdir(side), "expected a multi-part sidecar directory"
+    n_parts = len(
+        [f for f in os.listdir(side) if not f.startswith(("_", "."))]
+    )
+    assert n_parts > 1, n_parts
+    # every resolve path agrees with the delta-chain ground truth
+    pub._SNAP_CACHE.clear()
+    full = pub._resolve(out, pub.CHECKPOINT_EVERY)
+    assert sum(len(fs) for fs in full["tables"].values()) == c["n_files"]
+    files, stats = pub._table_files(
+        out, pub.CHECKPOINT_EVERY, "t", with_stats=True
+    )
+    assert files == full["tables"]["t"]
+    assert stats == full["stats"].get("t", {})
+    df_rows = sorted(
+        (r["table"], r["file"])
+        for r in pub.snapshot_files_df(
+            spark, out, pub.CHECKPOINT_EVERY
+        ).collect()
+    )
+    assert df_rows == sorted(
+        (t, f) for t, fs in full["tables"].items() for f in fs
+    )
+    # a race loser's orphan multi-part sidecar is reclaimed
+    orphan = os.path.join(out, "_manifest", "ckpt-v7-deadbeef.parquet")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"x")
+    removed = vacuum(out, keep_versions=99, spark=None)
+    assert any("ckpt-v7-deadbeef" in r for r in removed)
+    assert not os.path.exists(orphan)
+    # the referenced multi-part sidecar itself is never touched
+    assert os.path.isdir(side)
+
+
 def test_store_n_files_folds_delta_metadata(tmp_path):
     out = str(tmp_path / "nf")
     _grow_meta(out, 20, seed_files=3)

@@ -805,6 +805,12 @@ def _write_checkpoint_spark(
         "ckpt": name,
         "n_files": int(n_files),
         "table_names": table_names,
+        # the checkpoint's OWN delta rides along (O(changed files) JSON):
+        # racing writers' conflict detection (_added_between) then never
+        # hydrates two full snapshots just because a checkpoint landed
+        # inside the race window
+        "add": {t: sorted(fs) for t, fs in add.items() if fs},
+        "remove": {t: sorted(fs) for t, fs in remove.items() if fs},
     }
     if pin is not None:
         manifest["pin"] = pin
@@ -974,6 +980,11 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             "n_files": int(manifest["n_files"]),
             "table_names": sorted(manifest["table_names"]),
         }
+        # the checkpoint's own delta, when the writer knows it: presence
+        # (even empty) tells _added_between no snapshot diff is needed
+        for k in ("add", "remove"):
+            if k in manifest:
+                commit[k] = manifest[k]
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
         commit["pins"] = _fold_checkpoint_pins(
@@ -1038,6 +1049,12 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             # snapshot's tables without scanning the O(live files) sidecar
             "table_names": sorted(tables),
         }
+        # delta passthrough (see the pre-built branch): _commit_delta's
+        # driver checkpoint path states what it changed so race-window
+        # conflict detection never diffs full snapshots
+        for k in ("add", "remove"):
+            if k in manifest:
+                commit[k] = manifest[k]
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
         commit["pins"] = _fold_checkpoint_pins(
@@ -1189,6 +1206,10 @@ def _commit_delta(
             "tables": tables,
             "stats": stats,
             "op": op,
+            # the delta this commit applies, carried into the checkpoint
+            # JSON so race-window conflict detection stays O(delta)
+            "add": {t: sorted(fs) for t, fs in add.items() if fs},
+            "remove": {t: sorted(fs) for t, fs in remove.items() if fs},
         }
         if pin is not None:
             manifest["pin"] = pin
@@ -1727,8 +1748,10 @@ def _stage_table(
 def _added_between(out_dir: str, old_v: int, new_v: int) -> dict[str, list]:
     """Files ADDED by commits ``old_v+1 .. new_v`` — what the racing
     writer(s) published while our batch was staging.  Delta commits carry
-    the answer verbatim; a checkpoint landing in the window is diffed
-    against its parent snapshot (rare: one per CHECKPOINT_EVERY)."""
+    the answer verbatim, and r11 checkpoints carry their OWN delta in the
+    commit JSON (``add``/``remove`` beside ``ckpt``), so a checkpoint
+    landing in the race window costs O(delta) too; only pre-r11
+    full-form commits fall back to diffing two resolved snapshots."""
     added: dict[str, list] = {}
     for v in range(old_v + 1, new_v + 1):
         c = _load_commit(out_dir, v)

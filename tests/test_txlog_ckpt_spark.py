@@ -187,6 +187,44 @@ def test_multipart_sidecar_roundtrips_and_vacuums(
     assert os.path.isdir(side)
 
 
+def test_checkpoints_carry_their_delta_for_race_detection(
+    spark, tmp_path, monkeypatch
+):
+    """r11: checkpoint commits record their own add/remove in the O(1)
+    JSON, so _added_between never resolves full snapshots when a
+    checkpoint lands inside a race window — on either builder path."""
+    for mode in ("driver", "spark"):
+        out = str(tmp_path / mode)
+        if mode == "spark":
+            monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+        else:
+            monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 10**9)
+        _grow_meta(
+            out, pub.CHECKPOINT_EVERY + 1,
+            spark=spark if mode == "spark" else None,
+        )
+        c = pub._load_commit(out, pub.CHECKPOINT_EVERY)
+        assert "ckpt" in c and "add" in c, (mode, sorted(c))
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "race detection resolved a full snapshot despite the "
+                "checkpoint carrying its delta"
+            )
+
+        orig = pub._snapshot_files
+        pub._snapshot_files = boom
+        try:
+            added = pub._added_between(
+                out, pub.CHECKPOINT_EVERY - 2, pub.CHECKPOINT_EVERY + 1
+            )
+        finally:
+            pub._snapshot_files = orig
+        # the window spans two deltas + the checkpoint: adds fold from
+        # the commit JSONs alone
+        assert any(fs for fs in added.values())
+
+
 def test_store_n_files_folds_delta_metadata(tmp_path):
     out = str(tmp_path / "nf")
     _grow_meta(out, 20, seed_files=3)

@@ -225,6 +225,46 @@ def test_checkpoints_carry_their_delta_for_race_detection(
         assert any(fs for fs in added.values())
 
 
+def test_publish_batch_engages_spark_checkpoint_end_to_end(
+    spark, tmp_path, monkeypatch
+):
+    """The sink's own write path (publish_batch → _commit_append) must
+    route checkpoint versions through the cluster builder past the
+    threshold: the driver resolve is bombed for the whole growth, so
+    any full-snapshot hydration anywhere in the hot loop fails the
+    test; the store must still read back complete."""
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+    out = str(tmp_path / "e2e")
+    # v1 (adopt) + v2 are written before the bomb: v1 is a legitimate
+    # driver-side checkpoint (no parent to derive from)
+    publish_batch(
+        spark,
+        {"t": spark.range(0, 10).selectExpr("id", "id % 4 as height_bucket")},
+        out,
+        pks=PK,
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("full-snapshot resolve on the hot write path")
+
+    monkeypatch.setattr(pub, "_resolve", boom)
+    i = 1
+    while pub._latest_version(out) < pub.CHECKPOINT_EVERY + 1:
+        publish_batch(
+            spark,
+            {"t": spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id", "id % 4 as height_bucket")},
+            out,
+            pks=PK,
+        )
+        i += 1
+    monkeypatch.undo()
+    c = pub._load_commit(out, pub.CHECKPOINT_EVERY)
+    assert "ckpt" in c and c["add"]["t"], sorted(c)
+    pub._SNAP_CACHE.clear()
+    assert read_published(spark, out, "t").count() == i * 10
+
+
 def test_store_n_files_folds_delta_metadata(tmp_path):
     out = str(tmp_path / "nf")
     _grow_meta(out, 20, seed_files=3)

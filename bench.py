@@ -197,16 +197,27 @@ def _isolated_times(names: list[str]) -> dict[str, dict]:
         if load1 > threshold:
             time.sleep(LOAD_RETRY_SLEEP_S)
             load1 = os.getloadavg()[0]
+        t0 = time.monotonic()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--only", name],
             capture_output=True, text=True, timeout=420,
         )
+        elapsed = time.monotonic() - t0
         # sample AGAIN after the run and guard on the max: a spike that
         # begins DURING the ~40 s subprocess would otherwise be recorded
         # as a quiet before-load and the slow reading could still be
         # stamped reproduces_isolated (r10 advice — the last gap in the
-        # r9 failure mode)
-        load1 = max(load1, os.getloadavg()[0])
+        # r9 failure mode).  The after-sample must DISCOUNT the
+        # subprocess's own contribution, or heavy queries self-trip the
+        # guard on a quiet machine (our own run drives the 1-min loadavg
+        # toward the core count): subtract the worst case our run could
+        # have added — full-width busy for its whole wall, ncpu·(1-e^-t/60)
+        # by the loadavg EMA — so only load we can't explain as our own
+        # escalates the reading
+        import math
+
+        self_max = float(CPUS) * (1.0 - math.exp(-elapsed / 60.0))
+        load1 = max(load1, os.getloadavg()[0] - self_max)
         try:
             line = proc.stdout.strip().splitlines()[-1]
             out[name] = {

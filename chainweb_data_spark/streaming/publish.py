@@ -203,6 +203,16 @@ class ConcurrentWriteError(RuntimeError):
     rebases once or abandons — compaction is an optimization)."""
 
 
+class StorageVisibilityError(RuntimeError):
+    """The cluster-side path found files the DRIVER can see but the
+    executors' distributed walk cannot — ``out_dir`` is not on shared
+    storage.  Raised when the caller passed an explicit ``spark``
+    session; when :data:`AUTO` picked the session on its own, consumers
+    degrade to the driver path with a warning instead (the pre-r11
+    default behavior must not turn into a hard error just because a
+    store crossed the size threshold)."""
+
+
 # ---------------------------------------------------------------------------
 # commit-log I/O
 # ---------------------------------------------------------------------------
@@ -684,6 +694,7 @@ def _write_checkpoint_spark(
     stats_add: dict[str, dict],
     op: str,
     pin: dict | None = None,
+    est_rows: int | None = None,
 ) -> None:
     """Write checkpoint ``version`` with the snapshot derived and
     serialized CLUSTER-SIDE (r11 — closing the last O(live files) driver
@@ -739,9 +750,10 @@ def _write_checkpoint_spark(
     # (table, file) order is preserved across part files and every
     # writer task serializes ~one part's rows — at 10^8 files a single
     # repartition(1) task's sort+write would be the checkpoint's wall
-    est_rows = (_store_n_files(out_dir, version - 1) or 0) + sum(
-        len(fs) for fs in add.values()
-    )
+    if est_rows is None:  # the gate in _commit_delta passes its count
+        est_rows = (_store_n_files(out_dir, version - 1) or 0) + sum(
+            len(fs) for fs in add.values()
+        )
     n_parts = max(1, min(256, -(-est_rows // SIDECAR_ROWS_PER_PART)))
     if n_parts == 1:
         shaped = df.repartition(1)
@@ -1173,14 +1185,19 @@ def _commit_delta(
     writers fail loudly and rebase exactly as before; all forms funnel
     through ``_write_manifest``, the single injectable choke point."""
     if version == 1 or version % CHECKPOINT_EVERY == 0:
+        parent_n = (
+            _store_n_files(out_dir, version - 1) if version > 1 else None
+        )
         if (
             spark is not None
             and version > 1
-            and (_store_n_files(out_dir, version - 1) or 0)
-            >= CLUSTER_PATH_MIN_FILES
+            and (parent_n or 0) >= CLUSTER_PATH_MIN_FILES
         ):
             _write_checkpoint_spark(
-                spark, out_dir, version, add, remove, stats_add, op, pin=pin
+                spark, out_dir, version, add, remove, stats_add, op,
+                pin=pin,
+                est_rows=(parent_n or 0)
+                + sum(len(fs) for fs in add.values()),
             )
             return
         base = (
@@ -1234,11 +1251,21 @@ def history(out_dir: str) -> list[dict]:
     for v in range(1, _latest_version(out_dir) + 1):
         c = _load_commit(out_dir, v)
         if "ckpt" in c:
-            # parquet checkpoint: the count rides in the commit JSON, so
-            # history never opens the sidecar
+            # parquet checkpoint: counts ride in the commit JSON, so
+            # history never opens the sidecar.  r11 checkpoints carry
+            # their own delta — report the TRUE change (a compact
+            # landing on a boundary removes files; n_files would show a
+            # phantom million-file write); pre-r11 checkpoints fall
+            # back to the snapshot size, the only number they recorded
             kind = "checkpoint"
-            added = int(c["n_files"])
-            removed = 0
+            if "add" in c or "remove" in c:
+                added = sum(len(fs) for fs in c.get("add", {}).values())
+                removed = sum(
+                    len(fs) for fs in c.get("remove", {}).values()
+                )
+            else:
+                added = int(c["n_files"])
+                removed = 0
         elif "tables" in c:
             kind = "checkpoint" if "ts" in c else "legacy"
             added = sum(len(fs) for fs in c["tables"].values())
@@ -1340,17 +1367,19 @@ def pin_version(
             f"pin_version: version {version} not in committed range "
             f"1..{latest} of {out_dir!r}"
         )
+    auto_selected = isinstance(spark, _AutoSpark)
     spark = _resolve_spark_arg(spark, out_dir)
-    if spark is None:
-        snap = {"tables": _snapshot_files(out_dir, version)}  # stats-pruned
 
-        def _missing_file() -> str | None:
-            for t, fs in snap["tables"].items():
-                tdir = os.path.join(out_dir, f"{t}.parquet")
-                for rel in fs:
-                    if not os.path.exists(os.path.join(tdir, rel)):
-                        return f"{t}/{rel}"
-            return None
+    def _driver_missing_file() -> str | None:
+        for t, fs in _snapshot_files(out_dir, version).items():  # no stats
+            tdir = os.path.join(out_dir, f"{t}.parquet")
+            for rel in fs:
+                if not os.path.exists(os.path.join(tdir, rel)):
+                    return f"{t}/{rel}"
+        return None
+
+    if spark is None:
+        _missing_file = _driver_missing_file
     else:
         # r10 scale path: the snapshot file set never touches the driver —
         # the sidecar-resolved DataFrame is probed for existence in
@@ -1374,7 +1403,15 @@ def pin_version(
             miss = files_df.mapInPandas(
                 _probe, "table string, file string"
             ).take(1)
-            return f"{miss[0]['table']}/{miss[0]['file']}" if miss else None
+            if not miss:
+                return None
+            return _classify_pin_miss(
+                out_dir,
+                miss[0]["table"],
+                miss[0]["file"],
+                auto_selected,
+                _driver_missing_file,
+            )
 
     gone = _missing_file()
     if gone is not None:
@@ -1406,6 +1443,42 @@ def pin_version(
     raise ConcurrentWriteError(
         f"pin_version: lost the commit race twice in {out_dir!r}"
     )
+
+
+def _classify_pin_miss(
+    out_dir: str,
+    table: str,
+    rel: str,
+    auto_selected: bool,
+    driver_probe,
+) -> str | None:
+    """Diagnose a file the EXECUTOR probe reported missing.  When the
+    DRIVER can see it, the snapshot was never vacuumed — the storage is
+    not shared with executors, and misdiagnosing that would refuse a
+    perfectly valid lease: explicit ``spark=`` surfaces
+    :class:`StorageVisibilityError` loudly; :data:`AUTO` degrades to the
+    driver probe with a warning (the pre-r11 default behavior).  When
+    the driver can't see it either, it is genuinely gone."""
+    if os.path.exists(
+        os.path.join(os.path.abspath(out_dir), f"{table}.parquet", rel)
+    ):
+        if not auto_selected:
+            raise StorageVisibilityError(
+                f"pin_version: executors cannot see {table}/{rel} that "
+                f"the driver can — out_dir {out_dir!r} is not on shared "
+                "storage; use spark=None or run against shared storage"
+            )
+        import warnings
+
+        warnings.warn(
+            f"pin_version: {out_dir!r} is not visible to executors; the "
+            "auto-selected cluster probe was abandoned for the driver "
+            "probe",
+            RuntimeWarning,
+            stacklevel=4,
+        )
+        return driver_probe()
+    return f"{table}/{rel}"
 
 
 def unpin_version(
@@ -1449,9 +1522,10 @@ def _commit_pin_op(
     protocol owes readers there (and folds the pin set) — built
     cluster-side past :data:`CLUSTER_PATH_MIN_FILES` when ``spark`` is
     supplied, like every other checkpoint (:func:`_commit_delta`).
-    Raises :class:`ConcurrentWriteError` on a lost race; returns the
-    commit record written ({version, op, pin}, plus the checkpoint keys
-    when the version lands on a boundary)."""
+    Raises :class:`ConcurrentWriteError` on a lost race; returns the pin
+    commit record ``{version, op, pin}`` (version metadata only — even
+    on a checkpoint boundary the sidecar keys stay in the log; read the
+    commit with ``_load_commit`` if you need them)."""
     v_next = _latest_version(out_dir) + 1
     _commit_delta(
         out_dir, v_next, {}, {}, {}, op=op, spark=spark, pin=pin
@@ -2216,6 +2290,7 @@ def vacuum(
     removed: list[str] = []
     if latest == 0:
         return removed
+    auto_selected = isinstance(spark, _AutoSpark)
     spark = _resolve_spark_arg(spark, out_dir)
     now = time.time()
 
@@ -2286,12 +2361,31 @@ def vacuum(
     pins |= late
     retained |= late
     if spark is not None:
-        removed.extend(
-            _vacuum_data_spark(
-                spark, out_dir, sorted(retained), pins, now, min_age_s
+        try:
+            removed.extend(
+                _vacuum_data_spark(
+                    spark, out_dir, sorted(retained), pins, now, min_age_s
+                )
             )
-        )
-        return sorted(removed)
+            return sorted(removed)
+        except StorageVisibilityError:
+            # the caller EXPLICITLY asked for the cluster plan: surface
+            # the broken storage contract loudly.  When AUTO picked the
+            # session on its own (the store merely crossed the size
+            # threshold), degrade to the driver sweep with a warning —
+            # a previously-working default must not become a hard error
+            if not auto_selected:
+                raise
+            import warnings
+
+            warnings.warn(
+                f"vacuum: {out_dir!r} is not visible to executors; the "
+                "auto-selected cluster sweep was abandoned and the "
+                "driver path ran instead — expect O(live files) driver "
+                "memory at this store's size",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     live: dict[str, set] = {}
     pin_files: dict[int, dict[str, set]] = {}
     for v in sorted(retained):
@@ -2400,16 +2494,27 @@ def _warn_hollow(
     )
 
 
-def _first_data_file(tdir: str) -> str | None:
+def _first_data_file(tdir: str, before: float | None = None) -> str | None:
     """The first non-hidden data file the DRIVER can see under a table
-    directory — an early-exit walk touching O(1) entries, used only as
-    the storage-visibility probe of :func:`_vacuum_data_spark`."""
+    directory — an early-exit walk touching O(few) entries, used only as
+    the storage-visibility probe of :func:`_vacuum_data_spark`.
+    ``before`` skips files created after the distributed walk began: a
+    concurrent writer staging a dead table's first new file mid-sweep is
+    not evidence the walk was blind (it ran before the file existed)."""
     if not os.path.isdir(tdir):
         return None
     for root, _dirs, files in os.walk(tdir):
         for fname in files:
-            if not fname.startswith(("_", ".")):
-                return os.path.relpath(os.path.join(root, fname), tdir)
+            if fname.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, fname)
+            if before is not None:
+                try:
+                    if os.path.getmtime(full) >= before:
+                        continue
+                except OSError:
+                    continue  # vanished concurrently
+            return os.path.relpath(full, tdir)
     return None
 
 
@@ -2489,9 +2594,11 @@ def _vacuum_data_spark(
         for t in candidates:
             if disk_counts.get(t, 0):
                 continue
-            seen = _first_data_file(os.path.join(out_dir, f"{t}.parquet"))
+            seen = _first_data_file(
+                os.path.join(out_dir, f"{t}.parquet"), before=now
+            )
             if seen is not None:
-                raise RuntimeError(
+                raise StorageVisibilityError(
                     f"vacuum(spark=...): the distributed walk saw NO files "
                     f"under {t}.parquet but the driver can see "
                     f"{seen} — out_dir {out_dir!r} is not visible to "

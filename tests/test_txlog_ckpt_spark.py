@@ -436,6 +436,93 @@ def test_spark_hollow_warning_reports_full_count(spark, tmp_path):
         vacuum(out, keep_versions=0, spark=spark)
 
 
+def test_auto_vacuum_degrades_to_driver_on_invisible_storage(
+    spark, tmp_path, monkeypatch
+):
+    """AUTO-selected cluster sweeps must not turn a previously-working
+    default vacuum() into a hard error on non-shared storage: warn and
+    run the driver sweep instead.  An EXPLICIT spark= still raises."""
+    out = str(tmp_path / "fb")
+    publish_batch(
+        spark,
+        {"t": spark.range(0, 10).selectExpr("id", "id % 4 as height_bucket")},
+        out,
+        pks=PK,
+    )
+    orphan = os.path.join(out, "t.parquet", "part-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    os.utime(orphan, (1.0, 1.0))  # predate the walk: genuine blindness
+
+    def empty_walk(sp, out_dir, tables):
+        return sp.createDataFrame([], "table string, file string, mtime double")
+
+    monkeypatch.setattr(pub, "_disk_files_df", empty_walk)
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+    with pytest.warns(RuntimeWarning, match="driver path ran instead"):
+        removed = vacuum(out, keep_versions=99)  # AUTO
+    assert any("part-orphan" in r for r in removed)
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    os.utime(orphan, (1.0, 1.0))
+    with pytest.raises(pub.StorageVisibilityError):
+        vacuum(out, keep_versions=99, spark=spark)  # explicit
+
+
+def test_vacuum_probe_ignores_files_staged_during_the_walk(tmp_path):
+    """The storage-visibility probe must not mistake a concurrent
+    writer's freshly-staged file (created after the walk began) for
+    evidence the walk was blind."""
+    tdir = str(tmp_path / "t.parquet")
+    os.makedirs(tdir)
+    p = os.path.join(tdir, "part-new.parquet")
+    with open(p, "wb") as f:
+        f.write(b"x")
+    import time as _time
+
+    walk_started = _time.time() - 60
+    # staged AFTER the walk began: not evidence
+    assert pub._first_data_file(tdir, before=walk_started) is None
+    # predates the walk: genuine evidence
+    os.utime(p, (walk_started - 10, walk_started - 10))
+    assert pub._first_data_file(tdir, before=walk_started) == "part-new.parquet"
+
+
+def test_classify_pin_miss_separates_vacuumed_from_invisible(tmp_path):
+    out = str(tmp_path / "st")
+    tdir = os.path.join(out, "t.parquet")
+    os.makedirs(tdir)
+    with open(os.path.join(tdir, "part-live.parquet"), "wb") as f:
+        f.write(b"x")
+    # driver can't see it either: genuinely vacuumed
+    assert (
+        pub._classify_pin_miss(out, "t", "part-ghost.parquet", False, None)
+        == "t/part-ghost.parquet"
+    )
+    # driver CAN see it: explicit spark raises the storage error...
+    with pytest.raises(pub.StorageVisibilityError, match="not on shared"):
+        pub._classify_pin_miss(out, "t", "part-live.parquet", False, None)
+    # ...AUTO warns and defers to the driver probe's verdict
+    with pytest.warns(RuntimeWarning, match="driver probe"):
+        got = pub._classify_pin_miss(
+            out, "t", "part-live.parquet", True, lambda: None
+        )
+    assert got is None
+
+
+def test_history_reports_checkpoint_deltas(spark, tmp_path, monkeypatch):
+    """An r11 checkpoint carrying its delta must show its TRUE
+    add/remove in history(), not a phantom whole-snapshot write."""
+    out = str(tmp_path / "h")
+    _grow_meta(out, pub.CHECKPOINT_EVERY + 1, seed_files=2)
+    h = {e["version"]: e for e in pub.history(out)}
+    ck = h[pub.CHECKPOINT_EVERY]
+    assert ck["kind"] == "checkpoint"
+    assert ck["added"] == 2  # one file into each of t and u
+    # v1 seed (no delta recorded) falls back to snapshot size
+    assert h[1]["added"] == 2
+
+
 def test_read_published_schema_probe_error_names_the_snapshot(
     spark, tmp_path
 ):

@@ -94,11 +94,12 @@ def register(name: str, oracle: str | None = None):
 # doc_length_quantiles, doc_repetition, text_gopher_quality, ann_ivf_topk,
 # ann_ivf_skew_topk, redact_pii_docs, tfidf_top_terms, dup_spans_docs,
 # embed_cluster_assign, dedup_normalized_docs, embed_dedup_clusters,
-# embed_dedup_clusters_ann, doc_features_md5 — the md5-fingerprint audit
+# doc_features_md5 — the md5-fingerprint audit
 # twin of gated doc_features, which owns the rolling64 production
 # configuration), Spark-4-native twins of
-# gated queries (cw_continuation_history_rcte — native WITH RECURSIVE;
-# json_variant_extract — VariantType parse-once extraction), and the
+# gated queries (json_variant_extract — VariantType parse-once
+# extraction; cw_continuation_history_rcte and embed_dedup_clusters_ann
+# were promoted INTO the gate r12), and the
 # multimodal resize/frame-sample legs (the binary pipeline's gate slots
 # are the REAL-codec queries: multimodal_png_features,
 # multimodal_wav_features, multimodal_y4m_frames).
@@ -175,7 +176,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # harness): doc_features — gated below — fuses all three signals
     # (quality_features, lang_id, fingerprint) in one scan, so drift in
     # any breaks it; the slots fund the round-6/7/8 flagships below
-    "embed_cosine_topk",
+    # embed_cosine_topk demoted r12 (still hash-checked by the local
+    # harness): its exact-tier cosine kernel is load-bearing inside TWO
+    # gated queries — semdedup_prune_auto_docs (within-cell exact pairs)
+    # and ann_ivfpq_rerank_topk (the raw-vector refine stage) — so
+    # kernel drift breaks a gated query first; the slot funds the
+    # ANN-path semantic-dedup composition promoted below
     # embed_near_dup demoted late r6 (still hash-checked by the local
     # harness): its exact-tier matmul kernel is the same one
     # embed_cosine_topk gates, and the slot funds the SemDeDup scale
@@ -214,7 +220,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # round-7 promotions: the text-analysis scorers a data-quality
     # pipeline actually runs (retrieval salience + LM perplexity filter)
     "bm25_top_terms",
-    "bigram_ppl_docs",
+    # bigram_ppl_docs demoted r12 (still hash-checked by the local
+    # harness): its add-k backoff kernel is the order-2 slice of the
+    # gated trigram_ppl_docs Kneser–Ney chain (same gram streams, same
+    # map-combined counts, same per-doc fold), so kernel drift breaks
+    # the gated order-3 query first; the slot funds the native
+    # WITH RECURSIVE continuation walk promoted below
     # round-8 promotions: the curation-run publishables — the Gopher
     # repetition filter and the per-source dataset card — plus the
     # persisted-index BM25 probe (the O(query-terms) retrieval path that
@@ -249,6 +260,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     # the half that decides what actually dedups)
     "quality_classifier_docs",
     "minhash_verified_pairs",
+    # round-12 promotions: the ANN-path semantic-dedup composition (the
+    # pipeline a 100 TB corpus actually runs: corpus-adaptive LSH
+    # candidates → exact-cosine verify → convergence-checked label
+    # propagation — gating it covers candidate generation, verification,
+    # clustering, and keeper selection END-TO-END on the scale path) and
+    # the Spark-4 NATIVE WITH RECURSIVE continuation walk (the 1:1
+    # restatement of the reference's recursive SQL — gating it guards
+    # the native-engine path against Spark drift, not just the
+    # iterative fallback gated as cw_continuation_history)
+    "embed_dedup_clusters_ann",
+    "cw_continuation_history_rcte",
 )
 
 

@@ -219,7 +219,28 @@ class StorageVisibilityError(RuntimeError):
 
 
 def _manifest_path(out_dir: str) -> str:
+    _check_posix_path(out_dir)
     return os.path.join(out_dir, _MANIFEST_DIR)
+
+
+def _check_posix_path(out_dir: str) -> None:
+    """Refuse URL-scheme ``out_dir``s loudly.  The txlog's commit point
+    is POSIX ``os.link`` put-if-absent and executors probe with ``os.*``
+    calls — the contract is SHARED POSIX storage (local, NFS, EFS,
+    Lustre).  Without this guard ``s3://bucket/x`` is treated as a weird
+    RELATIVE local path: the sink would silently create a working-looking
+    local store named ``s3:/bucket/x`` and never touch the object store.
+    Every txlog entry point funnels through :func:`_manifest_path`, so
+    one check here covers them all."""
+    if "://" in out_dir:
+        raise ValueError(
+            f"out_dir {out_dir!r} has a URL scheme — the transaction log "
+            "commits via POSIX os.link put-if-absent and requires a "
+            "shared POSIX filesystem path (local/NFS/EFS/Lustre). Object "
+            "stores need a conditional-PUT log store (see the module "
+            "docstring: with Delta/Iceberg available this module "
+            "disappears into their log)."
+        )
 
 
 def _commit_name(version: int) -> str:
@@ -229,6 +250,121 @@ def _commit_name(version: int) -> str:
 def _load_commit(out_dir: str, version: int) -> dict:
     with open(os.path.join(_manifest_path(out_dir), _commit_name(version))) as f:
         return json.load(f)
+
+
+#: delta commits whose changed-file count reaches this spill their
+#: add/remove lists into a ``delta-v<N>-*.parquet`` sidecar and keep the
+#: commit JSON O(1) bytes (plus O(#tables) count fields).  Without the
+#: spill a mega-rewrite (format migration, whole-table re-sort) inlines
+#: the ENTIRE table's file list into v<N>.json — which every resolve
+#: between checkpoints then re-parses.  Ordinary micro-batch commits
+#: (a few files) never come near this.
+DELTA_SIDECAR_MIN_FILES = 100_000
+
+
+def _write_delta_sidecar(
+    mdir: str,
+    version: int,
+    add: dict[str, list],
+    remove: dict[str, list],
+    stats_add: dict[str, dict],
+) -> str:
+    """Spill a mega-delta's add/remove lists to a zstd parquet sidecar —
+    one row per changed file: ``(action, table, file, stats)`` with
+    ``action`` in {'add','remove'} and stats the same compact JSON-string
+    encoding as checkpoint sidecars.  Durable before return (fsync +
+    same-dir rename), version+uuid named exactly like checkpoint sidecars
+    so a commit-race loser's spill becomes a vacuumable orphan.  Rows
+    sort by (action, table, file): readers that want one action or one
+    table prune row groups on the sorted columns' min/max."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    a_col: list[str] = []
+    t_col: list[str] = []
+    f_col: list[str] = []
+    s_col: list[str | None] = []
+    for action, per in (("add", add), ("remove", remove)):
+        for t in sorted(per):
+            per_stats = stats_add.get(t, {}) if action == "add" else {}
+            for rel in sorted(per[t]):
+                a_col.append(action)
+                t_col.append(t)
+                f_col.append(rel)
+                s = per_stats.get(rel)
+                s_col.append(
+                    json.dumps(s, separators=(",", ":")) if s else None
+                )
+    name = f"delta-v{version}-{uuid.uuid4().hex[:12]}.parquet"
+    tmp = os.path.join(mdir, f".{name}.tmp")
+    try:
+        pq.write_table(
+            pa.table(
+                {
+                    "action": pa.array(a_col, pa.string()),
+                    "table": pa.array(t_col, pa.string()),
+                    "file": pa.array(f_col, pa.string()),
+                    "stats": pa.array(s_col, pa.string()),
+                }
+            ),
+            tmp,
+            compression="zstd",
+            row_group_size=262_144,  # same bound as checkpoint sidecars
+        )
+        with open(tmp, "rb") as f:
+            os.fsync(f.fileno())
+        os.rename(tmp, os.path.join(mdir, name))
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return name
+
+
+def _hydrate_delta(
+    out_dir: str, commit: dict, table: str | None = None
+) -> dict:
+    """Materialize a SPILLED delta commit's add/remove/stats_add back
+    into the dict shape every driver-side fold consumes (a commit
+    without ``delta`` passes through untouched).  ``table`` narrows the
+    read to one table via a parquet predicate — the sidecar is sorted by
+    (action, table, file), so row groups outside the table prune on
+    footer min/max and :func:`_table_files` stays O(that table).  Driver
+    folds are the small-store/per-table paths; the cluster resolve
+    (:func:`_snapshot_df`) reads the same sidecar with Spark and never
+    hydrates it here."""
+    if "delta" not in commit:
+        return commit
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_manifest_path(out_dir), commit["delta"])
+    filters = [("table", "=", table)] if table is not None else None
+    t = pq.read_table(path, filters=filters)
+    add: dict[str, list] = {}
+    remove: dict[str, list] = {}
+    stats_add: dict[str, dict] = {}
+    for action, tname, rel, s in zip(
+        t.column("action").to_pylist(),
+        t.column("table").to_pylist(),
+        t.column("file").to_pylist(),
+        t.column("stats").to_pylist(),
+    ):
+        if action == "add":
+            add.setdefault(tname, []).append(rel)
+            if s:
+                stats_add.setdefault(tname, {})[rel] = json.loads(s)
+        else:
+            remove.setdefault(tname, []).append(rel)
+    out = dict(commit)
+    # "add" is set even when empty: its PRESENCE tells _added_between
+    # the commit states its own delta (no snapshot diff needed) — the
+    # same sentinel inline checkpoint commits carry
+    out["add"] = add
+    if remove:
+        out["remove"] = remove
+    if stats_add:
+        out["stats_add"] = stats_add
+    return out
 
 
 def _write_checkpoint_sidecar(
@@ -375,6 +511,10 @@ def _table_files(
                 "checkpoint ancestor — log is corrupt"
             )
     for delta in reversed(deltas):
+        # a spilled mega-delta hydrates ONLY this table's rows (parquet
+        # predicate on the sorted table column) — the per-table read
+        # stays O(that table's churn)
+        delta = _hydrate_delta(out_dir, delta, table=table)
         rm = delta.get("remove", {}).get(table)
         if rm:
             gone = set(rm)
@@ -437,13 +577,57 @@ def _store_n_files(out_dir: str, version: int) -> int | None:
             return int(c["n_files"]) + n
         if "tables" in c:  # inline / legacy checkpoint
             return sum(len(fs) for fs in c["tables"].values()) + n
-        n += sum(len(fs) for fs in c.get("add", {}).values())
-        n -= sum(len(fs) for fs in c.get("remove", {}).values())
+        if "delta" in c:  # spilled mega-delta: counts ride in the JSON
+            n += sum(c.get("n_add_by_table", {}).values())
+            n -= sum(c.get("n_remove_by_table", {}).values())
+        else:
+            n += sum(len(fs) for fs in c.get("add", {}).values())
+            n -= sum(len(fs) for fs in c.get("remove", {}).values())
         v = c.get("parent", v - 1)
     raise RuntimeError(
         f"commit chain for version {version} in {out_dir} has no "
         "checkpoint ancestor — log is corrupt"
     )
+
+
+def _store_table_counts(out_dir: str, version: int) -> dict[str, int] | None:
+    """Per-table live-file counts at ``version`` from commit metadata
+    alone — the per-table refinement of :func:`_store_n_files` (r12):
+    checkpoint commits carry ``n_files_by_table`` and each delta states
+    exactly what it added/removed per table, so the fold is O(deltas ×
+    tables) with no file-list scan.  ``None`` when the checkpoint
+    ancestor predates the field (pre-r12 sidecar) — callers then fall
+    back to deriving names from the sidecar itself."""
+    if version < 1:
+        return {}
+    deltas: list[dict] = []
+    v = version
+    while True:
+        c = _load_commit(out_dir, v)
+        if "n_files_by_table" in c:
+            counts = {t: int(n) for t, n in c["n_files_by_table"].items()}
+            break
+        if "tables" in c:  # inline / legacy checkpoint: exact and tiny
+            counts = {t: len(fs) for t, fs in c["tables"].items()}
+            break
+        if "ckpt" in c:  # pre-r12 sidecar checkpoint: counts not carried
+            return None
+        deltas.append(c)
+        v = c.get("parent", v - 1)
+        if v < 1:
+            return None
+    for c in reversed(deltas):
+        if "delta" in c:  # spilled mega-delta: counts ride in the JSON
+            for t, n in c.get("n_add_by_table", {}).items():
+                counts[t] = counts.get(t, 0) + int(n)
+            for t, n in c.get("n_remove_by_table", {}).items():
+                counts[t] = counts.get(t, 0) - int(n)
+            continue
+        for t, fs in c.get("add", {}).items():
+            counts[t] = counts.get(t, 0) + len(fs)
+        for t, fs in c.get("remove", {}).items():
+            counts[t] = counts.get(t, 0) - len(fs)
+    return counts
 
 
 def _resolve_spark_arg(spark, out_dir: str):
@@ -521,6 +705,7 @@ def _walk_snapshot(
                 "checkpoint ancestor — log is corrupt"
             )
     for delta in reversed(deltas):
+        delta = _hydrate_delta(out_dir, delta)  # spilled mega-deltas
         for t, rels in delta.get("remove", {}).items():
             gone = set(rels)
             base_tables[t] = [f for f in base_tables.get(t, []) if f not in gone]
@@ -592,12 +777,22 @@ def snapshot_files_df(
 
 
 def _snapshot_df(
-    spark: SparkSession, out_dir: str, version: int, with_stats: bool
+    spark: SparkSession,
+    out_dir: str,
+    version: int,
+    with_stats: bool,
+    base_cache: dict | None = None,
 ) -> DataFrame:
     """The shared cluster-side resolve behind :func:`snapshot_files_df`
     (file sets) and :func:`_write_checkpoint_spark` (``with_stats=True``
     adds the per-file stats-JSON string column, the sidecar's dominant
-    payload — only the checkpoint writer wants those bytes moved)."""
+    payload — only the checkpoint writer wants those bytes moved).
+
+    ``base_cache`` (r12): a caller resolving MANY versions that share a
+    checkpoint ancestor (vacuum over retained + pinned snapshots) passes
+    a dict; the ancestor's sidecar scan is then built once, PERSISTED,
+    and shared — K resolves cost one sidecar scan per distinct ancestor
+    instead of K.  The caller owns unpersisting the cached DataFrames."""
     from pyspark.sql import functions as F
 
     cols = ["table", "file"] + (["stats"] if with_stats else [])
@@ -610,6 +805,9 @@ def _snapshot_df(
     while True:
         commit = _load_commit(out_dir, v)
         if "ckpt" in commit:
+            if base_cache is not None and v in base_cache:
+                base = base_cache[v]
+                break
             # explicit schema: the sidecar layout is fixed by protocol,
             # and letting Spark infer it re-reads the footer on every
             # resolve (~0.7 s at a 1M-row sidecar, pure overhead)
@@ -618,6 +816,9 @@ def _snapshot_df(
             ).parquet(
                 os.path.join(_manifest_path(out_dir), commit["ckpt"])
             ).select(*cols)
+            if base_cache is not None:
+                base = base.persist()
+                base_cache[v] = base
             break
         if "tables" in commit:  # inline / legacy: already driver-sized
             st = commit.get("stats", {})
@@ -671,6 +872,47 @@ def _snapshot_df(
                 added[(t, rel)] = (
                     json.dumps(s, separators=(",", ":")) if s else None
                 )
+    spill_paths = [
+        os.path.join(_manifest_path(out_dir), d["delta"])
+        for d in deltas
+        if "delta" in d
+    ]
+    if spill_paths:
+        # SPILLED mega-deltas (r12): their file lists live in parquet
+        # sidecars, read here by Spark where they lie — the driver ships
+        # only the inline deltas' rows, never the spilled lists.  File
+        # names are never reused (commit protocol), so a remove always
+        # postdates its file's add and ANY interleaving of inline and
+        # spilled deltas reduces to set algebra: (base ∪ adds) \ removes.
+        sp = spark.read.schema(
+            "action string, table string, file string, stats string"
+        ).parquet(*spill_paths)
+        all_rm = sp.filter(F.col("action") == "remove").select(
+            "table", "file"
+        )
+        if removed:
+            all_rm = all_rm.union(
+                spark.createDataFrame(
+                    sorted(removed), "table string, file string"
+                )
+            )
+        adds = sp.filter(F.col("action") == "add").select(*cols)
+        if added:
+            if with_stats:
+                add_rows = [
+                    (t, f, s) for (t, f), s in sorted(added.items())
+                ]
+            else:
+                add_rows = sorted(added)
+            adds = adds.unionByName(
+                spark.createDataFrame(add_rows, schema)
+            )
+        # removes can be table-sized here (that's what a mega-rewrite
+        # is), so no broadcast hint — AQE picks the join strategy
+        base = base.join(all_rm, ["table", "file"], "left_anti")
+        return base.unionByName(
+            adds.join(all_rm, ["table", "file"], "left_anti")
+        )
     if removed:
         rm_df = spark.createDataFrame(
             sorted(removed), "table string, file string"
@@ -742,8 +984,13 @@ def _write_checkpoint_spark(
                 add_rows, "table string, file string, stats string"
             )
         )
+    # the target version rides in the staging dir name so vacuum's
+    # staging sweep can recognize an IN-FLIGHT checkpoint build (version
+    # ahead of the newest commit) and give it the same full grace window
+    # as an in-flight sidecar — unlike an orphaned data stage, rmtree'ing
+    # a live build mid-Spark-job fails the checkpoint commit
     staging = os.path.join(
-        out_dir, "_staging", f"ckpt-build-{uuid.uuid4().hex}"
+        out_dir, "_staging", f"ckpt-build-v{version}-{uuid.uuid4().hex}"
     )
     # MULTI-PART past SIDECAR_ROWS_PER_PART (Delta's multi-part
     # checkpoint move): range-partitioned on the sort key, so the global
@@ -800,23 +1047,54 @@ def _write_checkpoint_spark(
         os.rename(staging, os.path.join(mdir, name))
 
     path = os.path.join(mdir, name)
-    # table NAMES via a Spark distinct — a pyarrow unique() would
-    # materialize the whole O(live files) column on the driver, the
-    # exact state this builder exists to avoid
-    table_names = sorted(
-        r["table"]
-        for r in spark.read.schema("table string, file string, stats string")
-        .parquet(path)
-        .select("table")
-        .distinct()
-        .collect()
-    )
+    # table NAMES + per-table counts: folded from free commit metadata
+    # (parent checkpoint's n_files_by_table + the delta chain + this
+    # commit's own add/remove) — no extra Spark job, no driver
+    # hydration.  Cross-checked against the written sidecar's footer
+    # row count; a mismatch (protocol violation: a remove naming a
+    # non-live file) or a pre-r12 parent falls back to ONE aggregate
+    # job over the sidecar (a pyarrow unique() would materialize the
+    # whole O(live files) column on the driver, the exact state this
+    # builder exists to avoid).
+    counts = _store_table_counts(out_dir, version - 1)
+    if counts is not None:
+        for t, fs in add.items():
+            counts[t] = counts.get(t, 0) + len(fs)
+        for t, fs in remove.items():
+            counts[t] = counts.get(t, 0) - len(fs)
+        counts = {t: c for t, c in counts.items() if c > 0}
+        if sum(counts.values()) != n_files:
+            import warnings
+
+            warnings.warn(
+                f"checkpoint v{version}: per-table metadata fold "
+                f"({sum(counts.values())} files) disagrees with the "
+                f"written sidecar ({n_files}) — a delta commit removed "
+                "a file that was not live; deriving table counts from "
+                "the sidecar instead",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            counts = None
+    if counts is None:
+        counts = {
+            r["table"]: int(r["n"])
+            for r in spark.read.schema(
+                "table string, file string, stats string"
+            )
+            .parquet(path)
+            .groupBy("table")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    table_names = sorted(counts)
     manifest = {
         "version": version,
         "op": op,
         "ckpt": name,
         "n_files": int(n_files),
         "table_names": table_names,
+        "n_files_by_table": {t: counts[t] for t in table_names},
         # the checkpoint's OWN delta rides along (O(changed files) JSON):
         # racing writers' conflict detection (_added_between) then never
         # hydrates two full snapshots just because a checkpoint landed
@@ -827,6 +1105,27 @@ def _write_checkpoint_spark(
     if pin is not None:
         manifest["pin"] = pin
     _write_manifest(out_dir, manifest)
+
+
+def _executor_visible(spark: SparkSession, path: str) -> bool:
+    """True when an EXECUTOR can see ``path`` — one tiny single-partition
+    job.  The common non-shared-storage failure is NOT the walk
+    cross-check (which sees an empty inventory) but executors being
+    unable to read the checkpoint sidecar at all: ``snapshot_files_df``'s
+    scan then throws an opaque executor ``FileNotFoundException`` before
+    any cross-check runs.  Probing first lets :data:`AUTO` degrade to the
+    driver path with the documented warning, and explicit ``spark=``
+    raise a :class:`StorageVisibilityError` that names the contract
+    instead of a Java stack trace."""
+
+    def _probe(p: str) -> bool:
+        import os as _os
+
+        return _os.path.exists(p)
+
+    return bool(
+        spark.sparkContext.parallelize([path], 1).map(_probe).collect()[0]
+    )
 
 
 def _disk_files_df(
@@ -946,6 +1245,38 @@ def _fold_checkpoint_pins(
     return {str(k): n for k, n in sorted(pins.items())}
 
 
+def _attach_ckpt_delta(
+    commit: dict, mdir: str, version: int, manifest: dict
+) -> None:
+    """Attach a checkpoint commit's OWN delta to its JSON: inline below
+    :data:`DELTA_SIDECAR_MIN_FILES` changed files (the r11 shape), as a
+    spilled ``delta-v*`` sidecar + O(#tables) count fields past it (a
+    mega-rewrite landing exactly on a checkpoint boundary must not
+    inline a table-sized list into the JSON any more than an
+    off-boundary one)."""
+    add = manifest.get("add", {})
+    remove = manifest.get("remove", {})
+    n_changed = sum(len(fs) for fs in add.values()) + sum(
+        len(fs) for fs in remove.values()
+    )
+    if n_changed >= DELTA_SIDECAR_MIN_FILES:
+        commit["delta"] = _write_delta_sidecar(
+            mdir, version, add, remove, {}
+        )
+        if add:
+            commit["n_add_by_table"] = {
+                t: len(fs) for t, fs in sorted(add.items())
+            }
+        if remove:
+            commit["n_remove_by_table"] = {
+                t: len(fs) for t, fs in sorted(remove.items())
+            }
+    else:
+        for k in ("add", "remove"):
+            if k in manifest:
+                commit[k] = manifest[k]
+
+
 def _write_manifest(out_dir: str, manifest: dict) -> None:
     """Commit ``manifest`` as version N — the single commit choke point.
 
@@ -992,11 +1323,15 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             "n_files": int(manifest["n_files"]),
             "table_names": sorted(manifest["table_names"]),
         }
+        if "n_files_by_table" in manifest:  # r12: per-table fold seed
+            commit["n_files_by_table"] = {
+                t: int(n)
+                for t, n in sorted(manifest["n_files_by_table"].items())
+            }
         # the checkpoint's own delta, when the writer knows it: presence
-        # (even empty) tells _added_between no snapshot diff is needed
-        for k in ("add", "remove"):
-            if k in manifest:
-                commit[k] = manifest[k]
+        # (even empty) tells _added_between no snapshot diff is needed;
+        # a mega-delta landing ON the boundary spills (r12)
+        _attach_ckpt_delta(commit, mdir, version, manifest)
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
         commit["pins"] = _fold_checkpoint_pins(
@@ -1020,23 +1355,51 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         add = {
             t: sorted(fs) for t, fs in manifest.get("add", {}).items() if fs
         }
-        if add:
-            commit["add"] = add
         remove = {
             t: sorted(fs)
             for t, fs in manifest.get("remove", {}).items()
             if fs
         }
-        if remove:
-            commit["remove"] = remove
+        # hoist the per-table membership sets: rebuilding set(add[t])
+        # inside the inner comprehension is O(n^2) for an n-file table,
+        # which bites mega-rewrites (whole-table delta commits)
+        added_sets = {t: set(fs) for t, fs in add.items()}
         stats_add = {
-            t: {rel: s for rel, s in per.items() if rel in set(add[t])}
+            t: {rel: s for rel, s in per.items() if rel in added_sets[t]}
             for t, per in manifest.get("stats_add", {}).items()
-            if per and t in add
+            if per and t in added_sets
         }
         stats_add = {t: per for t, per in stats_add.items() if per}
-        if stats_add:
-            commit["stats_add"] = stats_add
+        n_changed = sum(len(fs) for fs in add.values()) + sum(
+            len(fs) for fs in remove.values()
+        )
+        if n_changed >= DELTA_SIDECAR_MIN_FILES:
+            # mega-delta (format migration, whole-table rewrite): spill
+            # the file lists to a parquet sidecar and keep the commit
+            # JSON O(1) bytes + O(#tables) counts — every resolve
+            # between checkpoints re-parses this JSON, so an inlined
+            # million-file list would tax the whole store until the
+            # next checkpoint.  The sidecar is durable BEFORE the
+            # commit link (same protocol as checkpoint sidecars); a
+            # race loser's spill is a vacuumable orphan.
+            commit["delta"] = _write_delta_sidecar(
+                mdir, version, add, remove, stats_add
+            )
+            if add:
+                commit["n_add_by_table"] = {
+                    t: len(fs) for t, fs in sorted(add.items())
+                }
+            if remove:
+                commit["n_remove_by_table"] = {
+                    t: len(fs) for t, fs in sorted(remove.items())
+                }
+        else:
+            if add:
+                commit["add"] = add
+            if remove:
+                commit["remove"] = remove
+            if stats_add:
+                commit["stats_add"] = stats_add
         if "pin" in manifest:  # pin/unpin ops change no files — O(1) commit
             commit["pin"] = manifest["pin"]
         _link_commit(mdir, version, commit)
@@ -1060,13 +1423,19 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             # consumers (vacuum's candidate-table seeding) learn the
             # snapshot's tables without scanning the O(live files) sidecar
             "table_names": sorted(tables),
+            # per-table counts (r12): lets the NEXT cluster-side
+            # checkpoint derive its table_names/counts by folding delta
+            # metadata instead of running a Spark distinct over the
+            # sidecar — O(#tables) JSON bytes buys back one job/ckpt
+            "n_files_by_table": {
+                t: len(fs) for t, fs in sorted(tables.items())
+            },
         }
         # delta passthrough (see the pre-built branch): _commit_delta's
         # driver checkpoint path states what it changed so race-window
-        # conflict detection never diffs full snapshots
-        for k in ("add", "remove"):
-            if k in manifest:
-                commit[k] = manifest[k]
+        # conflict detection never diffs full snapshots; mega-deltas
+        # landing on the boundary spill (r12)
+        _attach_ckpt_delta(commit, mdir, version, manifest)
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
         commit["pins"] = _fold_checkpoint_pins(
@@ -1258,7 +1627,10 @@ def history(out_dir: str) -> list[dict]:
             # phantom million-file write); pre-r11 checkpoints fall
             # back to the snapshot size, the only number they recorded
             kind = "checkpoint"
-            if "add" in c or "remove" in c:
+            if "delta" in c:  # spilled mega-delta on a boundary (r12)
+                added = sum(c.get("n_add_by_table", {}).values())
+                removed = sum(c.get("n_remove_by_table", {}).values())
+            elif "add" in c or "remove" in c:
                 added = sum(len(fs) for fs in c.get("add", {}).values())
                 removed = sum(
                     len(fs) for fs in c.get("remove", {}).values()
@@ -1270,6 +1642,10 @@ def history(out_dir: str) -> list[dict]:
             kind = "checkpoint" if "ts" in c else "legacy"
             added = sum(len(fs) for fs in c["tables"].values())
             removed = 0
+        elif "delta" in c:  # spilled mega-delta (r12): counts in JSON
+            kind = "delta"
+            added = sum(c.get("n_add_by_table", {}).values())
+            removed = sum(c.get("n_remove_by_table", {}).values())
         else:
             kind = "delta"
             added = sum(len(fs) for fs in c.get("add", {}).values())
@@ -1828,7 +2204,7 @@ def _added_between(out_dir: str, old_v: int, new_v: int) -> dict[str, list]:
     full-form commits fall back to diffing two resolved snapshots."""
     added: dict[str, list] = {}
     for v in range(old_v + 1, new_v + 1):
-        c = _load_commit(out_dir, v)
+        c = _hydrate_delta(out_dir, _load_commit(out_dir, v))
         if "add" in c or ("tables" not in c and "ckpt" not in c):
             per = c.get("add", {})
         else:  # full form: diff against the previous snapshot
@@ -2311,26 +2687,67 @@ def vacuum(
     if os.path.isdir(staging_root):
         for d in os.listdir(staging_root):
             p = os.path.join(staging_root, d)
+            if d.startswith("ckpt-build-v"):
+                # an IN-FLIGHT cluster-side checkpoint build (target
+                # version ahead of the newest commit): reclaiming it
+                # mid-Spark-job fails the checkpoint commit, so — like
+                # in-flight sidecars — it always gets the full grace
+                # window, keyed on the NEWEST mtime in the tree (a live
+                # build keeps landing part files, so its newest mtime
+                # stays fresh even when the job outlives the window;
+                # the top dir's own mtime can go stale mid-job).  Builds
+                # for versions ≤ latest are dead (committed elsewhere or
+                # lost the race) and sweep under the normal min_age_s.
+                try:
+                    cv = int(d[len("ckpt-build-v"):].split("-", 1)[0])
+                except ValueError:
+                    cv = None
+                if cv is not None and cv > latest:
+                    newest = 0.0
+                    for root_, _dirs, files_ in os.walk(p):
+                        for fn in files_:
+                            try:
+                                m = os.path.getmtime(
+                                    os.path.join(root_, fn)
+                                )
+                            except OSError:
+                                continue
+                            newest = max(newest, m)
+                    if not newest:
+                        try:
+                            newest = os.path.getmtime(p)
+                        except OSError:
+                            continue
+                    if now - newest < VACUUM_GRACE_S:
+                        continue
             if _old_enough(p):
                 shutil.rmtree(p, ignore_errors=True)
-    # orphan checkpoint sidecars: a crash between the sidecar rename and
-    # the commit link, or the loser of a version race, leaves a
-    # ckpt-v<N>-*.parquet no commit references.  The name embeds the
+    # orphan checkpoint / delta-spill sidecars: a crash between the
+    # sidecar rename and the commit link, or the loser of a version
+    # race, leaves a ckpt-v<N>-*.parquet (or delta-v<N>-*.parquet, the
+    # r12 mega-delta spill) no commit references.  The name embeds the
     # version, so the check is one JSON read per CANDIDATE — never a log
     # scan; referenced sidecars are metadata and are NEVER deleted (old
-    # checkpoints must stay resolvable for history/time-travel reads)
+    # checkpoints AND the spilled deltas after them must stay resolvable
+    # for history/time-travel reads)
     mdir = _manifest_path(out_dir)
     if os.path.isdir(mdir):
         for name in os.listdir(mdir):
-            if not (name.startswith("ckpt-v") and name.endswith(".parquet")):
+            if not name.endswith(".parquet"):
+                continue
+            if name.startswith("ckpt-v"):
+                prefix, ref_key = "ckpt-v", "ckpt"
+            elif name.startswith("delta-v"):
+                prefix, ref_key = "delta-v", "delta"
+            else:
                 continue
             try:
-                cv = int(name[len("ckpt-v") :].split("-", 1)[0])
+                cv = int(name[len(prefix) :].split("-", 1)[0])
             except ValueError:
                 continue
             ref = None
             if os.path.exists(os.path.join(mdir, _commit_name(cv))):
-                ref = _load_commit(out_dir, cv).get("ckpt")
+                ref = _load_commit(out_dir, cv).get(ref_key)
             p = os.path.join(mdir, name)
             if cv > latest:
                 # a sidecar AHEAD of the newest commit is most likely an
@@ -2360,6 +2777,32 @@ def vacuum(
     late = set(pinned_versions(out_dir)) - retained
     pins |= late
     retained |= late
+    if spark is not None and not _executor_visible(
+        spark, os.path.abspath(_manifest_path(out_dir))
+    ):
+        # executors can't even see the commit log: the sidecar scan
+        # inside the cluster sweep would die with an opaque executor
+        # FileNotFoundException.  Same polarity as the walk cross-check:
+        # AUTO degrades to the driver sweep with a warning, explicit
+        # spark= surfaces the broken storage contract loudly.
+        if not auto_selected:
+            raise StorageVisibilityError(
+                f"vacuum(spark=...): executors cannot see the commit log "
+                f"under {out_dir!r} — the store is not on shared storage; "
+                "use the driver path (spark=None) or run against shared "
+                "storage"
+            )
+        import warnings
+
+        warnings.warn(
+            f"vacuum: {out_dir!r} is not visible to executors; the "
+            "auto-selected cluster sweep was abandoned and the driver "
+            "path ran instead — expect O(live files) driver memory at "
+            "this store's size",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        spark = None
     if spark is not None:
         try:
             removed.extend(
@@ -2470,6 +2913,9 @@ def _live_table_names(out_dir: str, version: int) -> set[str]:
             return names
         names.update(commit.get("add", {}))
         names.update(commit.get("remove", {}))
+        # spilled mega-deltas (r12) carry their names as count keys
+        names.update(commit.get("n_add_by_table", {}))
+        names.update(commit.get("n_remove_by_table", {}))
         v = commit.get("parent", v - 1)
         if v < 1:
             raise RuntimeError(
@@ -2550,8 +2996,16 @@ def _vacuum_data_spark(
 
     live: DataFrame | None = None
     pin_dfs: dict[int, DataFrame] = {}
+    # shared-ancestor base cache (r12): retained versions cluster within
+    # CHECKPOINT_EVERY of each other and pins can be arbitrary — resolve
+    # each DISTINCT checkpoint ancestor's sidecar once (persisted) and
+    # fold per-version deltas onto it, instead of one sidecar scan per
+    # retained/pinned version (pin-heavy stores paid K scans)
+    base_cache: dict[int, DataFrame] = {}
     for v in retained:
-        df = snapshot_files_df(spark, out_dir, v)
+        df = _snapshot_df(
+            spark, out_dir, v, with_stats=False, base_cache=base_cache
+        )
         if v in pins:
             pin_dfs[v] = df
         live = df if live is None else live.unionByName(df)
@@ -2598,6 +3052,19 @@ def _vacuum_data_spark(
                 os.path.join(out_dir, f"{t}.parquet"), before=now
             )
             if seen is not None:
+                # a probe hit can be a RACE, not broken storage: the
+                # table dir was empty when the persisted walk ran and a
+                # concurrent writer then renamed staged files in (rename
+                # preserves mtimes, which may predate `now`).  Re-list
+                # that ONE table executor-side before raising — on
+                # shared storage the fresh listing sees the file and the
+                # vacuum proceeds (the stale inventory is still safe:
+                # files it never saw are simply not deletion candidates)
+                if (
+                    _disk_files_df(spark, out_dir, [t]).limit(1).count()
+                    > 0
+                ):
+                    continue
                 raise StorageVisibilityError(
                     f"vacuum(spark=...): the distributed walk saw NO files "
                     f"under {t}.parquet but the driver can see "
@@ -2634,4 +3101,6 @@ def _vacuum_data_spark(
                 )
     finally:
         disk.unpersist()
+        for b in base_cache.values():
+            b.unpersist()
     return removed

@@ -27,6 +27,11 @@ Two Spark-backed modes (r10):
       ``snapshot_files_df``).  Both must reclaim exactly the planted
       orphans or the row is refused.
 
+  --megarewrite [n_files]   The r12 spilled-delta row: a whole-table
+      rewrite committed at ``n_files`` live files, inline (pre-r12)
+      vs spilled sidecar form on twin stores — commit JSON bytes,
+      commit/resolve/race-fold walls, identical results required.
+
   --race [rounds]        Two genuinely interleaved writers (threads,
       shared session) publishing to the same table for ``rounds``
       commits each — once on DISJOINT height_bucket partitions (the
@@ -422,6 +427,40 @@ def run_bigsweep(n_files: int) -> dict:
             "n_parts": n_parts,
             "resolve_spark_s": round(t_res, 3),
         }
+
+        # ABOVE the 8M-row design point (r12: the 16M sweep) the natural
+        # build is already multi-part — measure the INVERSE too: a
+        # forced single-part build at the same size, so the threshold's
+        # design point (multi-part ≤ single-part wall past 8M rows) is
+        # measured rather than extrapolated from the forced-low 4M row
+        if n_files > old_part:
+            while (pub10._latest_version(st) + 1) % pub10.CHECKPOINT_EVERY:
+                v = pub10._latest_version(st) + 1
+                pub10._commit_delta(
+                    st, v, {"blocks": [f"part-sp-delta-{v:04d}.parquet"]},
+                    {}, {}, op="publish",
+                )
+            v_ck = pub10._latest_version(st) + 1
+            pub10.CLUSTER_PATH_MIN_FILES = 0
+            pub10.SIDECAR_ROWS_PER_PART = 10 ** 12  # force ONE part
+            try:
+                pub10._SNAP_CACHE.clear()
+                t0 = time.perf_counter()
+                pub10._commit_delta(
+                    st, v_ck, {"blocks": [f"part-sp-{v_ck:04d}.parquet"]},
+                    {}, {}, op="publish", spark=spark,
+                )
+                wall = time.perf_counter() - t0
+            finally:
+                pub10.CLUSTER_PATH_MIN_FILES = old_thresh
+                pub10.SIDECAR_ROWS_PER_PART = old_part
+            c = pub10._load_commit(st, v_ck)
+            assert not os.path.isdir(
+                os.path.join(st, "_manifest", c["ckpt"])
+            ), "single-part force failed"
+            report["ckpt_commit_spark_single_forced"] = {
+                "wall_s": round(wall, 3),
+            }
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return report
@@ -607,11 +646,13 @@ def run_race_spark(rounds: int) -> dict:
 
     def maintainer():
         try:
+            cycle = 0
             while not errors and not stop.is_set():
                 v = pub10._latest_version(out)
                 if v < 2:
                     time.sleep(0.02)
                     continue
+                cycle += 1
                 held = None
                 try:
                     pub10.pin_version(out, v, name="race", spark=spark)
@@ -620,16 +661,24 @@ def run_race_spark(rounds: int) -> dict:
                 except ValueError:
                     # lost the pin/vacuum race — the LOUD contract
                     stats["pin_lost_races"] += 1
-                with warnings.catch_warnings(record=True) as w:
-                    warnings.simplefilter("always")
-                    removed = pub10.vacuum(
-                        out, keep_versions=1, min_age_s=30.0, spark=spark
+                # vacuum every OTHER cycle (r12 pacing): the full
+                # cluster sweep dominated each cycle's wall, capping the
+                # rehearsal at ~7 pin→read→unpin cycles per run — the
+                # race-window coverage under test is the pin/read/unpin
+                # vs writer interleaving, so let those cycles outnumber
+                # the sweeps
+                if cycle % 2 == 1:
+                    with warnings.catch_warnings(record=True) as w:
+                        warnings.simplefilter("always")
+                        removed = pub10.vacuum(
+                            out, keep_versions=1, min_age_s=30.0,
+                            spark=spark,
+                        )
+                    hollow.extend(
+                        x for x in w if "HOLLOW" in str(x.message)
                     )
-                hollow.extend(
-                    x for x in w if "HOLLOW" in str(x.message)
-                )
-                stats["vacuums"] += 1
-                stats["orphans_reclaimed"] += len(removed)
+                    stats["vacuums"] += 1
+                    stats["orphans_reclaimed"] += len(removed)
                 if held is not None:
                     # the lease's promise: the snapshot re-reads fully
                     pub10._SNAP_CACHE.clear()
@@ -695,7 +744,108 @@ def run_race_spark(rounds: int) -> dict:
     return report
 
 
+def run_megarewrite(n_files: int) -> dict:
+    """The r12 spilled-delta row: a whole-table rewrite (format
+    migration) committed against a store with ``n_files`` live files,
+    spilled vs the pre-r12 inline form, on twin stores.  Reports commit
+    JSON bytes (the number every subsequent resolve re-parses), commit
+    wall, the race-window fold wall (``_added_between`` across the
+    rewrite), and the post-rewrite resolve wall — identical results
+    required both ways.  Metadata-only, like the base rehearsal: the
+    cost under test is JSON/parquet bytes + fsync."""
+    from chainweb_data_spark.session import get_spark
+
+    tables = _seed_snapshot(n_files)
+    rw_table = TABLES[0]
+    new_files = [
+        f"height_bucket={i % 64}/rewrite-{i:07d}.zstd.parquet"
+        for i in range(len(tables[rw_table]))
+    ]
+    report: dict = {
+        "live_files": sum(len(v) for v in tables.values()),
+        "rewritten_files": len(tables[rw_table]),
+        "spill_threshold": pub.DELTA_SIDECAR_MIN_FILES,
+    }
+    base = tempfile.mkdtemp(prefix="txlog-megarw-")
+    old_thresh = pub.DELTA_SIDECAR_MIN_FILES
+    try:
+        for mode in ("inline", "spill"):
+            pub.DELTA_SIDECAR_MIN_FILES = (
+                10 ** 12 if mode == "inline" else old_thresh
+            )
+            out = os.path.join(base, mode)
+            os.makedirs(out)
+            pub._write_manifest(
+                out, {"version": 1, "tables": tables, "op": "seed"}
+            )
+            # a couple of small deltas first, so the rewrite lands
+            # off-boundary like a real maintenance op
+            for i in range(2):
+                pub._commit_delta(
+                    out, pub._latest_version(out) + 1,
+                    {rw_table: [f"pre-{i}.parquet"]}, {}, {}, op="publish",
+                )
+            pub._SNAP_CACHE.clear()
+            old_live = pub._table_files(out, 3, rw_table, with_stats=False)[0]
+            rss0 = _vm_rss_mb()
+            t0 = time.perf_counter()
+            pub._commit_delta(
+                out, 4, {rw_table: new_files}, {rw_table: old_live}, {},
+                op="rewrite",
+            )
+            commit_wall = time.perf_counter() - t0
+            c = pub._load_commit(out, 4)
+            mdir = os.path.join(out, "_manifest")
+            json_bytes = os.path.getsize(os.path.join(mdir, "v000000004.json"))
+            side_bytes = (
+                os.path.getsize(os.path.join(mdir, c["delta"]))
+                if "delta" in c
+                else 0
+            )
+            # the race-window fold across the rewrite: what a concurrent
+            # writer's conflict detection pays
+            t0 = time.perf_counter()
+            added = pub._added_between(out, 2, 4)
+            race_wall = time.perf_counter() - t0
+            assert len(added[rw_table]) == len(new_files) + 1
+            pub._SNAP_CACHE.clear()
+            t0 = time.perf_counter()
+            snap = pub._snapshot_files(out, 4)
+            resolve_wall = time.perf_counter() - t0
+            assert sorted(snap[rw_table]) == sorted(new_files)
+            report[f"{mode}"] = {
+                "commit_json_bytes": json_bytes,
+                "sidecar_bytes": side_bytes,
+                "commit_wall_s": round(commit_wall, 3),
+                "race_fold_wall_s": round(race_wall, 3),
+                "resolve_wall_s": round(resolve_wall, 3),
+                "driver_rss_growth_mb": round(_vm_rss_mb() - rss0, 1),
+            }
+        # cluster-side resolve across the spilled rewrite (the sidecar
+        # is read by Spark, never hydrated on the driver)
+        spark = get_spark("txlog-megarw")
+        out = os.path.join(base, "spill")
+        t0 = time.perf_counter()
+        n = pub.snapshot_files_df(spark, out, 4).count()
+        report["spill_resolve_spark_s"] = round(time.perf_counter() - t0, 3)
+        assert n == report["live_files"]
+        report["json_bytes_ratio"] = round(
+            report["inline"]["commit_json_bytes"]
+            / report["spill"]["commit_json_bytes"],
+            1,
+        )
+    finally:
+        pub.DELTA_SIDECAR_MIN_FILES = old_thresh
+        shutil.rmtree(base, ignore_errors=True)
+    return report
+
+
 def main() -> None:
+    if "--megarewrite" in sys.argv:
+        i = sys.argv.index("--megarewrite")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1_000_000
+        print(json.dumps({"megarewrite": run_megarewrite(n)}))
+        return
     if "--bigsweep" in sys.argv:
         i = sys.argv.index("--bigsweep")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1_000_000

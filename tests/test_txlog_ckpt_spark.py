@@ -95,7 +95,7 @@ def test_spark_checkpoint_is_value_identical_to_driver_checkpoint(
         assert "ckpt" in c and "tables" not in c, (mode, c)
         cks[mode] = c
     # the O(1) commit metadata agrees exactly
-    for key in ("n_files", "table_names", "pins", "op"):
+    for key in ("n_files", "table_names", "n_files_by_table", "pins", "op"):
         assert cks["driver"][key] == cks["spark"][key], key
     # the sidecars are value-identical, row order included
     payloads = {}
@@ -540,3 +540,256 @@ def test_read_published_schema_probe_error_names_the_snapshot(
         os.remove(os.path.join(out, "t.parquet", rel))
     with pytest.raises(RuntimeError, match="schema probe"):
         read_published(spark, out, "t", where={"id": (10**6, None)})
+
+
+def test_url_scheme_out_dir_is_refused(spark, tmp_path):
+    """r12: the txlog's contract is shared POSIX storage — an
+    ``s3://…`` out_dir must fail loudly at every entry point instead of
+    silently creating a relative LOCAL store named ``s3:/…``."""
+    for fn in (
+        lambda: publish_batch(
+            spark, {"t": spark.range(3).selectExpr("id")},
+            "s3://bucket/store", pks=PK),
+        lambda: read_published(spark, "s3://bucket/store", "t"),
+        lambda: vacuum("s3://bucket/store"),
+        lambda: read_manifest("s3://bucket/store"),
+    ):
+        with pytest.raises(ValueError, match="URL scheme"):
+            fn()
+    assert not os.path.exists("s3:"), "a local s3:/ directory was created"
+
+
+def test_spark_checkpoint_derives_table_counts_from_metadata(
+    spark, tmp_path, monkeypatch
+):
+    """r12: once a checkpoint carries ``n_files_by_table``, the NEXT
+    cluster-side checkpoint derives its table_names/counts by folding
+    commit metadata — the post-write Spark aggregate over the sidecar
+    must not run, and the folded counts must equal ground truth."""
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+    out = str(tmp_path / "tc")
+    _grow_meta(out, pub.CHECKPOINT_EVERY + 1, spark=spark, seed_files=2)
+    c16 = pub._load_commit(out, pub.CHECKPOINT_EVERY)
+    assert "n_files_by_table" in c16, sorted(c16)
+
+    # the v32 build must take the metadata fold: bomb the fallback by
+    # requiring _store_table_counts to succeed, and fail on the
+    # mismatch warning that would re-route to the sidecar aggregate
+    real = pub._store_table_counts
+
+    def fold_or_bomb(out_dir, v):
+        counts = real(out_dir, v)
+        assert counts is not None, (
+            "metadata fold unavailable — the fallback Spark job would run"
+        )
+        return counts
+
+    monkeypatch.setattr(pub, "_store_table_counts", fold_or_bomb)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        while pub._latest_version(out) < 2 * pub.CHECKPOINT_EVERY:
+            _meta_commit(out, pub._latest_version(out), spark=spark)
+    c32 = pub._load_commit(out, 2 * pub.CHECKPOINT_EVERY)
+    assert "ckpt" in c32
+    pub._SNAP_CACHE.clear()
+    truth = pub._snapshot_files(out, 2 * pub.CHECKPOINT_EVERY)
+    assert c32["n_files_by_table"] == {
+        t: len(fs) for t, fs in truth.items() if fs
+    }
+    assert c32["table_names"] == sorted(
+        t for t, fs in truth.items() if fs
+    )
+    assert c32["n_files"] == sum(len(fs) for fs in truth.values())
+
+
+def test_store_table_counts_matches_snapshots(tmp_path):
+    """The per-table metadata fold equals the resolved snapshot at every
+    probed version (and reports None for pre-r12 sidecar ancestors)."""
+    out = str(tmp_path / "stc")
+    _grow_meta(out, 20, seed_files=3)
+    latest = pub._latest_version(out)
+    for v in (1, 5, latest):
+        pub._SNAP_CACHE.clear()
+        want = {
+            t: len(fs)
+            for t, fs in pub._snapshot_files(out, v).items()
+            if fs
+        }
+        got = pub._store_table_counts(out, v)
+        assert got is not None
+        assert {t: n for t, n in got.items() if n > 0} == want, v
+    # simulate a pre-r12 checkpoint ancestor: strip the field
+    mdir = os.path.join(out, "_manifest")
+    ck = pub.CHECKPOINT_EVERY
+    p = os.path.join(mdir, f"v{ck:09d}.json")
+    c = json.load(open(p))
+    if "n_files_by_table" in c:
+        del c["n_files_by_table"]
+        os.remove(p)
+        with open(p, "w") as f:
+            json.dump(c, f)
+        assert pub._store_table_counts(out, latest) is None
+
+
+def test_vacuum_spares_in_flight_ckpt_build_staging(tmp_path):
+    """r12 (advice): a ckpt-build staging dir whose target version is
+    AHEAD of the newest commit is an in-flight cluster build — even a
+    min_age_s=0 vacuum must leave it alone while its newest file is
+    inside the grace window; a build for an already-committed version
+    is dead and sweeps normally."""
+    out = str(tmp_path / "ib")
+    _grow_meta(out, 3)
+    latest = pub._latest_version(out)
+    sroot = os.path.join(out, "_staging")
+    live = os.path.join(sroot, f"ckpt-build-v{latest + 1}-abc123")
+    dead = os.path.join(sroot, f"ckpt-build-v{latest}-dead99")
+    plain = os.path.join(sroot, "stage-xyz")
+    for d in (live, dead, plain):
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "wb") as f:
+            f.write(b"x")
+    # age everything far past min_age_s — only the grace rule may save
+    # the live build (its file mtimes stay FRESH: the job keeps writing)
+    old = pub.time.time() - 10 * pub.VACUUM_GRACE_S
+    for d in (dead, plain):
+        os.utime(os.path.join(d, "part-0.parquet"), (old, old))
+        os.utime(d, (old, old))
+    os.utime(live, (old, old))  # stale TOP dir, fresh content inside
+    vacuum(out, keep_versions=99, min_age_s=0, spark=None)
+    assert os.path.isdir(live), "in-flight ckpt build was reclaimed"
+    assert not os.path.exists(dead)
+    assert not os.path.exists(plain)
+    # once the newest file inside ages past the grace window, the build
+    # is abandoned and reclaims like any crashed stage
+    os.utime(os.path.join(live, "part-0.parquet"), (old, old))
+    vacuum(out, keep_versions=99, min_age_s=0, spark=None)
+    assert not os.path.exists(live)
+
+
+def test_vacuum_crosscheck_relists_before_raising(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (advice): a driver-probe hit after an empty walk can be a
+    concurrent-rename RACE, not broken storage — the cross-check must
+    re-list that one table executor-side and proceed when the fresh
+    listing sees the file."""
+    out = str(tmp_path / "cc")
+    for i in range(2):
+        publish_batch(
+            spark,
+            {"t": spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id", "id % 4 as height_bucket")},
+            out,
+            pks=PK,
+        )
+    calls = {"n": 0}
+    orig = pub._disk_files_df
+
+    def racy_walk(sp, od, tables):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the persisted walk ran while every table dir was empty
+            return sp.createDataFrame(
+                [], "table string, file string, mtime double"
+            )
+        return orig(sp, od, tables)
+
+    monkeypatch.setattr(pub, "_disk_files_df", racy_walk)
+    # without the re-list this raises StorageVisibilityError; with it
+    # the vacuum proceeds (and deletes nothing: the stale inventory has
+    # no candidates)
+    removed = vacuum(out, keep_versions=99, spark=spark)
+    assert calls["n"] >= 2, "cross-check never re-listed"
+    assert removed == []
+
+
+def test_auto_vacuum_degrades_when_executors_cannot_see_the_log(
+    spark, tmp_path, monkeypatch
+):
+    """r12 (advice): when executors cannot read the commit log at all
+    (non-shared storage), AUTO must degrade to the driver sweep with the
+    documented warning — not die in an opaque executor scan — and an
+    explicit spark= must raise StorageVisibilityError by name."""
+    out = str(tmp_path / "nv")
+    for i in range(2):
+        publish_batch(
+            spark,
+            {"t": spark.range(i * 10, i * 10 + 10).selectExpr(
+                "id", "id % 4 as height_bucket")},
+            out,
+            pks=PK,
+        )
+    monkeypatch.setattr(pub, "_executor_visible", lambda sp, p: False)
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+
+    def boom(*a, **k):
+        raise AssertionError("cluster sweep ran against invisible storage")
+
+    monkeypatch.setattr(pub, "_vacuum_data_spark", boom)
+    with pytest.warns(RuntimeWarning, match="not visible to executors"):
+        vacuum(out, keep_versions=99)  # AUTO → degrade to driver sweep
+    with pytest.raises(pub.StorageVisibilityError, match="commit log"):
+        vacuum(out, keep_versions=99, spark=spark)
+
+
+def test_vacuum_shares_sidecar_scans_across_versions(
+    spark, tmp_path, monkeypatch
+):
+    """r12: resolving many retained/pinned versions that share a
+    checkpoint ancestor must scan that ancestor's sidecar ONCE (the
+    base_cache seam) — and a pin-heavy vacuum must still reclaim
+    exactly its orphans with pins intact."""
+    monkeypatch.setattr(pub, "CLUSTER_PATH_MIN_FILES", 0)
+    out = str(tmp_path / "bc")
+    _grow_meta(out, pub.CHECKPOINT_EVERY + 4, spark=spark)
+    latest = pub._latest_version(out)
+    # the direct seam: one shared cache, many versions, one base entry
+    cache = {}
+    dfs = {
+        v: pub._snapshot_df(
+            spark, out, v, with_stats=False, base_cache=cache
+        )
+        for v in range(pub.CHECKPOINT_EVERY, latest + 1)
+    }
+    try:
+        assert len(cache) == 1, "versions share one checkpoint ancestor"
+        for v, df in dfs.items():
+            pub._SNAP_CACHE.clear()
+            truth = sorted(
+                (t, f)
+                for t, fs in pub._snapshot_files(out, v).items()
+                for f in fs
+            )
+            got = sorted((r["table"], r["file"]) for r in df.collect())
+            assert got == truth, v
+    finally:
+        for b in cache.values():
+            b.unpersist()
+    # end-to-end: four pins + an orphan, cluster sweep (materialize the
+    # pinned snapshots' files first — the store above is metadata-only
+    # and pin_version rightly refuses a lease it cannot re-read)
+    for v in (2, 5, latest - 1, latest):
+        pub._SNAP_CACHE.clear()
+        for t, fs in pub._snapshot_files(out, v).items():
+            for rel in fs:
+                p = os.path.join(out, f"{t}.parquet", rel)
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                if not os.path.exists(p):
+                    with open(p, "wb") as f:
+                        f.write(b"d")
+    for v in (2, 5, latest - 1, latest):
+        pin_version(out, v, name=f"lease-{v}", spark=spark)
+    orphan = os.path.join(out, "t.parquet", "height_bucket=0",
+                          "orphan-x.parquet")
+    os.makedirs(os.path.dirname(orphan), exist_ok=True)
+    with open(orphan, "wb") as f:
+        f.write(b"x")
+    import time as _time
+
+    old = _time.time() - 10 ** 6
+    os.utime(orphan, (old, old))
+    removed = vacuum(out, keep_versions=1, spark=spark)
+    assert any("orphan-x" in r for r in removed)
+    assert set(pub.pinned_versions(out)) == {2, 5, latest - 1, latest}

@@ -80,6 +80,10 @@ HEADLINE = [
     "ann_ivfpq_rerank_topk",  # the production ANN tier: ADC + raw rerank
     "semdedup_prune_docs",  # SemDeDup: cluster-then-prune semantic dedup
     "quality_classifier_docs",  # trained linear gate: sampled fit + codegen score
+    # r12 gate promotions get headline visibility too:
+    "embed_dedup_clusters_ann",  # ANN-path semantic dedup: candidates →
+                            # verify → label propagation, end-to-end
+    "cw_continuation_history_rcte",  # native WITH RECURSIVE walk (Spark 4)
 ]
 
 # queries whose work happens at plan-CONSTRUCTION time (iterative connected
@@ -89,6 +93,8 @@ FULL_WALL = {
     "dedup_canonical_docs",
     "curation_pipeline",
     "semdedup_prune_docs",
+    # iterative label propagation runs at construction time here too
+    "embed_dedup_clusters_ann",
     # construction includes the model lookup (fit is cached per sf_dir after
     # the warm run — a server fits at startup, scores per request; r9 moved
     # the refit out of the per-call path after the r8 regression flag)

@@ -114,6 +114,23 @@ live-file count (free metadata: ``n_files`` in every checkpoint commit
 ``spark=None`` keeps the dependency-free driver path, fine to ~10^6
 files.  The 1M/4M-file sweeps comparing all paths are
 ``scripts/txlog_rehearsal.py`` rows.
+
+The STORAGE SEAM (r12 — Delta's LogStore move): every
+durability/atomicity-bearing call on the LOG surface — the
+put-if-absent commit link, the CURRENT hint, sidecar writes/reads,
+orphan sweeps, staging reclamation, and the executor probe/walk
+closures — goes through the injectable :data:`LOG_STORE`
+(:class:`~.logstore.PosixLogStore` by default), so an object-store
+backend (conditional PUT) slots in without touching protocol code;
+URL-scheme ``out_dir``s are refused by the POSIX backend instead of
+silently becoming local relative paths.  DATA files stay on the data
+plane: Spark writes staged parquet and ``read_published`` scans by
+path, exactly as Delta moves data through Hadoop filesystems — the
+three staging moves (``_stage_table``, ``compact_published``,
+``rewrite_published_many``) are same-filesystem renames of
+Spark-written files and remain native.  ``tests/test_logstore.py``
+runs a whole driver-path lifecycle against the in-memory backend with
+a real-filesystem bypass trap.
 """
 
 from __future__ import annotations
@@ -127,6 +144,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 from .listen import TABLE_PKS, _existing_layout_is_flat, prune_existing_to_batch
+from .logstore import InMemoryLogStore, PosixLogStore  # noqa: F401
+
+#: the txlog's storage seam (r12 — Delta's LogStore move): every
+#: durability/atomicity-bearing call on the LOG surface (commit JSONs,
+#: CURRENT, sidecars, orphan sweeps, probe/walk closures) goes through
+#: this object, so an object-store backend slots in without touching
+#: protocol code.  Swap per-deployment (``publish.LOG_STORE = MyStore()``)
+#: — DATA files are still written/read by Spark by path, exactly as
+#: Delta reads data through Hadoop filesystems (see logstore.py).
+LOG_STORE = PosixLogStore()
 
 _MANIFEST_DIR = "_manifest"
 
@@ -224,23 +251,13 @@ def _manifest_path(out_dir: str) -> str:
 
 
 def _check_posix_path(out_dir: str) -> None:
-    """Refuse URL-scheme ``out_dir``s loudly.  The txlog's commit point
-    is POSIX ``os.link`` put-if-absent and executors probe with ``os.*``
-    calls — the contract is SHARED POSIX storage (local, NFS, EFS,
-    Lustre).  Without this guard ``s3://bucket/x`` is treated as a weird
-    RELATIVE local path: the sink would silently create a working-looking
-    local store named ``s3:/bucket/x`` and never touch the object store.
-    Every txlog entry point funnels through :func:`_manifest_path`, so
-    one check here covers them all."""
-    if "://" in out_dir:
-        raise ValueError(
-            f"out_dir {out_dir!r} has a URL scheme — the transaction log "
-            "commits via POSIX os.link put-if-absent and requires a "
-            "shared POSIX filesystem path (local/NFS/EFS/Lustre). Object "
-            "stores need a conditional-PUT log store (see the module "
-            "docstring: with Delta/Iceberg available this module "
-            "disappears into their log)."
-        )
+    """The store's path guard, checked at :func:`_manifest_path` so one
+    check covers every txlog entry point — :class:`PosixLogStore`
+    refuses URL schemes (``s3://bucket/x`` would otherwise be treated as
+    a weird RELATIVE local path and the sink would silently create a
+    working-looking local store); a non-POSIX backend accepts its own
+    scheme here."""
+    LOG_STORE.validate(out_dir)
 
 
 def _commit_name(version: int) -> str:
@@ -248,8 +265,11 @@ def _commit_name(version: int) -> str:
 
 
 def _load_commit(out_dir: str, version: int) -> dict:
-    with open(os.path.join(_manifest_path(out_dir), _commit_name(version))) as f:
-        return json.load(f)
+    return json.loads(
+        LOG_STORE.read_bytes(
+            os.path.join(_manifest_path(out_dir), _commit_name(version))
+        )
+    )
 
 
 #: delta commits whose changed-file count reaches this spill their
@@ -296,28 +316,26 @@ def _write_delta_sidecar(
                     json.dumps(s, separators=(",", ":")) if s else None
                 )
     name = f"delta-v{version}-{uuid.uuid4().hex[:12]}.parquet"
-    tmp = os.path.join(mdir, f".{name}.tmp")
-    try:
-        pq.write_table(
-            pa.table(
-                {
-                    "action": pa.array(a_col, pa.string()),
-                    "table": pa.array(t_col, pa.string()),
-                    "file": pa.array(f_col, pa.string()),
-                    "stats": pa.array(s_col, pa.string()),
-                }
-            ),
-            tmp,
-            compression="zstd",
-            row_group_size=262_144,  # same bound as checkpoint sidecars
-        )
-        with open(tmp, "rb") as f:
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(mdir, name))
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
+    buf = pa.BufferOutputStream()
+    pq.write_table(
+        pa.table(
+            {
+                "action": pa.array(a_col, pa.string()),
+                "table": pa.array(t_col, pa.string()),
+                "file": pa.array(f_col, pa.string()),
+                "stats": pa.array(s_col, pa.string()),
+            }
+        ),
+        buf,
+        compression="zstd",
+        row_group_size=262_144,  # same bound as checkpoint sidecars
+    )
+    # durable before the commit link, via the storage seam (POSIX:
+    # fsync+rename; object store: PUT) — a lost commit race leaves a
+    # vacuumable orphan, never a torn sidecar
+    LOG_STORE.write_atomic(
+        os.path.join(mdir, name), buf.getvalue().to_pybytes()
+    )
     return name
 
 
@@ -335,11 +353,9 @@ def _hydrate_delta(
     hydrates it here."""
     if "delta" not in commit:
         return commit
-    import pyarrow.parquet as pq
-
     path = os.path.join(_manifest_path(out_dir), commit["delta"])
     filters = [("table", "=", table)] if table is not None else None
-    t = pq.read_table(path, filters=filters)
+    t = LOG_STORE.read_parquet(path, filters=filters)
     add: dict[str, list] = {}
     remove: dict[str, list] = {}
     stats_add: dict[str, dict] = {}
@@ -396,32 +412,30 @@ def _write_checkpoint_sidecar(
                 json.dumps(s, separators=(",", ":")) if s else None
             )
     name = f"ckpt-v{version}-{uuid.uuid4().hex[:12]}.parquet"
-    tmp = os.path.join(mdir, f".{name}.tmp")
-    try:
-        pq.write_table(
-            pa.table(
-                {
-                    "table": pa.array(t_col, pa.string()),
-                    "file": pa.array(f_col, pa.string()),
-                    "stats": pa.array(s_col, pa.string()),
-                }
-            ),
-            tmp,
-            compression="zstd",
-            # bounded row groups: pyarrow's 1M-row default makes a
-            # 1M-file sidecar a SINGLE group — unsplittable, so every
-            # cluster-side consumer (vacuum's anti-join scan) reads it
-            # in one task; 256k keeps scans parallel and the sorted
-            # table column's per-group min/max pruning fine-grained
-            row_group_size=262_144,
-        )
-        with open(tmp, "rb") as f:
-            os.fsync(f.fileno())
-        os.rename(tmp, os.path.join(mdir, name))
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)  # never leave a hidden tmp behind on failure
-        raise
+    buf = pa.BufferOutputStream()
+    pq.write_table(
+        pa.table(
+            {
+                "table": pa.array(t_col, pa.string()),
+                "file": pa.array(f_col, pa.string()),
+                "stats": pa.array(s_col, pa.string()),
+            }
+        ),
+        buf,
+        compression="zstd",
+        # bounded row groups: pyarrow's 1M-row default makes a
+        # 1M-file sidecar a SINGLE group — unsplittable, so every
+        # cluster-side consumer (vacuum's anti-join scan) reads it
+        # in one task; 256k keeps scans parallel and the sorted
+        # table column's per-group min/max pruning fine-grained
+        row_group_size=262_144,
+    )
+    # durable before the commit link, via the storage seam (this is the
+    # DRIVER builder — the small-store path; the cluster builder stages
+    # via Spark and finalizes below)
+    LOG_STORE.write_atomic(
+        os.path.join(mdir, name), buf.getvalue().to_pybytes()
+    )
     return name, len(f_col)
 
 
@@ -431,11 +445,9 @@ def _read_checkpoint_sidecar(
     """Hydrate a parquet-checkpoint commit back to ``(tables, stats)``.
     ``with_stats=False`` column-prunes the stats bytes — the sidecar's
     dominant payload — for consumers that only need file sets."""
-    import pyarrow.parquet as pq
-
     path = os.path.join(_manifest_path(out_dir), commit["ckpt"])
     cols = ["table", "file"] + (["stats"] if with_stats else [])
-    arr = pq.read_table(path, columns=cols)
+    arr = LOG_STORE.read_parquet(path, columns=cols)
     tables: dict[str, list] = {}
     stats: dict[str, dict] = {}
     t_col = arr.column("table").to_pylist()
@@ -456,11 +468,11 @@ def _read_sidecar_table(
     writer emits in sorted runs) and column-pruned, so resolving a single
     table never deserializes the other tables' file names or any stats
     bytes it doesn't need."""
-    import pyarrow.parquet as pq
-
     path = os.path.join(_manifest_path(out_dir), commit["ckpt"])
     cols = ["file"] + (["stats"] if with_stats else [])
-    arr = pq.read_table(path, columns=cols, filters=[("table", "==", table)])
+    arr = LOG_STORE.read_parquet(
+        path, columns=cols, filters=[("table", "==", table)]
+    )
     files = arr.column("file").to_pylist()
     stats: dict = {}
     if with_stats:
@@ -534,20 +546,20 @@ def _latest_version(out_dir: str) -> int:
     forward (a crash between the commit link and the hint update, or a
     racing writer, can leave commits newer than the hint).  Falls back to
     a directory scan when the hint is missing."""
+    store = LOG_STORE
     mdir = _manifest_path(out_dir)
     cur = os.path.join(mdir, "CURRENT")
     v = 0
-    if os.path.exists(cur):
-        with open(cur) as f:
-            name = f.read().strip()
+    if store.exists(cur):
+        name = store.read_bytes(cur).decode().strip()
         try:
             v = int(name[1:].split(".")[0])
         except ValueError:
             v = 0
     if v == 0:
-        if not os.path.isdir(mdir):
+        if not store.isdir(mdir):
             return 0
-        for name in os.listdir(mdir):
+        for name in store.listdir(mdir):
             if name.startswith("v") and name.endswith(".json"):
                 try:
                     v = max(v, int(name[1:-5]))
@@ -555,7 +567,7 @@ def _latest_version(out_dir: str) -> int:
                     continue
         if v == 0:
             return 0
-    while os.path.exists(os.path.join(mdir, _commit_name(v + 1))):
+    while store.exists(os.path.join(mdir, _commit_name(v + 1))):
         v += 1
     return v
 
@@ -1018,33 +1030,40 @@ def _write_checkpoint_spark(
     )
     import pyarrow.parquet as pq
 
+    store = LOG_STORE
     parts = [
         f
-        for f in os.listdir(staging)
+        for f in store.listdir(staging)
         if f.endswith(".parquet") and not f.startswith(("_", "."))
     ]
     if not parts:  # pragma: no cover - the write above always emits one
-        shutil.rmtree(staging, ignore_errors=True)
+        store.rmtree(staging)
         raise RuntimeError("checkpoint build wrote no part files")
     # n_files from the part footers (free — no data read or extra job)
     n_files = 0
     for p in parts:
         src = os.path.join(staging, p)
         n_files += pq.ParquetFile(src).metadata.num_rows
-        with open(src, "rb") as f:
-            os.fsync(f.fileno())
     mdir = _manifest_path(out_dir)
-    os.makedirs(mdir, exist_ok=True)
+    store.makedirs(mdir)
     name = f"ckpt-v{version}-{uuid.uuid4().hex[:12]}.parquet"
     if len(parts) == 1:
-        # single-file shape: byte-compatible with the driver builder
-        os.rename(os.path.join(staging, parts[0]), os.path.join(mdir, name))
-        shutil.rmtree(staging, ignore_errors=True)
+        # single-file shape: byte-compatible with the driver builder;
+        # finalize_file carries the fsync+rename durability
+        store.finalize_file(
+            os.path.join(staging, parts[0]), os.path.join(mdir, name)
+        )
+        store.rmtree(staging)
     else:
         # directory shape: the staging dir itself becomes the sidecar
-        # (one atomic rename; _SUCCESS/hidden files stay — pyarrow's
-        # dataset discovery and Spark both ignore '_'/'.' prefixes)
-        os.rename(staging, os.path.join(mdir, name))
+        # (one atomic rename on POSIX; _SUCCESS/hidden files stay —
+        # pyarrow's dataset discovery and Spark both ignore '_'/'.'
+        # prefixes).  Durability: fsync each part before the move
+        for p in parts:
+            store.finalize_file(
+                os.path.join(staging, p), os.path.join(staging, p)
+            )
+        store.finalize_dir(staging, os.path.join(mdir, name))
 
     path = os.path.join(mdir, name)
     # table NAMES + per-table counts: folded from free commit metadata
@@ -1118,10 +1137,10 @@ def _executor_visible(spark: SparkSession, path: str) -> bool:
     raise a :class:`StorageVisibilityError` that names the contract
     instead of a Java stack trace."""
 
-    def _probe(p: str) -> bool:
-        import os as _os
+    store = LOG_STORE  # pickled into the executor closure
 
-        return _os.path.exists(p)
+    def _probe(p: str) -> bool:
+        return store.exists(p)
 
     return bool(
         spark.sparkContext.parallelize([path], 1).map(_probe).collect()[0]
@@ -1146,14 +1165,15 @@ def _disk_files_df(
     NAMES filter, exactly like the driver vacuum's walk — so a crashed
     non-staged writer's ``_temporary`` tree reclaims identically on both
     paths (r11, closing the one reclamation divergence)."""
+    store = LOG_STORE  # driver seeding AND the executor walk closures
     seeds: list[tuple] = []
     for t in tables:
         tdir = os.path.join(out_dir, f"{t}.parquet")
-        if not os.path.isdir(tdir):
+        if not store.isdir(tdir):
             continue
         seeds.append((t, ""))  # the directory's own immediate files
-        for e in os.listdir(tdir):
-            if os.path.isdir(os.path.join(tdir, e)):
+        for e in store.listdir(tdir):
+            if store.isdir(os.path.join(tdir, e)):
                 seeds.append((t, e))
     schema = "table string, file string, mtime double"
     if not seeds:
@@ -1161,6 +1181,8 @@ def _disk_files_df(
     root = os.path.abspath(out_dir)
 
     def _walk(batches):
+        import os as _os
+
         import pandas as pd
 
         for pdf in batches:
@@ -1170,33 +1192,33 @@ def _disk_files_df(
 
             def emit(t: str, tdir: str, full: str) -> None:
                 try:
-                    m = os.path.getmtime(full)
+                    m = store.getmtime(full)
                 except OSError:
                     return  # vanished concurrently
                 t_out.append(t)
-                f_out.append(os.path.relpath(full, tdir))
+                f_out.append(_os.path.relpath(full, tdir))
                 m_out.append(m)
 
             for t, sub in zip(pdf["table"], pdf["sub"]):
-                tdir = os.path.join(root, f"{t}.parquet")
+                tdir = _os.path.join(root, f"{t}.parquet")
                 if sub == "":
                     try:
-                        entries = os.listdir(tdir)
+                        entries = store.listdir(tdir)
                     except OSError:
                         continue
                     for e in entries:
-                        full = os.path.join(tdir, e)
-                        if e.startswith(("_", ".")) or os.path.isdir(full):
+                        full = _os.path.join(tdir, e)
+                        if e.startswith(("_", ".")) or store.isdir(full):
                             continue  # subdirs are their own seeds
                         emit(t, tdir, full)
                 else:
-                    for wroot, _dirs, files in os.walk(
-                        os.path.join(tdir, sub)
+                    for wroot, _dirs, files in store.walk(
+                        _os.path.join(tdir, sub)
                     ):
                         for fname in files:
                             if fname.startswith(("_", ".")):
                                 continue
-                            emit(t, tdir, os.path.join(wroot, fname))
+                            emit(t, tdir, _os.path.join(wroot, fname))
             yield pd.DataFrame(
                 {"table": t_out, "file": f_out, "mtime": m_out}
             )
@@ -1305,7 +1327,7 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
     ``os.link`` — a concurrent committer of the same version raises
     :class:`ConcurrentWriteError` instead of silently clobbering."""
     mdir = _manifest_path(out_dir)
-    os.makedirs(mdir, exist_ok=True)
+    LOG_STORE.makedirs(mdir)
     version = manifest["version"]
     op = manifest.get("op", "write")
     is_ckpt_version = version == 1 or version % CHECKPOINT_EVERY == 0
@@ -1480,30 +1502,23 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def _link_commit(mdir: str, version: int, commit: dict) -> None:
-    """Durably publish one commit record: fsync'd temp file + ``os.link``
-    to ``v<N>.json`` (put-if-absent — THE commit point; a concurrent
+    """Durably publish one commit record through the storage seam:
+    ``put_if_absent`` of ``v<N>.json`` (THE commit point — POSIX: fsync'd
+    temp + ``os.link``; object stores: conditional PUT; a concurrent
     committer of the same version raises :class:`ConcurrentWriteError`
-    instead of silently clobbering), then the CURRENT discovery hint."""
+    instead of silently clobbering), then the CURRENT discovery hint via
+    ``write_atomic``."""
     name = _commit_name(version)
-    tmp = os.path.join(mdir, f".{name}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(commit, f, separators=(",", ":"))
-        f.flush()
-        os.fsync(f.fileno())
+    data = json.dumps(commit, separators=(",", ":")).encode()
     try:
-        os.link(tmp, os.path.join(mdir, name))  # the commit point
+        LOG_STORE.put_if_absent(os.path.join(mdir, name), data)
     except FileExistsError:
         raise ConcurrentWriteError(
             f"version {version} already committed in {os.path.dirname(mdir)}"
         ) from None
-    finally:
-        os.unlink(tmp)
-    cur_tmp = os.path.join(mdir, f".CURRENT.{uuid.uuid4().hex}.tmp")
-    with open(cur_tmp, "w") as f:
-        f.write(name)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(cur_tmp, os.path.join(mdir, "CURRENT"))  # hint, not the commit
+    LOG_STORE.write_atomic(
+        os.path.join(mdir, "CURRENT"), name.encode()
+    )  # hint, not the commit
 
 
 def _commit_append(
@@ -1750,7 +1765,7 @@ def pin_version(
         for t, fs in _snapshot_files(out_dir, version).items():  # no stats
             tdir = os.path.join(out_dir, f"{t}.parquet")
             for rel in fs:
-                if not os.path.exists(os.path.join(tdir, rel)):
+                if not LOG_STORE.exists(os.path.join(tdir, rel)):
                     return f"{t}/{rel}"
         return None
 
@@ -1764,12 +1779,15 @@ def pin_version(
         # re-verify below is a genuinely fresh look at the filesystem.
         files_df = snapshot_files_df(spark, out_dir, version)
         root = os.path.abspath(out_dir)
+        store = LOG_STORE  # pickled into the executor closure
 
         def _probe(batches):
+            import os as _os
+
             for pdf in batches:
                 mask = [
-                    not os.path.exists(
-                        os.path.join(root, f"{t}.parquet", rel)
+                    not store.exists(
+                        _os.path.join(root, f"{t}.parquet", rel)
                     )
                     for t, rel in zip(pdf["table"], pdf["file"])
                 ]
@@ -1835,7 +1853,7 @@ def _classify_pin_miss(
     :class:`StorageVisibilityError` loudly; :data:`AUTO` degrades to the
     driver probe with a warning (the pre-r11 default behavior).  When
     the driver can't see it either, it is genuinely gone."""
-    if os.path.exists(
+    if LOG_STORE.exists(
         os.path.join(os.path.abspath(out_dir), f"{table}.parquet", rel)
     ):
         if not auto_selected:
@@ -1927,17 +1945,18 @@ def ensure_manifest(out_dir: str) -> dict:
     mid-crash.  Idempotent; returns the live snapshot."""
     if _latest_version(out_dir) > 0:
         return read_manifest(out_dir)
+    store = LOG_STORE
     tables: dict[str, list[str]] = {}
-    if os.path.isdir(out_dir):
-        for entry in sorted(os.listdir(out_dir)):
+    if store.isdir(out_dir):
+        for entry in sorted(store.listdir(out_dir)):
             if not entry.endswith(".parquet"):
                 continue
             tdir = os.path.join(out_dir, entry)
-            if not os.path.isdir(tdir):
+            if not store.isdir(tdir):
                 continue
             rels = [
                 os.path.relpath(os.path.join(root, fname), tdir)
-                for root, _dirs, files in os.walk(tdir)
+                for root, _dirs, files in store.walk(tdir)
                 for fname in files
                 if not fname.startswith(("_", "."))
             ]
@@ -2484,11 +2503,11 @@ def live_partition_values(
     false-positive right after a format migration), else one listdir.
     No Spark job; cheap enough for per-batch format guards."""
     tdir = os.path.join(out_dir, f"{table}.parquet")
-    if not os.path.isdir(tdir):
+    if not LOG_STORE.isdir(tdir):
         return []
     prefix = f"{column}="
     vals: set[str] = set()
-    if os.path.isdir(_manifest_path(out_dir)):
+    if LOG_STORE.isdir(_manifest_path(out_dir)):
         latest = _latest_version(out_dir)
         # per-table filtered resolve (r11): a per-batch format guard must
         # not pay O(all live files) for one table's partition values
@@ -2504,7 +2523,7 @@ def live_partition_values(
     else:
         vals = {
             d.split("=", 1)[1]
-            for d in os.listdir(tdir)
+            for d in LOG_STORE.listdir(tdir)
             if d.startswith(prefix)
         }
     return sorted(vals)
@@ -2668,13 +2687,14 @@ def vacuum(
         return removed
     auto_selected = isinstance(spark, _AutoSpark)
     spark = _resolve_spark_arg(spark, out_dir)
+    store = LOG_STORE
     now = time.time()
 
     def _old_enough(p: str) -> bool:
         if min_age_s <= 0:
             return True
         try:
-            return now - os.path.getmtime(p) >= min_age_s
+            return now - store.getmtime(p) >= min_age_s
         except OSError:
             return False  # vanished concurrently — another vacuum got it
     retained = set(range(max(1, latest - keep_versions), latest + 1))
@@ -2684,8 +2704,8 @@ def vacuum(
     pins = set(pinned_versions(out_dir))
     retained.update(pins)
     staging_root = os.path.join(out_dir, "_staging")
-    if os.path.isdir(staging_root):
-        for d in os.listdir(staging_root):
+    if store.isdir(staging_root):
+        for d in store.listdir(staging_root):
             p = os.path.join(staging_root, d)
             if d.startswith("ckpt-build-v"):
                 # an IN-FLIGHT cluster-side checkpoint build (target
@@ -2704,10 +2724,10 @@ def vacuum(
                     cv = None
                 if cv is not None and cv > latest:
                     newest = 0.0
-                    for root_, _dirs, files_ in os.walk(p):
+                    for root_, _dirs, files_ in store.walk(p):
                         for fn in files_:
                             try:
-                                m = os.path.getmtime(
+                                m = store.getmtime(
                                     os.path.join(root_, fn)
                                 )
                             except OSError:
@@ -2715,13 +2735,13 @@ def vacuum(
                             newest = max(newest, m)
                     if not newest:
                         try:
-                            newest = os.path.getmtime(p)
+                            newest = store.getmtime(p)
                         except OSError:
                             continue
                     if now - newest < VACUUM_GRACE_S:
                         continue
             if _old_enough(p):
-                shutil.rmtree(p, ignore_errors=True)
+                store.rmtree(p)
     # orphan checkpoint / delta-spill sidecars: a crash between the
     # sidecar rename and the commit link, or the loser of a version
     # race, leaves a ckpt-v<N>-*.parquet (or delta-v<N>-*.parquet, the
@@ -2731,8 +2751,8 @@ def vacuum(
     # checkpoints AND the spilled deltas after them must stay resolvable
     # for history/time-travel reads)
     mdir = _manifest_path(out_dir)
-    if os.path.isdir(mdir):
-        for name in os.listdir(mdir):
+    if store.isdir(mdir):
+        for name in store.listdir(mdir):
             if not name.endswith(".parquet"):
                 continue
             if name.startswith("ckpt-v"):
@@ -2746,7 +2766,7 @@ def vacuum(
             except ValueError:
                 continue
             ref = None
-            if os.path.exists(os.path.join(mdir, _commit_name(cv))):
+            if store.exists(os.path.join(mdir, _commit_name(cv))):
                 ref = _load_commit(out_dir, cv).get(ref_key)
             p = os.path.join(mdir, name)
             if cv > latest:
@@ -2757,17 +2777,17 @@ def vacuum(
                 # next one lands, so these always get the full grace window
                 # even under an explicit min_age_s=0 vacuum
                 try:
-                    if time.time() - os.path.getmtime(p) < VACUUM_GRACE_S:
+                    if time.time() - store.getmtime(p) < VACUUM_GRACE_S:
                         continue
                 except OSError:
                     continue
             if name != ref and _old_enough(p):
-                if os.path.isdir(p):  # multi-part sidecar (r11)
-                    shutil.rmtree(p, ignore_errors=True)
+                if store.isdir(p):  # multi-part sidecar (r11)
+                    store.rmtree(p)
                 else:
-                    os.remove(p)
+                    store.remove(p)
                 removed.append(os.path.join(_MANIFEST_DIR, name))
-    if not os.path.isdir(out_dir):
+    if not store.isdir(out_dir):
         return removed
     # re-read the pin set as LATE as possible (cheap post-r9: checkpoint
     # fold) and union in any lease that committed while the sweeps above
@@ -2844,7 +2864,7 @@ def vacuum(
     # files unreclaimable forever
     candidates = {
         entry[: -len(".parquet")]
-        for entry in os.listdir(out_dir)
+        for entry in store.listdir(out_dir)
         if entry.endswith(".parquet")
     }
     candidates |= set(live)
@@ -2853,10 +2873,10 @@ def vacuum(
         entry = f"{table}.parquet"
         keep = live.get(table, set())
         tdir = os.path.join(out_dir, entry)
-        if not os.path.isdir(tdir):
+        if not store.isdir(tdir):
             continue
         t_seen = seen.setdefault(table, set())
-        for root, _dirs, files in os.walk(tdir):
+        for root, _dirs, files in store.walk(tdir):
             for fname in files:
                 if fname.startswith(("_", ".")):
                     continue
@@ -2864,7 +2884,10 @@ def vacuum(
                 rel = os.path.relpath(full, tdir)
                 t_seen.add(rel)
                 if rel not in keep and _old_enough(full):
-                    os.remove(full)
+                    try:
+                        store.remove(full)
+                    except OSError:
+                        continue  # vanished concurrently
                     removed.append(os.path.join(entry, rel))
     # HOLLOW-LEASE detection (r9 advice): pin_version's loud-failure
     # guarantee needs the pinning process to survive to its post-commit
@@ -2900,9 +2923,7 @@ def _live_table_names(out_dir: str, version: int) -> set[str]:
             names.update(commit["table_names"])
             return names
         if "ckpt" in commit:
-            import pyarrow.parquet as pq
-
-            arr = pq.read_table(
+            arr = LOG_STORE.read_parquet(
                 os.path.join(_manifest_path(out_dir), commit["ckpt"]),
                 columns=["table"],
             )
@@ -2947,16 +2968,17 @@ def _first_data_file(tdir: str, before: float | None = None) -> str | None:
     ``before`` skips files created after the distributed walk began: a
     concurrent writer staging a dead table's first new file mid-sweep is
     not evidence the walk was blind (it ran before the file existed)."""
-    if not os.path.isdir(tdir):
+    store = LOG_STORE
+    if not store.isdir(tdir):
         return None
-    for root, _dirs, files in os.walk(tdir):
+    for root, _dirs, files in store.walk(tdir):
         for fname in files:
             if fname.startswith(("_", ".")):
                 continue
             full = os.path.join(root, fname)
             if before is not None:
                 try:
-                    if os.path.getmtime(full) >= before:
+                    if store.getmtime(full) >= before:
                         continue
                 except OSError:
                     continue  # vanished concurrently
@@ -3018,7 +3040,7 @@ def _vacuum_data_spark(
     # holding only dead files
     candidates = {
         entry[: -len(".parquet")]
-        for entry in os.listdir(out_dir)
+        for entry in LOG_STORE.listdir(out_dir)
         if entry.endswith(".parquet")
     }
     for v in retained:
@@ -3081,7 +3103,7 @@ def _vacuum_data_spark(
             entry = f"{r['table']}.parquet"
             full = os.path.join(out_dir, entry, r["file"])
             try:
-                os.remove(full)
+                LOG_STORE.remove(full)
             except OSError:
                 continue  # vanished concurrently — another vacuum got it
             removed.append(os.path.join(entry, r["file"]))

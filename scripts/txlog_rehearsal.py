@@ -661,13 +661,13 @@ def run_race_spark(rounds: int) -> dict:
                 except ValueError:
                     # lost the pin/vacuum race — the LOUD contract
                     stats["pin_lost_races"] += 1
-                # vacuum every OTHER cycle (r12 pacing): the full
+                # vacuum every THIRD cycle (r12 pacing): the full
                 # cluster sweep dominated each cycle's wall, capping the
                 # rehearsal at ~7 pin→read→unpin cycles per run — the
                 # race-window coverage under test is the pin/read/unpin
                 # vs writer interleaving, so let those cycles outnumber
                 # the sweeps
-                if cycle % 2 == 1:
+                if cycle % 3 == 1:
                     with warnings.catch_warnings(record=True) as w:
                         warnings.simplefilter("always")
                         removed = pub10.vacuum(

@@ -73,36 +73,50 @@ class PosixLogStore:
         Raises :class:`FileExistsError` when ``path`` already exists (a
         racing committer), never clobbers.  POSIX: durable temp in the
         same directory + ``os.link`` (atomic on every shared POSIX
-        filesystem); object stores: conditional PUT (If-None-Match)."""
-        tmp = os.path.join(
-            os.path.dirname(path),
-            f".{os.path.basename(path)}.{uuid.uuid4().hex}.tmp",
-        )
-        with open(tmp, "wb") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
+        filesystem); object stores: conditional PUT (If-None-Match).
+        The hidden temp never outlives the call, success or failure."""
+        tmp = self.stage_path(path)
         try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
             os.link(tmp, path)
         finally:
-            os.unlink(tmp)
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def write_atomic(self, path: str, data: bytes) -> None:
         """Durably (over)write ``path`` — readers see the old or the new
         content, never a torn write.  POSIX: fsync + same-directory
-        rename; object stores: plain PUT (single-key atomicity)."""
-        tmp = os.path.join(
-            os.path.dirname(path),
-            f".{os.path.basename(path)}.{uuid.uuid4().hex}.tmp",
+        rename; object stores: plain PUT (single-key atomicity).  The
+        hidden temp never outlives a failed call (ENOSPC mid-write must
+        not leave unreclaimable litter beside the log)."""
+        tmp = self.stage_path(path)
+        try:
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    def stage_path(self, final_path: str) -> str:
+        """A path a LOCAL writer (pyarrow) may stream a file to before
+        :meth:`finalize_file` publishes it at ``final_path``.  POSIX: a
+        hidden same-directory temp (rename must not cross filesystems);
+        backends without POSIX rename may return any local scratch
+        path — finalize uploads from it."""
+        return os.path.join(
+            os.path.dirname(final_path),
+            f".{os.path.basename(final_path)}.{uuid.uuid4().hex}.tmp",
         )
-        with open(tmp, "wb") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, path)
 
     def finalize_file(self, tmp_path: str, final_path: str) -> None:
-        """Durably publish an already-staged LOCAL file (a Spark- or
+        """Durably publish an already-staged file (a Spark- or
         pyarrow-written sidecar part) at ``final_path``.  POSIX: fsync +
         rename; object stores: upload + delete the stage."""
         with open(tmp_path, "rb") as f:
@@ -198,6 +212,15 @@ class InMemoryLogStore:
     def write_atomic(self, path: str, data: bytes) -> None:
         self.files[path] = data
         self._touch(path)
+
+    def stage_path(self, final_path: str) -> str:
+        # local writers need a REAL filesystem path to stream to; the
+        # finalize ingests it into the dict and removes the scratch file
+        import tempfile
+
+        fd, p = tempfile.mkstemp(prefix="memstore-stage-")
+        os.close(fd)
+        return p
 
     def finalize_file(self, tmp_path: str, final_path: str) -> None:
         # the stage is a real local file (pyarrow wrote it); ingest it

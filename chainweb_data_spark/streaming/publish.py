@@ -230,6 +230,22 @@ class ConcurrentWriteError(RuntimeError):
     rebases once or abandons — compaction is an optimization)."""
 
 
+def _warn_executor_blind(op: str, out_dir: str) -> None:
+    """The one degradation message for every AUTO-selected cluster path
+    abandoned because executors cannot see the store (vacuum, pin) —
+    kept in a helper so the polarity/wording cannot drift per site."""
+    import warnings
+
+    warnings.warn(
+        f"{op}: {out_dir!r} is not visible to executors; the "
+        "auto-selected cluster path was abandoned and the driver path "
+        "ran instead — expect O(live files) driver work at this store's "
+        "size",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 class StorageVisibilityError(RuntimeError):
     """The cluster-side path found files the DRIVER can see but the
     executors' distributed walk cannot — ``out_dir`` is not on shared
@@ -282,6 +298,31 @@ def _load_commit(out_dir: str, version: int) -> dict:
 DELTA_SIDECAR_MIN_FILES = 100_000
 
 
+def _write_sidecar_parquet(mdir: str, name: str, table) -> None:
+    """Stream a log sidecar to the store: stage where the store says
+    (pyarrow streams the parquet — no in-memory double buffer), then
+    durably publish through the seam's ``finalize_file`` (POSIX:
+    fsync + same-dir rename).  Shared by the checkpoint and delta-spill
+    writers so the format knobs — zstd, the 262 144-row group bound that
+    keeps later cluster-side scans parallel and the sorted key columns'
+    per-group min/max pruning fine-grained — cannot drift apart.  A
+    failed stage never outlives the call."""
+    import pyarrow.parquet as pq
+
+    store = LOG_STORE
+    final = os.path.join(mdir, name)
+    stage = store.stage_path(final)
+    try:
+        pq.write_table(
+            table, stage, compression="zstd", row_group_size=262_144
+        )
+        store.finalize_file(stage, final)
+    except BaseException:
+        if os.path.exists(stage):
+            os.unlink(stage)
+        raise
+
+
 def _write_delta_sidecar(
     mdir: str,
     version: int,
@@ -316,8 +357,11 @@ def _write_delta_sidecar(
                     json.dumps(s, separators=(",", ":")) if s else None
                 )
     name = f"delta-v{version}-{uuid.uuid4().hex[:12]}.parquet"
-    buf = pa.BufferOutputStream()
-    pq.write_table(
+    # durable before the commit link — a lost commit race leaves a
+    # vacuumable orphan, never a torn sidecar
+    _write_sidecar_parquet(
+        mdir,
+        name,
         pa.table(
             {
                 "action": pa.array(a_col, pa.string()),
@@ -326,44 +370,47 @@ def _write_delta_sidecar(
                 "stats": pa.array(s_col, pa.string()),
             }
         ),
-        buf,
-        compression="zstd",
-        row_group_size=262_144,  # same bound as checkpoint sidecars
-    )
-    # durable before the commit link, via the storage seam (POSIX:
-    # fsync+rename; object store: PUT) — a lost commit race leaves a
-    # vacuumable orphan, never a torn sidecar
-    LOG_STORE.write_atomic(
-        os.path.join(mdir, name), buf.getvalue().to_pybytes()
     )
     return name
 
 
 def _hydrate_delta(
-    out_dir: str, commit: dict, table: str | None = None
+    out_dir: str,
+    commit: dict,
+    table: str | None = None,
+    with_stats: bool = True,
 ) -> dict:
     """Materialize a SPILLED delta commit's add/remove/stats_add back
     into the dict shape every driver-side fold consumes (a commit
     without ``delta`` passes through untouched).  ``table`` narrows the
     read to one table via a parquet predicate — the sidecar is sorted by
     (action, table, file), so row groups outside the table prune on
-    footer min/max and :func:`_table_files` stays O(that table).  Driver
-    folds are the small-store/per-table paths; the cluster resolve
+    footer min/max and :func:`_table_files` stays O(that table).
+    ``with_stats=False`` column-prunes the stats bytes — the sidecar's
+    dominant payload — for consumers that only fold file SETS (the same
+    pruning every checkpoint-sidecar reader gets).  Driver folds are
+    the small-store/per-table paths; the cluster resolve
     (:func:`_snapshot_df`) reads the same sidecar with Spark and never
     hydrates it here."""
     if "delta" not in commit:
         return commit
     path = os.path.join(_manifest_path(out_dir), commit["delta"])
     filters = [("table", "=", table)] if table is not None else None
-    t = LOG_STORE.read_parquet(path, filters=filters)
+    cols = ["action", "table", "file"] + (["stats"] if with_stats else [])
+    t = LOG_STORE.read_parquet(path, columns=cols, filters=filters)
     add: dict[str, list] = {}
     remove: dict[str, list] = {}
     stats_add: dict[str, dict] = {}
+    s_col = (
+        t.column("stats").to_pylist()
+        if with_stats
+        else [None] * t.num_rows
+    )
     for action, tname, rel, s in zip(
         t.column("action").to_pylist(),
         t.column("table").to_pylist(),
         t.column("file").to_pylist(),
-        t.column("stats").to_pylist(),
+        s_col,
     ):
         if action == "add":
             add.setdefault(tname, []).append(rel)
@@ -412,8 +459,12 @@ def _write_checkpoint_sidecar(
                 json.dumps(s, separators=(",", ":")) if s else None
             )
     name = f"ckpt-v{version}-{uuid.uuid4().hex[:12]}.parquet"
-    buf = pa.BufferOutputStream()
-    pq.write_table(
+    # durable before the commit link, via the storage seam (this is the
+    # DRIVER builder — the small-store path; the cluster builder stages
+    # via Spark and finalizes separately)
+    _write_sidecar_parquet(
+        mdir,
+        name,
         pa.table(
             {
                 "table": pa.array(t_col, pa.string()),
@@ -421,20 +472,6 @@ def _write_checkpoint_sidecar(
                 "stats": pa.array(s_col, pa.string()),
             }
         ),
-        buf,
-        compression="zstd",
-        # bounded row groups: pyarrow's 1M-row default makes a
-        # 1M-file sidecar a SINGLE group — unsplittable, so every
-        # cluster-side consumer (vacuum's anti-join scan) reads it
-        # in one task; 256k keeps scans parallel and the sorted
-        # table column's per-group min/max pruning fine-grained
-        row_group_size=262_144,
-    )
-    # durable before the commit link, via the storage seam (this is the
-    # DRIVER builder — the small-store path; the cluster builder stages
-    # via Spark and finalizes below)
-    LOG_STORE.write_atomic(
-        os.path.join(mdir, name), buf.getvalue().to_pybytes()
     )
     return name, len(f_col)
 
@@ -526,7 +563,9 @@ def _table_files(
         # a spilled mega-delta hydrates ONLY this table's rows (parquet
         # predicate on the sorted table column) — the per-table read
         # stays O(that table's churn)
-        delta = _hydrate_delta(out_dir, delta, table=table)
+        delta = _hydrate_delta(
+            out_dir, delta, table=table, with_stats=with_stats
+        )
         rm = delta.get("remove", {}).get(table)
         if rm:
             gone = set(rm)
@@ -717,7 +756,7 @@ def _walk_snapshot(
                 "checkpoint ancestor — log is corrupt"
             )
     for delta in reversed(deltas):
-        delta = _hydrate_delta(out_dir, delta)  # spilled mega-deltas
+        delta = _hydrate_delta(out_dir, delta, with_stats=with_stats)
         for t, rels in delta.get("remove", {}).items():
             gone = set(rels)
             base_tables[t] = [f for f in base_tables.get(t, []) if f not in gone]
@@ -1267,23 +1306,30 @@ def _fold_checkpoint_pins(
     return {str(k): n for k, n in sorted(pins.items())}
 
 
-def _attach_ckpt_delta(
-    commit: dict, mdir: str, version: int, manifest: dict
+def _attach_delta(
+    commit: dict,
+    mdir: str,
+    version: int,
+    manifest: dict,
+    keep_empty_add: bool,
 ) -> None:
-    """Attach a checkpoint commit's OWN delta to its JSON: inline below
-    :data:`DELTA_SIDECAR_MIN_FILES` changed files (the r11 shape), as a
-    spilled ``delta-v*`` sidecar + O(#tables) count fields past it (a
-    mega-rewrite landing exactly on a checkpoint boundary must not
-    inline a table-sized list into the JSON any more than an
-    off-boundary one)."""
+    """The ONE spill-or-inline decision (delta commits and checkpoint
+    commits both funnel here, so the threshold semantics cannot
+    diverge): inline ``add``/``remove``/``stats_add`` below
+    :data:`DELTA_SIDECAR_MIN_FILES` changed files, a spilled
+    ``delta-v*`` sidecar + O(#tables) count fields past it.
+    ``keep_empty_add=True`` (checkpoint commits) preserves an EMPTY
+    ``add`` key — its presence is the sentinel telling
+    :func:`_added_between` the commit states its own delta."""
     add = manifest.get("add", {})
     remove = manifest.get("remove", {})
+    stats_add = manifest.get("stats_add", {})
     n_changed = sum(len(fs) for fs in add.values()) + sum(
         len(fs) for fs in remove.values()
     )
     if n_changed >= DELTA_SIDECAR_MIN_FILES:
         commit["delta"] = _write_delta_sidecar(
-            mdir, version, add, remove, {}
+            mdir, version, add, remove, stats_add
         )
         if add:
             commit["n_add_by_table"] = {
@@ -1293,10 +1339,13 @@ def _attach_ckpt_delta(
             commit["n_remove_by_table"] = {
                 t: len(fs) for t, fs in sorted(remove.items())
             }
-    else:
-        for k in ("add", "remove"):
-            if k in manifest:
-                commit[k] = manifest[k]
+        return
+    if add or (keep_empty_add and "add" in manifest):
+        commit["add"] = add
+    if remove:
+        commit["remove"] = remove
+    if stats_add:
+        commit["stats_add"] = stats_add
 
 
 def _write_manifest(out_dir: str, manifest: dict) -> None:
@@ -1353,7 +1402,7 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         # the checkpoint's own delta, when the writer knows it: presence
         # (even empty) tells _added_between no snapshot diff is needed;
         # a mega-delta landing ON the boundary spills (r12)
-        _attach_ckpt_delta(commit, mdir, version, manifest)
+        _attach_delta(commit, mdir, version, manifest, keep_empty_add=True)
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
         commit["pins"] = _fold_checkpoint_pins(
@@ -1392,36 +1441,18 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             if per and t in added_sets
         }
         stats_add = {t: per for t, per in stats_add.items() if per}
-        n_changed = sum(len(fs) for fs in add.values()) + sum(
-            len(fs) for fs in remove.values()
+        # mega-deltas (format migration, whole-table rewrite) spill the
+        # file lists to a parquet sidecar and keep the commit JSON O(1)
+        # bytes + O(#tables) counts — every resolve between checkpoints
+        # re-parses this JSON, so an inlined million-file list would tax
+        # the whole store until the next checkpoint.  The sidecar is
+        # durable BEFORE the commit link; a race loser's spill is a
+        # vacuumable orphan.  Same decision point as checkpoint commits.
+        _attach_delta(
+            commit, mdir, version,
+            {"add": add, "remove": remove, "stats_add": stats_add},
+            keep_empty_add=False,
         )
-        if n_changed >= DELTA_SIDECAR_MIN_FILES:
-            # mega-delta (format migration, whole-table rewrite): spill
-            # the file lists to a parquet sidecar and keep the commit
-            # JSON O(1) bytes + O(#tables) counts — every resolve
-            # between checkpoints re-parses this JSON, so an inlined
-            # million-file list would tax the whole store until the
-            # next checkpoint.  The sidecar is durable BEFORE the
-            # commit link (same protocol as checkpoint sidecars); a
-            # race loser's spill is a vacuumable orphan.
-            commit["delta"] = _write_delta_sidecar(
-                mdir, version, add, remove, stats_add
-            )
-            if add:
-                commit["n_add_by_table"] = {
-                    t: len(fs) for t, fs in sorted(add.items())
-                }
-            if remove:
-                commit["n_remove_by_table"] = {
-                    t: len(fs) for t, fs in sorted(remove.items())
-                }
-        else:
-            if add:
-                commit["add"] = add
-            if remove:
-                commit["remove"] = remove
-            if stats_add:
-                commit["stats_add"] = stats_add
         if "pin" in manifest:  # pin/unpin ops change no files — O(1) commit
             commit["pin"] = manifest["pin"]
         _link_commit(mdir, version, commit)
@@ -1457,7 +1488,7 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
         # driver checkpoint path states what it changed so race-window
         # conflict detection never diffs full snapshots; mega-deltas
         # landing on the boundary spill (r12)
-        _attach_ckpt_delta(commit, mdir, version, manifest)
+        _attach_delta(commit, mdir, version, manifest, keep_empty_add=True)
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
         commit["pins"] = _fold_checkpoint_pins(
@@ -1489,12 +1520,14 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
             "ts": round(time.time(), 3),
             "op": op,
         }
-        if add:
-            commit["add"] = add
-        if remove:
-            commit["remove"] = remove
-        if stats_add:
-            commit["stats_add"] = stats_add
+        # the legacy full-form route spills past the threshold too — a
+        # whole-table rewrite handed in as a target snapshot must not
+        # re-create the multi-MB inline JSON the spill exists to prevent
+        _attach_delta(
+            commit, mdir, version,
+            {"add": add, "remove": remove, "stats_add": stats_add},
+            keep_empty_add=False,
+        )
         if "pin" in manifest:
             commit["pin"] = manifest["pin"]
 
@@ -1769,6 +1802,22 @@ def pin_version(
                     return f"{t}/{rel}"
         return None
 
+    if spark is not None and not _executor_visible(
+        spark, os.path.abspath(_manifest_path(out_dir))
+    ):
+        # same polarity as vacuum (r12): executors that cannot read the
+        # commit log would die inside the sidecar scan with an opaque
+        # FileNotFoundException — AUTO degrades to the driver probe with
+        # the documented warning, explicit spark= names the contract
+        if not auto_selected:
+            raise StorageVisibilityError(
+                f"pin_version(spark=...): executors cannot see the "
+                f"commit log under {out_dir!r} — the store is not on "
+                "shared storage; use spark=None or run against shared "
+                "storage"
+            )
+        _warn_executor_blind("pin_version", out_dir)
+        spark = None
     if spark is None:
         _missing_file = _driver_missing_file
     else:
@@ -2223,7 +2272,9 @@ def _added_between(out_dir: str, old_v: int, new_v: int) -> dict[str, list]:
     full-form commits fall back to diffing two resolved snapshots."""
     added: dict[str, list] = {}
     for v in range(old_v + 1, new_v + 1):
-        c = _hydrate_delta(out_dir, _load_commit(out_dir, v))
+        c = _hydrate_delta(
+            out_dir, _load_commit(out_dir, v), with_stats=False
+        )
         if "add" in c or ("tables" not in c and "ckpt" not in c):
             per = c.get("add", {})
         else:  # full form: diff against the previous snapshot
@@ -2753,6 +2804,20 @@ def vacuum(
     mdir = _manifest_path(out_dir)
     if store.isdir(mdir):
         for name in store.listdir(mdir):
+            if name.startswith(".") and name.endswith(".tmp"):
+                # a crash between staging and finalize leaves a hidden
+                # .<name>.<uuid>.tmp beside the log (the failure paths
+                # unlink their own stage, but a hard kill can't).  Live
+                # stages exist for milliseconds, so the full grace
+                # window is a safe age gate.
+                p = os.path.join(mdir, name)
+                try:
+                    if now - store.getmtime(p) >= VACUUM_GRACE_S:
+                        store.remove(p)
+                        removed.append(os.path.join(_MANIFEST_DIR, name))
+                except OSError:
+                    pass  # vanished concurrently
+                continue
             if not name.endswith(".parquet"):
                 continue
             if name.startswith("ckpt-v"):
@@ -2812,16 +2877,7 @@ def vacuum(
                 "use the driver path (spark=None) or run against shared "
                 "storage"
             )
-        import warnings
-
-        warnings.warn(
-            f"vacuum: {out_dir!r} is not visible to executors; the "
-            "auto-selected cluster sweep was abandoned and the driver "
-            "path ran instead — expect O(live files) driver memory at "
-            "this store's size",
-            RuntimeWarning,
-            stacklevel=2,
-        )
+        _warn_executor_blind("vacuum", out_dir)
         spark = None
     if spark is not None:
         try:
@@ -2839,16 +2895,7 @@ def vacuum(
             # a previously-working default must not become a hard error
             if not auto_selected:
                 raise
-            import warnings
-
-            warnings.warn(
-                f"vacuum: {out_dir!r} is not visible to executors; the "
-                "auto-selected cluster sweep was abandoned and the "
-                "driver path ran instead — expect O(live files) driver "
-                "memory at this store's size",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+            _warn_executor_blind("vacuum", out_dir)
     live: dict[str, set] = {}
     pin_files: dict[int, dict[str, set]] = {}
     for v in sorted(retained):

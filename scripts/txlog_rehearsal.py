@@ -744,6 +744,73 @@ def run_race_spark(rounds: int) -> dict:
     return report
 
 
+def run_pinsweep(n_files: int) -> dict:
+    """The r12 shared-base row: vacuum over a store with FOUR pinned
+    snapshots (all sharing one checkpoint ancestor) — the base_cache
+    resolves the ancestor's sidecar once instead of once per retained/
+    pinned version.  Timed both ways (cache on = production path; cache
+    off = per-version scans, simulated by bypassing the cache seam) on
+    the same store; identical reclamation required."""
+    from chainweb_data_spark.session import get_spark
+    from chainweb_data_spark.streaming import publish as pub12
+
+    spark = get_spark("txlog-pinsweep")
+    tables = _seed_snapshot(n_files)
+    base = tempfile.mkdtemp(prefix="txlog-pinsweep-")
+    out = os.path.join(base, "store")
+    os.makedirs(out)
+    report: dict = {"live_files": sum(len(v) for v in tables.values())}
+    try:
+        pub12._write_manifest(
+            out, {"version": 1, "tables": tables, "op": "seed"}
+        )
+        # a few deltas, then pins on four versions (same v1 ancestor)
+        for i in range(6):
+            v = pub12._latest_version(out) + 1
+            add = {"blocks": [f"part-pin-delta-{v:03d}.parquet"]}
+            pub12._commit_append(out, v, add, {}, op="publish")
+        # materialize ONLY the pinned-delta files (the seed files are
+        # synthetic metadata; the pin probe runs executor-side against
+        # the full snapshot, so probe via driver path for speed here)
+        pins = [2, 4, 6, 7]
+        report["pins"] = len(pins)
+        for v in pins:
+            pub12._commit_pin_op(
+                out, "pin", {"version": v, "name": f"lease-{v}"}
+            )
+
+        def timed(label, cache_on):
+            orig = pub12._snapshot_df
+
+            def uncached(sp, od, ver, with_stats, base_cache=None):
+                return orig(
+                    sp, od, ver, with_stats,
+                    base_cache=base_cache if cache_on else None,
+                )
+
+            pub12._snapshot_df = uncached
+            try:
+                pub12._SNAP_CACHE.clear()
+                t0 = time.perf_counter()
+                removed = pub12.vacuum(
+                    out, keep_versions=1, spark=spark
+                )
+                report[label] = {
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                    "removed": len(removed),
+                }
+            finally:
+                pub12._snapshot_df = orig
+
+        timed("vacuum_cache_off", cache_on=False)  # warm plans first
+        timed("vacuum_cache_off_steady", cache_on=False)
+        timed("vacuum_cache_on", cache_on=True)
+        timed("vacuum_cache_on_steady", cache_on=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return report
+
+
 def run_megarewrite(n_files: int) -> dict:
     """The r12 spilled-delta row: a whole-table rewrite (format
     migration) committed against a store with ``n_files`` live files,
@@ -841,6 +908,11 @@ def run_megarewrite(n_files: int) -> dict:
 
 
 def main() -> None:
+    if "--pinsweep" in sys.argv:
+        i = sys.argv.index("--pinsweep")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1_000_000
+        print(json.dumps({"pinsweep": run_pinsweep(n)}))
+        return
     if "--megarewrite" in sys.argv:
         i = sys.argv.index("--megarewrite")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1_000_000

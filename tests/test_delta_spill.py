@@ -136,7 +136,7 @@ def test_cluster_resolve_reads_spill_with_spark(spark, twins, monkeypatch):
     (pyarrow hydration is bombed for the duration)."""
     latest = pub._latest_version(twins["spill"])
 
-    def boom(out_dir, commit, table=None):
+    def boom(out_dir, commit, table=None, with_stats=True):
         if "delta" in commit:
             raise AssertionError(
                 "cluster resolve hydrated a spilled delta driver-side"
@@ -151,7 +151,8 @@ def test_cluster_resolve_reads_spill_with_spark(spark, twins, monkeypatch):
                 spark, twins["spill"], v
             ).collect()
         )
-        monkeypatch.undo
+        # the bomb stays armed for every version; the truth side below
+        # reads the INLINE twin, which has no spilled commits to trip it
         pub._SNAP_CACHE.clear()
         truth = sorted(
             (t, f)
@@ -263,3 +264,125 @@ def test_vacuum_reclaims_orphan_delta_spills_keeps_referenced(
     pub._SNAP_CACHE.clear()
     snap = pub._snapshot_files(out, 5)
     assert snap["t"] == sorted(f"b=9/r{k}.parquet" for k in range(8))
+
+
+def test_legacy_full_form_route_spills_too(tmp_path, monkeypatch):
+    """r12 review: a whole-table rewrite handed to _write_manifest as a
+    FULL target snapshot (the legacy route) must spill past the
+    threshold exactly like the delta-form route."""
+    monkeypatch.setattr(pub, "DELTA_SIDECAR_MIN_FILES", 5)
+    out = str(tmp_path / "lf")
+    os.makedirs(out)
+    pub._write_manifest(
+        out,
+        {"version": 1,
+         "tables": {"t": [f"b=0/s{k}.parquet" for k in range(6)]},
+         "op": "seed"},
+    )
+    pub._write_manifest(
+        out,
+        {"version": 2,
+         "tables": {"t": [f"b=1/n{k}.parquet" for k in range(6)]},
+         "op": "rewrite"},
+    )
+    c = pub._load_commit(out, 2)
+    assert "delta" in c and "add" not in c and "remove" not in c
+    assert c["n_add_by_table"] == {"t": 6}
+    assert c["n_remove_by_table"] == {"t": 6}
+    pub._SNAP_CACHE.clear()
+    assert pub._snapshot_files(out, 2)["t"] == sorted(
+        f"b=1/n{k}.parquet" for k in range(6)
+    )
+
+
+def test_hydrate_delta_prunes_stats_for_setonly_consumers(
+    twins, monkeypatch
+):
+    """r12 review: file-set folds (with_stats=False) must never
+    deserialize the spill sidecar's stats column — the dominant
+    payload."""
+    calls = []
+    orig = pub.LOG_STORE.read_parquet
+
+    def spy(path, columns=None, filters=None):
+        calls.append((os.path.basename(path), tuple(columns or ())))
+        return orig(path, columns=columns, filters=filters)
+
+    monkeypatch.setattr(pub.LOG_STORE, "read_parquet", spy)
+    pub._SNAP_CACHE.clear()
+    pub._snapshot_files(twins["spill"], 6)  # set-only resolve
+    pub._added_between(twins["spill"], 4, 6)
+    spill_reads = [c for c in calls if c[0].startswith("delta-v")]
+    assert spill_reads, "spill sidecar never read"
+    assert all("stats" not in cols for _n, cols in spill_reads), spill_reads
+    # the stats-bearing resolve still fetches them
+    calls.clear()
+    pub._SNAP_CACHE.clear()
+    pub._resolve(twins["spill"], 6)
+    assert any(
+        "stats" in cols
+        for n, cols in calls
+        if n.startswith("delta-v")
+    )
+
+
+def test_vacuum_reclaims_crash_leaked_stage_tmps(twins):
+    """r12 review: a hard kill between staging and finalize leaves a
+    hidden .tmp beside the log; vacuum age-gates and reclaims it, and
+    never touches a fresh (in-flight) stage."""
+    out = twins["spill"]
+    mdir = os.path.join(out, "_manifest")
+    old_tmp = os.path.join(mdir, ".ckpt-v9-aaaa.parquet.deadbeef.tmp")
+    fresh_tmp = os.path.join(mdir, ".ckpt-v9-bbbb.parquet.cafef00d.tmp")
+    for p in (old_tmp, fresh_tmp):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    old = time.time() - 10 ** 6
+    os.utime(old_tmp, (old, old))
+    removed = pub.vacuum(out, keep_versions=99, spark=None)
+    assert any(".deadbeef.tmp" in r for r in removed)
+    assert not os.path.exists(old_tmp)
+    assert os.path.exists(fresh_tmp)
+
+
+def test_failed_sidecar_write_leaves_no_stage_litter(
+    tmp_path, monkeypatch
+):
+    """r12 review: ENOSPC mid-write (simulated) must not leave hidden
+    .tmp litter beside the log."""
+    out = str(tmp_path / "ns")
+    os.makedirs(os.path.join(out, "_manifest"))
+    import pyarrow.parquet as pq_mod
+
+    def boom(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(pq_mod, "write_table", boom)
+    with pytest.raises(OSError):
+        pub._write_delta_sidecar(
+            os.path.join(out, "_manifest"), 5,
+            {"t": ["a.parquet"]}, {}, {},
+        )
+    monkeypatch.undo()
+    litter = [
+        f for f in os.listdir(os.path.join(out, "_manifest"))
+        if f.endswith(".tmp")
+    ]
+    assert litter == [], litter
+    # write_atomic's own failure path cleans up too (bomb the final
+    # rename — the test runs as root, so permission bits can't simulate
+    # the failure)
+    store = pub.LOG_STORE
+    d = tmp_path / "wa"
+    d.mkdir()
+
+    def boom_rename(src, dst):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(os, "rename", boom_rename)
+    try:
+        with pytest.raises(OSError):
+            store.write_atomic(str(d / "x.json"), b"data")
+    finally:
+        monkeypatch.undo()
+    assert list(d.iterdir()) == []

@@ -201,3 +201,30 @@ def test_memstore_walk_and_parquet_match_posix(tmp_path):
             filters=[("table", "==", "a")],
         )
         assert t.column("file").to_pylist() == ["1", "2"]
+
+
+def test_memstore_multipart_sidecar_roundtrip(tmp_path):
+    """finalize_dir ingests a staged DIRECTORY and read_parquet concats
+    its parts — the multi-part checkpoint shape through the fake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mem = InMemoryLogStore()
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i, names in enumerate((["a", "b"], ["c"])):
+        pq.write_table(
+            pa.table({"table": ["t"] * len(names), "file": names,
+                      "stats": [None] * len(names)}),
+            str(stage / f"part-{i:05d}.parquet"),
+        )
+    (stage / "_SUCCESS").write_bytes(b"")
+    mem.finalize_dir(str(stage), "v/_manifest/ckpt-v16-abc.parquet")
+    assert not stage.exists()
+    t = mem.read_parquet(
+        "v/_manifest/ckpt-v16-abc.parquet", columns=["file"]
+    )
+    assert sorted(t.column("file").to_pylist()) == ["a", "b", "c"]
+    # hidden files are ignored by discovery, directory probes agree
+    assert mem.isdir("v/_manifest/ckpt-v16-abc.parquet")
+    assert mem.exists("v/_manifest/ckpt-v16-abc.parquet")

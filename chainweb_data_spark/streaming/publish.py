@@ -297,6 +297,11 @@ def _load_commit(out_dir: str, version: int) -> dict:
 #: (a few files) never come near this.
 DELTA_SIDECAR_MIN_FILES = 100_000
 
+#: cap on per-table partition-directory lists carried in a spilled
+#: commit's JSON (``add_dirs_by_table``) — above it the entry is null
+#: (= wildcard: same-table races conservatively re-stage)
+DELTA_DIRS_CAP = 4096
+
 
 def _write_sidecar_parquet(mdir: str, name: str, table) -> None:
     """Stream a log sidecar to the store: stage where the store says
@@ -1335,6 +1340,20 @@ def _attach_delta(
             commit["n_add_by_table"] = {
                 t: len(fs) for t, fs in sorted(add.items())
             }
+            # the added files' partition DIRECTORIES (bounded:
+            # partition values are content-derived buckets, O(dozens)
+            # per table) ride in the JSON so race-window conflict
+            # detection (_conflicting_tables) never opens the sidecar —
+            # the one remaining O(changed files) read a spilled
+            # mega-rewrite cost a racing writer.  A table spanning more
+            # than DELTA_DIRS_CAP dirs stores null = wildcard: any
+            # same-table race conservatively re-stages (the safe call
+            # against a rewrite that wide).
+            dirs_by_t = {}
+            for t, fs in sorted(add.items()):
+                d = {os.path.dirname(f) for f in fs}
+                dirs_by_t[t] = sorted(d) if len(d) <= DELTA_DIRS_CAP else None
+            commit["add_dirs_by_table"] = dirs_by_t
         if remove:
             commit["n_remove_by_table"] = {
                 t: len(fs) for t, fs in sorted(remove.items())
@@ -2269,7 +2288,11 @@ def _added_between(out_dir: str, old_v: int, new_v: int) -> dict[str, list]:
     the answer verbatim, and r11 checkpoints carry their OWN delta in the
     commit JSON (``add``/``remove`` beside ``ckpt``), so a checkpoint
     landing in the race window costs O(delta) too; only pre-r11
-    full-form commits fall back to diffing two resolved snapshots."""
+    full-form commits fall back to diffing two resolved snapshots.
+    Conflict detection itself uses the cheaper
+    :func:`_added_dirs_between` (r12 — spilled mega-deltas answer from
+    JSON metadata); this file-level fold remains for introspection and
+    as the reference semantics the dirs fold is tested against."""
     added: dict[str, list] = {}
     for v in range(old_v + 1, new_v + 1):
         c = _hydrate_delta(
@@ -2290,6 +2313,48 @@ def _added_between(out_dir: str, old_v: int, new_v: int) -> dict[str, list]:
     return added
 
 
+def _added_dirs_between(
+    out_dir: str, old_v: int, new_v: int
+) -> dict[str, set | None]:
+    """The partition DIRECTORIES of files added by commits
+    ``old_v+1 .. new_v`` — all conflict detection needs (r12).  Spilled
+    mega-deltas answer from their ``add_dirs_by_table`` JSON field
+    without opening the sidecar; a ``None`` value is the over-cap
+    wildcard (treat as conflicting with anything on that table).
+    Pre-r12 spills without the field hydrate once, like
+    :func:`_added_between`."""
+    dirs: dict[str, set | None] = {}
+
+    def _merge(t: str, ds) -> None:
+        if dirs.get(t, set()) is None:
+            return  # already wildcard
+        if ds is None:
+            dirs[t] = None
+            return
+        dirs.setdefault(t, set()).update(ds)
+
+    for v in range(old_v + 1, new_v + 1):
+        c = _load_commit(out_dir, v)
+        if "delta" in c and "add_dirs_by_table" in c:
+            for t, ds in c["add_dirs_by_table"].items():
+                _merge(t, set(ds) if ds is not None else None)
+            continue
+        c = _hydrate_delta(out_dir, c, with_stats=False)
+        if "add" in c or ("tables" not in c and "ckpt" not in c):
+            per = c.get("add", {})
+        else:  # pre-r10 full form: diff against the previous snapshot
+            prev = _snapshot_files(out_dir, v - 1)
+            cur = _snapshot_files(out_dir, v)
+            per = {
+                t: sorted(set(fs) - set(prev.get(t, [])))
+                for t, fs in cur.items()
+            }
+        for t, rels in per.items():
+            if rels:
+                _merge(t, {os.path.dirname(f) for f in rels})
+    return dirs
+
+
 def _conflicting_tables(
     out_dir: str, old_v: int, new_v: int, staged: dict
 ) -> set[str]:
@@ -2302,19 +2367,23 @@ def _conflicting_tables(
     empty prefix, so any racer touch of the same table re-stages —
     conservative by construction."""
 
-    def dirs(files):
-        return {os.path.dirname(f) for f in files}
-
-    racer_adds = _added_between(out_dir, old_v, new_v)
+    racer_dirs = _added_dirs_between(out_dir, old_v, new_v)
     out = set()
     for t, (files, _stats) in staged.items():
-        theirs = racer_adds.get(t)
-        if not theirs:
+        if t not in racer_dirs:
             continue
-        ours_d, theirs_d = dirs(files), dirs(theirs)
-        # a flat file ("" prefix) on EITHER side is a wildcard: its rows
-        # carry no partition evidence, so any same-table race conflicts
-        if "" in ours_d or "" in theirs_d or ours_d & theirs_d:
+        theirs_d = racer_dirs[t]
+        ours_d = {os.path.dirname(f) for f in files}
+        # a flat file ("" prefix) on EITHER side is a wildcard — its
+        # rows carry no partition evidence — and so is an over-cap
+        # spilled rewrite (theirs_d is None): any same-table race
+        # conflicts
+        if (
+            theirs_d is None
+            or "" in ours_d
+            or "" in theirs_d
+            or ours_d & theirs_d
+        ):
             out.add(t)
     return out
 

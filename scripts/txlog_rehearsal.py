@@ -875,6 +875,13 @@ def run_megarewrite(n_files: int) -> dict:
             added = pub._added_between(out, 2, 4)
             race_wall = time.perf_counter() - t0
             assert len(added[rw_table]) == len(new_files) + 1
+            # what a racing writer ACTUALLY pays (r12): conflict
+            # detection folds partition DIRS from JSON metadata — the
+            # spilled form answers without opening the sidecar
+            t0 = time.perf_counter()
+            rd = pub._added_dirs_between(out, 2, 4)
+            conflict_wall = time.perf_counter() - t0
+            assert rd[rw_table] and len(rd[rw_table]) <= 65  # 64 buckets + flat pre-file
             pub._SNAP_CACHE.clear()
             t0 = time.perf_counter()
             snap = pub._snapshot_files(out, 4)
@@ -885,6 +892,7 @@ def run_megarewrite(n_files: int) -> dict:
                 "sidecar_bytes": side_bytes,
                 "commit_wall_s": round(commit_wall, 3),
                 "race_fold_wall_s": round(race_wall, 3),
+                "conflict_fold_wall_s": round(conflict_wall, 3),
                 "resolve_wall_s": round(resolve_wall, 3),
                 "driver_rss_growth_mb": round(_vm_rss_mb() - rss0, 1),
             }

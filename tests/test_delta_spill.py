@@ -386,3 +386,60 @@ def test_failed_sidecar_write_leaves_no_stage_litter(
     finally:
         monkeypatch.undo()
     assert list(d.iterdir()) == []
+
+
+def test_conflict_detection_never_opens_spill_sidecar(twins, monkeypatch):
+    """r12: race-window conflict detection answers from the spilled
+    commit's add_dirs_by_table JSON — the sidecar read is bombed, and
+    the dirs fold must agree with the file-level reference fold on the
+    inline twin."""
+    c = pub._load_commit(twins["spill"], 5)
+    assert c["add_dirs_by_table"] == {"t": ["b=9"]}
+
+    def boom(path, columns=None, filters=None):
+        raise AssertionError(
+            "conflict detection opened the spill sidecar"
+        )
+
+    monkeypatch.setattr(pub.LOG_STORE, "read_parquet", boom)
+    dirs = pub._added_dirs_between(twins["spill"], 3, 6)
+    monkeypatch.undo()
+    ref = {
+        t: {os.path.dirname(f) for f in fs}
+        for t, fs in pub._added_between(twins["inline"], 3, 6).items()
+    }
+    assert {t: d for t, d in dirs.items()} == ref
+    # staged work colliding / not colliding with the rewrite's buckets
+    hit = pub._conflicting_tables(
+        twins["spill"], 3, 6, {"t": (["b=9/mine.parquet"], {})}
+    )
+    miss = pub._conflicting_tables(
+        twins["spill"], 3, 6, {"t": (["b=7/mine.parquet"], {})}
+    )
+    assert hit == {"t"} and miss == set()
+
+
+def test_overcap_spill_dirs_go_wildcard(tmp_path, monkeypatch):
+    """A spilled rewrite spanning more than DELTA_DIRS_CAP directories
+    stores null and conservatively conflicts with any same-table
+    stage."""
+    monkeypatch.setattr(pub, "DELTA_SIDECAR_MIN_FILES", 5)
+    monkeypatch.setattr(pub, "DELTA_DIRS_CAP", 3)
+    out = str(tmp_path / "oc")
+    os.makedirs(out)
+    pub._write_manifest(
+        out, {"version": 1, "tables": {"t": ["b=0/s.parquet"]},
+              "op": "seed"},
+    )
+    pub._commit_delta(
+        out, 2,
+        {"t": [f"b={k}/n.parquet" for k in range(1, 7)]}, {}, {},
+        op="rewrite",
+    )
+    c = pub._load_commit(out, 2)
+    assert c["add_dirs_by_table"] == {"t": None}
+    assert pub._added_dirs_between(out, 1, 2) == {"t": None}
+    hit = pub._conflicting_tables(
+        out, 1, 2, {"t": (["b=99/mine.parquet"], {})}
+    )
+    assert hit == {"t"}

@@ -180,6 +180,18 @@ def _run_queries(spark, fns, names, n_runs) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
             del rows
         timings[name] = round(best, 4)
+        # Inter-query isolation (r12): drop the query's cached relations
+        # before moving on.  Nothing is shared ACROSS queries (each
+        # function builds its own plans; the bm25 index and classifier
+        # model are Python/disk-level caches, untouched), but ~30 of the
+        # 45 headliners .cache() intermediates and never unpersist, so by
+        # the session's tail the executor storage pool holds dozens of
+        # dead relations — measured inflating the LAST queries up to 2.4×
+        # vs their isolated times (cw_continuation_history_rcte 4.56 s at
+        # session end vs 2.06 s isolated, same code).  Per-query
+        # methodology is unchanged: warm run populates the query's own
+        # caches, min-of-3 timed runs still hit them.
+        spark.catalog.clearCache()
     return timings
 
 

@@ -141,50 +141,76 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     diameter) rounds (near-dup components are shallow: a boilerplate
     cluster is a dense blob, diameter ~2).
 
-    Scale shape: each round is one equi-join edges⋈labels plus one
-    map-side-combined groupBy min — no shuffle wider than the edge list;
-    iterations localCheckpoint (lineage stays flat); early exit on
+    Scale shape (round-trip-minimized): the symmetric edge list carries
+    SELF-LOOPS, so every round is ONE equi-join edges⋈labels plus ONE
+    map-side-combined groupBy min — ``new_label(v) = min over
+    N(v) ∪ {v}`` needs no second join to fold the node's own label in,
+    and the old label (for convergence detection) rides along as the
+    self-loop row's value.  Round 1 needs no join at all (labels0(v)=v
+    makes the neighborhood min a pure groupBy over the edge list), which
+    also deletes the separate label-initialization pass.  Each round's
+    relation is lineage-truncated with a LAZY localCheckpoint whose
+    materialization is driven by the convergence aggregate — one Spark
+    job per round total, where the previous shape paid two joins, an
+    eager checkpoint job AND a separate changed-count job.  Early exit on
     convergence (no label changed).  Same fixpoint pattern as the
     continuation-history walk (queries/chainweb.py)."""
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # ONE explode emits both directions plus both self-loops per pair —
+    # a union of projections would re-evaluate the (expensive) upstream
+    # pair pipeline once per branch; this evaluates it exactly once
+    a, b = F.col("id_a"), F.col("id_b")
     edges = (
-        fwd.unionByName(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                    F.struct(a.alias("src"), a.alias("dst")),
+                    F.struct(b.alias("src"), b.alias("dst")),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iters):
-        neigh_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("dst"), F.col("label").alias("_nl")
-                ),
-                "dst",
+    labels = None
+    for rnd in range(max_iters):
+        if labels is None:
+            # round 1: label(v)=v, so min over N(v) ∪ {v} is groupBy(min)
+            new_labels = edges.groupBy("src").agg(F.min("dst").alias("label")).select(
+                F.col("src").alias("id"),
+                "label",
+                (F.col("label") < F.col("src")).alias("_chg"),
             )
-            .groupBy("src")
-            .agg(F.min("_nl").alias("_nmin"))
-            .withColumnRenamed("src", "id")
-        )
-        new_labels = (
-            labels.join(neigh_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("_nmin") < F.col("label")).alias("_chg"),
+        else:
+            new_labels = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("label").alias("_nl")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(
+                    F.min("_nl").alias("label"),
+                    F.min(
+                        F.when(F.col("dst") == F.col("src"), F.col("_nl"))
+                    ).alias("_old"),
+                )
+                .select(
+                    F.col("src").alias("id"),
+                    "label",
+                    (F.col("label") < F.col("_old")).alias("_chg"),
+                )
             )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        new_labels = new_labels.localCheckpoint(eager=False)
+        # full-pass aggregate (never limit(1)): it both answers "did any
+        # label move" AND materializes every partition of the lazy
+        # checkpoint in the same job
+        changed = new_labels.agg(F.max("_chg")).collect()[0][0]
         labels = new_labels.drop("_chg")
-        if changed == 0:
+        if not changed:
             break
     else:
         # refuse-loudly policy (same stance as the matmul/broadcast
@@ -235,8 +261,15 @@ def contaminated_docs(
     ``max_bench_shingles`` raises loudly instead of OOMing executors —
     at that size, bucket-join the two shingle streams instead."""
     corpus_sh = word_shingles(docs, id_col, text_col, k)
+    # the distinct benchmark shingle set feeds BOTH the envelope count and
+    # the broadcast build; lineage-truncate it lazily so the count's job
+    # materializes it once and the broadcast build re-reads the
+    # materialized partitions instead of re-running tokenize+explode+distinct
     bench_sh = (
-        word_shingles(bench, id_col, text_col, k).select("shingle").distinct()
+        word_shingles(bench, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n_bench = bench_sh.count()
     if n_bench > max_bench_shingles:
@@ -277,6 +310,41 @@ def minhash_signatures(
     return sig.select(
         id_col, F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig")
     )
+
+
+def minhash_signatures_sets(
+    sets_: DataFrame, id_col: str, num_hashes: int = 16, arr_col: str = "_sh"
+) -> DataFrame:
+    """(id, sig: array<string>) — MinHash signatures computed ROW-LOCAL from
+    the shingle-set ARRAY form (:func:`shingle_set_arrays`):
+    ``sig[i] = array_min(transform(_sh, s -> md5(i||'|'||s)))``.
+
+    Bit-identical to :func:`minhash_signatures` over the exploded relation
+    (same md5 inputs; ``array_min`` and ``min`` share the UTF8 binary
+    ordering; ``_sh`` is already distinct and min is duplicate-insensitive)
+    but with NO aggregation at all — the groupBy form plans as a
+    SortAggregate (a ``min(string)`` buffer is var-length, so HashAggregate
+    is unavailable) costing a map-side sort + an Exchange + a reduce-side
+    sort of the whole exploded shingle relation.  Here the signature is a
+    projection: zero shuffle, zero sort, and the explode never happens.
+
+    Callers MUST pass a MATERIALIZED ``sets_`` (cached / checkpointed):
+    each of the ``num_hashes`` array_min terms references ``arr_col`` once,
+    so on a raw plan CollapseProject would inline the tokenize+shingle
+    expression ``num_hashes`` times (the no-CSE trap documented on
+    :func:`shingle_set_arrays`); behind a cache the references are O(1)
+    column reads.  Every current consumer already caches ``sets_`` for the
+    Jaccard-verification join."""
+    def _mh(i: int):
+        # the transform lambda must stay single-parameter (a second
+        # parameter would be bound to the ELEMENT INDEX by Spark)
+        prefix = F.lit(f"{i}|")
+        return F.array_min(
+            F.transform(F.col(arr_col), lambda s: F.md5(F.concat(prefix, s)))
+        )
+
+    sig = F.array(*[_mh(i) for i in range(num_hashes)])
+    return sets_.select(F.col(id_col), sig.alias("sig"))
 
 
 def banded_signatures(
@@ -392,12 +460,12 @@ def minhash_dedup_pairs(
     """End-to-end MinHash LSH: shingle → signature → banded candidates,
     optionally verified with exact Jaccard (computed only on candidates —
     the LSH point: verification joins are O(candidates), not O(n²))."""
-    sh = word_shingles(df, id_col, text_col, k).cache()
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    sets_ = shingle_set_arrays(df, id_col, text_col, k).cache()
+    sig = minhash_signatures_sets(sets_, id_col, num_hashes)
     cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     if min_jaccard is None:
         return cand
-    jac = _jaccard_for_pairs(sh, cand, id_col)
+    jac = jaccard_for_pairs_sets(sets_, cand, id_col)
     return jac.filter(F.col("jaccard") >= min_jaccard)
 
 
@@ -668,7 +736,15 @@ def simhash_near_pairs(
     ).select(id_col, "simhash", "bb.band", "bb.key")
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    # hamming is computed and FILTERED before the dedup exchange: the
+    # band join emits every (pair × shared band) copy, so applying the
+    # verification filter map-side (and dropping the two signature
+    # columns) shrinks the distinct's shuffle to the near-pair survivors
+    # — at bench scale that is 272k candidate rows down to the handful
+    # within the hamming bound, and the saving grows with corpus size.
+    # Filter-then-distinct is row-identical to distinct-then-filter
+    # (hamming is a function of the pair, identical across band copies).
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -678,16 +754,13 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
 
 
 # duplicate-span detection: broadcast envelope for the hot-gram set (same
@@ -1045,8 +1118,15 @@ def contamination_scores(
     aggregations on the doc id.  The fraction rounds to 6 decimals
     (engine-exact replay)."""
     corpus_sh = word_shingles(docs, id_col, text_col, k)
+    # the distinct benchmark shingle set feeds BOTH the envelope count and
+    # the broadcast build; lineage-truncate it lazily so the count's job
+    # materializes it once and the broadcast build re-reads the
+    # materialized partitions instead of re-running tokenize+explode+distinct
     bench_sh = (
-        word_shingles(bench, id_col, text_col, k).select("shingle").distinct()
+        word_shingles(bench, id_col, text_col, k)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     n_bench = bench_sh.count()
     if n_bench > max_bench_shingles:

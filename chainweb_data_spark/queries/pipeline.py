@@ -84,15 +84,16 @@ def _minhash_cols_sql(n: int) -> str:
     """,
 )
 def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 hashes) over word 3-gram shingles: one
-    map-side-combined aggregation; shuffle carries 8×32B per doc."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = dd.word_shingles(docs, "doc_id", "text", k=3)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(8)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    """MinHash signatures (8 hashes) over word 3-gram shingles, computed
+    ROW-LOCAL over the shingle-set arrays (zero shuffle: the groupBy-min
+    form plans as a SortAggregate because a min(string) buffer is
+    var-length — see operators/dedup.py minhash_signatures_sets)."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
+    sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=8)
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"mh{i}") for i in range(8)]
+    ).orderBy("doc_id")
 
 
 def _band_sql(num_hashes: int = 16, bands: int = 4) -> str:
@@ -136,9 +137,9 @@ def minhash_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cross join (SURVEY north-star dedup at scale).  The gated query
     exercises the hot-bucket cap (the 100 TB skew rail), mirrored exactly in
     the oracle's HAVING filter."""
-    docs = _t(spark, sf_dir, "documents")
-    sh = dd.word_shingles(docs, "doc_id", "text", k=3)
-    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    docs = _t(spark, sf_dir, "documents", spread=True)
+    sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
+    sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=16)
     return dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     ).orderBy("id_a", "id_b")
@@ -184,10 +185,9 @@ def minhash_verified_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     point: the verification join costs O(candidates), never O(n²).  At
     100 TB this is the end-to-end dedup job a curation pipeline schedules;
     the jaccard is an exact rational, engine-stable at any threshold."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
-    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
-    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )
@@ -252,10 +252,9 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is iterative min-label propagation (O(diameter) rounds, each one
     equi-join + map-combined min); the oracle states the same fixpoint as
     a recursive transitive-closure CTE."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
-    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
-    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )
@@ -298,7 +297,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard via inverted-index self-join (cost Σ df(s)², not
     n²) with the stop-shingle DF cap; Jaccard is an exact rational so the
     threshold is engine-stable."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return dd.ngram_jaccard_pairs(
         docs, "doc_id", "text", k=3, min_jaccard=0.2, max_df=_NGRAM_MAX_DF
     ).orderBy("id_a", "id_b")
@@ -338,7 +337,7 @@ _SIMHASH_CTE = f"""
 def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (md5-derived token hashes, bitwise
     built-ins)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return dd.simhash(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -372,7 +371,7 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming ≤ bands-1 (the exact pigeonhole
     recall bound — see operators/dedup.py simhash_near_pairs): banded
     equi-join candidates, then bit_count(XOR) verification."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     # the banded self-join consumes the signature relation on both sides;
     # cache it (5 longs per doc) so the token-hash aggregation runs once.
     sh = dd.simhash(docs, "doc_id", "text").cache()
@@ -1628,8 +1627,7 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = corpus0.filter(tx.token_count(F.col("text")) >= 5)
     base = dd.dedup_exact(quality, "doc_id", "text")
     sets_ = dd.shingle_set_arrays(base, "doc_id", "text", k=3).cache()
-    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
-    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )
@@ -1886,7 +1884,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear beats ln here).  The df relation joins WITHOUT a forced
     broadcast: at open-vocabulary scale it must stay a shuffle join, and
     AQE broadcasts it when it is actually small."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return (
         tx.tfidf_topk_terms(docs, "doc_id", "text", k=3)
         .withColumn("rank", F.col("rank").cast("long"))
@@ -2060,7 +2058,7 @@ def embed_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lexical MinHash to embeddings; the same min-label propagation
     consumes either pair source unchanged (the operator boundary a
     pipeline actually wants)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     vp = sim.near_dup_pairs_matmul(emb, "vec_id", "embedding", 0.45)
     return dd.duplicate_clusters(vp.select("id_a", "id_b")).orderBy("id")
 
@@ -2141,7 +2139,7 @@ def embed_dedup_clusters_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; this query gates the scale path, plane count derived at
     registration from the fixture's parquet footer exactly as
     ``ann_lsh_auto_topk`` does."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     vp = sim.ann_near_dup_pairs(
         emb,
         "vec_id",
@@ -2482,7 +2480,7 @@ def doc_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (``_fp_rolling64_sql``), so the cheap hash is held to the
     same cross-engine bit-for-bit standard as the md5 form.  The md5 twin
     stays registered as ``doc_features_md5``."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     out = tx.quality_features(docs, "text")
     out = tx.lang_id(out, "text")
     out = tx.fingerprint(out, "text", k=8, mode="rolling64")
@@ -2505,7 +2503,7 @@ def doc_features_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered so the fused pass stays auditable against an independent
     hash implementation; the production configuration (and the bench
     headliner) is ``doc_features`` with the ``rolling64`` kernel."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     out = tx.quality_features(docs, "text")
     out = tx.lang_id(out, "text")
     out = tx.fingerprint(out, "text", k=8)
@@ -2617,7 +2615,7 @@ def unigram_ppl_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc mean negative log-likelihood and perplexity.  Model broadcast
     (vocabulary ≪ corpus), token stream never shuffles for the lookup;
     floats rounded (6/2 dp) so both engines agree bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return tx.unigram_nll_scores(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -3344,8 +3342,7 @@ def dedup_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     docs = _t(spark, sf_dir, "documents")
     sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
-    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
-    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )
@@ -4534,8 +4531,7 @@ def split_leakage_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the audit adds zero joins to the dedup chain it rides."""
     docs = _t(spark, sf_dir, "documents")
     sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
-    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
-    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )
@@ -4613,8 +4609,7 @@ def split_by_cluster_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself) plus one left join of the tiny component relation."""
     docs = _t(spark, sf_dir, "documents")
     sets_ = dd.shingle_set_arrays(docs, "doc_id", "text", k=3).cache()
-    sh = sets_.select("doc_id", F.explode("_sh").alias("shingle"))
-    sig = dd.minhash_signatures(sh, "doc_id", num_hashes=16)
+    sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
         sig, "doc_id", num_hashes=16, bands=4, max_bucket_size=_LSH_MAX_BUCKET
     )

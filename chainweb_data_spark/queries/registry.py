@@ -39,10 +39,32 @@ DP = "decimal(12,2)"  # prices / quantities / values
 DR = "decimal(4,2)"  # rates (discount, tax)
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     from ..sources.tables import load_table
 
-    return load_table(spark, sf_dir, name)
+    df = load_table(spark, sf_dir, name)
+    if spread:
+        df = _spread(df, spark)
+    return df
+
+
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Input-skew rail (optimization guide §2.5 "one huge unsplittable
+    file"): the fixture tables are single-row-group parquet files, so a
+    scan is ONE task no matter how it is split, and every row-local
+    heavy stage above it (tokenize → shingle → md5 signatures, vector
+    math) runs single-threaded.  Queries whose per-row work dominates
+    opt in to a round-robin repartition to the session's core count —
+    applied ONLY when the scan actually under-parallelizes (fewer
+    partitions than cores), so on production inputs with many
+    files/row-groups this is plan-identical to not calling it (no
+    Repartition node at all, not merely an empty one)."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
 
 
 def register(name: str, oracle: str | None = None):

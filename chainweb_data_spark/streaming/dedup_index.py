@@ -247,8 +247,7 @@ def update_dedup_index(
     t_counts = table_prefix + "bucket_counts"
 
     sets_ = dd.shingle_set_arrays(docs, id_col, text_col, k).cache()
-    sh = sets_.select(id_col, F.explode("_sh").alias("shingle"))
-    sig = dd.minhash_signatures(sh, id_col, num_hashes)
+    sig = dd.minhash_signatures_sets(sets_, id_col, num_hashes)
     banded = dd.banded_signatures(sig, id_col, num_hashes, bands).cache()
 
     # historical hot buckets (Σ occupancy over all PRIOR batches > cap):

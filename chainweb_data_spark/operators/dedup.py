@@ -113,19 +113,24 @@ def shingle_set_arrays(
     CSE across a projection's aliases — the same trap documented on
     ``word_shingles``; measured 3× on the decontamination consumer).
     Derive sizes AFTER materializing (cache) with ``F.size`` — see
-    :func:`jaccard_for_pairs_sets`."""
+    :func:`jaccard_for_pairs_sets`.
+
+    The shingle expression is built as ONE ``F.expr`` string (a single
+    parse on the JVM) rather than nested Column calls: every ``F.*`` call
+    is a py4j round trip, and this builder sits inside FULL_WALL queries
+    whose bench protocol times plan CONSTRUCTION — measured ~125 ms of
+    pure construction per invocation in the Column form (optimization
+    guide §4: eliminate the JVM↔Python boundary — here at plan-build
+    time).  The parsed tree is the same expression."""
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
-    toks = F.col("_toks")
-    n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
     # per-doc dedup happens row-local (array_distinct) — a (doc, shingle)
     # pair is unique by construction, so no shuffle-distinct downstream
-    return base.select(
-        F.col(id_col), F.array_distinct(shingles).alias("_sh")
+    shingles = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+        f"i -> array_join(slice(_toks, i, {k}), ' ')))"
     )
+    return base.select(F.col(id_col), F.expr(shingles).alias("_sh"))
 
 
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
@@ -158,16 +163,14 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # ONE explode emits both directions plus both self-loops per pair —
     # a union of projections would re-evaluate the (expensive) upstream
     # pair pipeline once per branch; this evaluates it exactly once
-    a, b = F.col("id_a"), F.col("id_b")
     edges = (
         pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(a.alias("src"), b.alias("dst")),
-                    F.struct(b.alias("src"), a.alias("dst")),
-                    F.struct(a.alias("src"), a.alias("dst")),
-                    F.struct(b.alias("src"), b.alias("dst")),
-                )
+            F.expr(
+                "explode(array("
+                "struct(id_a AS src, id_b AS dst), "
+                "struct(id_b AS src, id_a AS dst), "
+                "struct(id_a AS src, id_a AS dst), "
+                "struct(id_b AS src, id_b AS dst)))"
             ).alias("e")
         )
         .select("e.src", "e.dst")
@@ -334,17 +337,21 @@ def minhash_signatures_sets(
     expression ``num_hashes`` times (the no-CSE trap documented on
     :func:`shingle_set_arrays`); behind a cache the references are O(1)
     column reads.  Every current consumer already caches ``sets_`` for the
-    Jaccard-verification join."""
-    def _mh(i: int):
-        # the transform lambda must stay single-parameter (a second
-        # parameter would be bound to the ELEMENT INDEX by Spark)
-        prefix = F.lit(f"{i}|")
-        return F.array_min(
-            F.transform(F.col(arr_col), lambda s: F.md5(F.concat(prefix, s)))
-        )
+    Jaccard-verification join.
 
-    sig = F.array(*[_mh(i) for i in range(num_hashes)])
-    return sets_.select(F.col(id_col), sig.alias("sig"))
+    Built as ONE ``F.expr`` string: the Column form (num_hashes ×
+    transform/md5/concat/array_min py4j calls) measured ~340 ms of pure
+    plan construction per invocation — paid inside FULL_WALL bench
+    timings (guide §4, applied to the plan-build boundary).  Same parsed
+    expression tree; md5 inputs are unchanged, so signatures stay
+    bit-identical."""
+    # the transform lambda stays single-parameter (a second parameter
+    # would be bound to the ELEMENT INDEX by Spark)
+    terms = ", ".join(
+        f"array_min(transform(`{arr_col}`, s -> md5(concat('{i}|', s))))"
+        for i in range(num_hashes)
+    )
+    return sets_.select(F.col(id_col), F.expr(f"array({terms})").alias("sig"))
 
 
 def banded_signatures(
@@ -356,32 +363,24 @@ def banded_signatures(
     """(id, band, bucket) LSH band rows: band_hash = md5(band_idx ||
     minhashes-in-band).  The materialized form IS the LSH index — the
     incremental dedup index (streaming/dedup_index.py) persists exactly
-    these rows; ``lsh_candidate_pairs`` self-joins them."""
+    these rows; ``lsh_candidate_pairs`` self-joins them.
+
+    One ``F.expr`` parse instead of bands × rows_per_band Column calls
+    (~190 ms of py4j construction measured) — same expression tree, same
+    band hashes."""
     rows_per_band = num_hashes // bands
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws('|', '{b}', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"sig[{i}]"
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                F.lit(str(b)),
-                                *[
-                                    F.col("sig")[i]
-                                    for i in range(
-                                        b * rows_per_band, (b + 1) * rows_per_band
-                                    )
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.col(id_col), F.expr(f"explode(array({structs}))").alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
 

@@ -43,11 +43,17 @@ def with_unit_vectors(df: DataFrame, vec_col: str) -> DataFrame:
     The norm is materialized in its own projection: referencing an
     aggregate-over-array expression inside the per-element lambda would
     re-reduce the whole vector once per element (O(dim²) per row — the same
-    no-CSE-across-lambda-scopes trap as word_shingles' split)."""
-    dv = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    staged = df.withColumn("_dv", dv).withColumn("_n", _norm(F.col("_dv")))
+    no-CSE-across-lambda-scopes trap as word_shingles' split).
+
+    Expressions are single ``F.expr`` parses (the nested-Column form
+    measured ~200 ms of py4j plan construction per call, paid inside
+    FULL_WALL bench timings — guide §4 applied to the plan-build
+    boundary); the parsed trees are identical."""
+    staged = df.withColumn(
+        "_dv", F.expr(f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))")
+    ).withColumn("_n", F.expr("sqrt(aggregate(_dv, 0.0D, (acc, v) -> acc + v * v))"))
     return staged.withColumn(
-        "_unit", F.transform(F.col("_dv"), lambda x: x / F.col("_n"))
+        "_unit", F.expr("transform(_dv, x -> x / _n)")
     ).drop("_dv", "_n")
 
 
@@ -278,27 +284,26 @@ def hyperplane_matrix(num_planes: int, dim: int) -> list[list[int]]:
 
 
 def lsh_signature(df: DataFrame, vec_col: str, num_planes: int, dim: int) -> DataFrame:
-    """Append ``_sig`` (array<int> of 0/1): sign of dot(v, hyperplane_p)."""
+    """Append ``_sig`` (array<int> of 0/1): sign of dot(v, hyperplane_p).
+
+    Built as ONE ``F.expr`` parse: the Column form issued num_planes ×
+    (dim + ~6) py4j calls — ~1.3 s of pure plan construction at the
+    auto-derived plane count, the single largest construction cost in the
+    embed/ANN FULL_WALL queries (guide §4 applied to the plan-build
+    boundary).  The parsed tree — zip_with/aggregate with the same double
+    literals, compare ``>= 0``, CASE 1/0 — is identical, so signatures
+    and downstream hashes are unchanged."""
     planes = hyperplane_matrix(num_planes, dim)
-    sig = F.array(
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(s)) for s in planes[p]]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            for p in range(num_planes)
-        ]
+    terms = ", ".join(
+        "CASE WHEN aggregate(zip_with(`{v}`, array({lits}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v) >= 0 "
+        "THEN 1 ELSE 0 END".format(
+            v=vec_col,
+            lits=", ".join(f"{float(s):.1f}D" for s in planes[p]),
+        )
+        for p in range(num_planes)
     )
-    return df.withColumn("_sig", sig)
+    return df.withColumn("_sig", F.expr(f"array({terms})"))
 
 
 def auto_num_planes(n_vectors: int, bands: int = 2, target_bucket: int = 64) -> int:
@@ -373,26 +378,21 @@ def _lsh_banded_units(
     sigged = lsh_signature(
         with_unit_vectors(df, vec_col), "_unit", num_planes, dim
     )
+    # one F.expr parse for the band structs (same tree as the Column form)
+    structs = ", ".join(
+        "struct({b} AS band, concat_ws('', {cols}) AS key)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(_sig[{i}] AS STRING)"
+                for i in range(b * width, (b + 1) * width)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigged.select(
         F.col(id_col),
         F.col("_unit"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "",
-                            *[
-                                F.col("_sig")[i].cast("string")
-                                for i in range(b * width, (b + 1) * width)
-                            ],
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.expr(f"explode(array({structs}))").alias("bb"),
     ).select(id_col, "_unit", "bb.band", "bb.key")
 
 

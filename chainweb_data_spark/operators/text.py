@@ -744,64 +744,79 @@ def gopher_repetition(
     scan).  ``flagged`` applies both thresholds to the 6-dp-rounded
     fractions, so the boolean is cross-engine exact too.
 
-    Plan shape: two map-side-combined aggregations over the gram streams
-    — (id, gram) counts for the top gram, per-id count/countDistinct for
-    the duplicate fraction — then two per-id joins back onto the row-local
-    dims projection (AQE picks the strategy; all three relations are
-    per-document cardinality, so the join keys are never skewed beyond
-    the corpus's own id distribution).  No windows, no driver state; ties
-    for the top gram break (count desc, gram asc) — a total order, so the
-    result is replay- and engine-stable.
+    Plan shape (r12): every signal is a function of ONE document's token
+    array, so the whole operator is a ROW-LOCAL projection — no gram
+    explode, no shuffle, no joins.  The previous relational form shuffled
+    the full (id, gram) stream twice (measured 12 MB of shuffle at sf0.1,
+    growing linearly with the corpus) to compute per-id aggregates that a
+    sorted-array run scan produces in codegen (guide §2.4: remove the
+    shuffle outright).  The top gram comes from a single ``aggregate``
+    fold over the ASC-sorted gram array keeping the longest run with a
+    strict ``>`` — on count ties the earlier (ascending) gram wins, the
+    exact ``(count desc, gram asc)`` tie-break of the relational
+    ``min_by`` form; the duplicate fraction is
+    ``(size - size(array_distinct)) / size``.  No windows, no driver
+    state; results are replay- and engine-stable.
     """
-    c_top = _gram_stream(df, id_col, text_col, top_k).groupBy(
-        id_col, "gram"
-    ).agg(F.count("*").alias("cnt"))
-    top = (
-        c_top.groupBy(id_col)
-        .agg(
-            F.min_by(
-                F.struct(F.col("gram"), F.col("cnt")),
-                F.struct((-F.col("cnt")).alias("_nc"), F.col("gram")),
-            ).alias("_t")
+
+    def _grams_sql(k: int) -> str:
+        return (
+            f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)), "
+            f"i -> array_join(slice(_toks, i, {k}), ' '))"
         )
-        .select(
-            id_col,
-            F.col("_t.gram").alias("top_gram"),
-            F.col("_t.cnt").alias("top_count"),
-        )
+
+    run = "IF(x <=> s.g, s.r + 1L, 1L)"
+    top_fold = (
+        f"aggregate(array_sort(_g{top_k}), "
+        "named_struct('g', CAST(NULL AS STRING), 'r', 0L, "
+        "'bc', 0L, 'bg', CAST(NULL AS STRING)), "
+        f"(s, x) -> named_struct('g', x, 'r', {run}, "
+        f"'bc', IF({run} > s.bc, {run}, s.bc), "
+        f"'bg', IF({run} > s.bc, x, s.bg)), "
+        "s -> named_struct('top_gram', s.bg, 'top_count', s.bc))"
     )
-    d5 = _gram_stream(df, id_col, text_col, dup_k).groupBy(id_col).agg(
-        F.count("*").alias("_n"),
-        F.countDistinct("gram").alias("_d"),
-    )
-    dims = df.select(
+    # the gram arrays are staged as their own projection so each is built
+    # once; the folds below reference them by name (the usual
+    # CollapseProject guard — codegen subexpression elimination keeps the
+    # collapsed form single-evaluation, but the staged form is explicit)
+    staged = df.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.expr("CAST(size(_toks) AS BIGINT)").alias("n_tokens"),
+        F.expr(_grams_sql(top_k)).alias(f"_g{top_k}"),
+        F.expr(_grams_sql(dup_k)).alias(f"_g{dup_k}"),
+    ).select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.col("n_tokens"),
+        F.expr(top_fold).alias("_t"),
+        F.expr(
+            f"named_struct('n', CAST(size(_g{dup_k}) AS BIGINT), "
+            f"'d', CAST(size(array_distinct(_g{dup_k})) AS BIGINT))"
+        ).alias("_d5"),
     )
-    out = (
-        dims.join(top, id_col)
-        .join(d5, id_col)
-        .select(
-            id_col,
-            "n_tokens",
-            "top_gram",
-            "top_count",
-            # greatest(n_chars, 1): a doc row reaching this inner join has
-            # ≥1 gram and therefore ≥1 char, but the guard keeps `flagged`
-            # a PROVABLY concrete boolean (never a divide-by-zero NULL that
-            # a ~flagged filter would silently drop) under any future
-            # join-shape change — and keeps Spark and the DuckDB oracle's
-            # zero-division behaviors out of the contract entirely
-            F.round(
-                F.col("top_count") * F.length("top_gram")
-                / F.greatest(F.col("n_chars"), F.lit(1)),
-                6,
-            ).alias("top_char_frac"),
-            F.round((F.col("_n") - F.col("_d")) / F.col("_n"), 6).alias(
-                "dup_gram_frac"
-            ),
-        )
+    out = staged.select(
+        id_col,
+        "n_tokens",
+        F.col("_t.top_gram").alias("top_gram"),
+        F.col("_t.top_count").alias("top_count"),
+        # greatest(n_chars, 1): every doc has ≥1 gram (a short doc yields
+        # one window) and so ≥1 char, but the guard keeps `flagged` a
+        # PROVABLY concrete boolean (never a divide-by-zero NULL that a
+        # ~flagged filter would silently drop) — and keeps Spark and the
+        # DuckDB oracle's zero-division behaviors out of the contract
+        F.round(
+            F.col("_t.top_count") * F.length("_t.top_gram")
+            / F.greatest(F.col("n_chars"), F.lit(1)),
+            6,
+        ).alias("top_char_frac"),
+        F.round(
+            (F.col("_d5.n") - F.col("_d5.d")) / F.col("_d5.n"), 6
+        ).alias("dup_gram_frac"),
     )
     return out.withColumn(
         "flagged",
@@ -849,11 +864,14 @@ def bigram_backoff_scores(
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
 
+    # cached (vocab-sized): consumed by the Laplace totals, p_uni, and —
+    # in the trigram scorer — the token-2 broadcast; uncached each ran its
+    # own corpus explode + groupBy
     uni = (
         base.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
-    )
+    ).cache()
     totals = uni.agg(F.sum("c1").alias("_n"), F.count("*").alias("_v"))
     puni = uni.crossJoin(F.broadcast(totals)).select(
         "w",
@@ -862,7 +880,13 @@ def bigram_backoff_scores(
             / (F.col("_n") + F.col("_v")).cast("double")
         ).alias("p_uni"),
         "c1",
-    )
+    ).cache()
+    # ^ cached: p_uni has THREE consumers (lambda build, first-token leg,
+    # backoff leg); uncached, each re-ran the full corpus explode + vocab
+    # groupBy + singleton-totals attach (3× the scan subtree in the plan).
+    # The relation is vocab-sized — the same envelope that already
+    # justifies broadcasting it into two of those consumers, so persisting
+    # the MODEL once per scoring pass is standard (guide §5).
 
     pairs = base.select(
         F.col(id_col),
@@ -882,7 +906,10 @@ def bigram_backoff_scores(
         ).alias("_b"),
     ).select(id_col, F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
 
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # cached: the bigram model itself — consumed by the lambda build AND
+    # the open-vocab scoring join; uncached, each re-ran the pair explode
+    # and its count aggregate over the whole corpus
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")).cache()
     lam = (
         c2.groupBy("w1")
         .agg(F.count("*").alias("_f"))
@@ -972,11 +999,14 @@ def trigram_kn_scores(
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") > 0)
 
+    # cached (vocab-sized): consumed by the Laplace totals, p_uni, and —
+    # in the trigram scorer — the token-2 broadcast; uncached each ran its
+    # own corpus explode + groupBy
     uni = (
         base.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
-    )
+    ).cache()
     totals = uni.agg(F.sum("c1").alias("_n"), F.count("*").alias("_v"))
     puni = uni.crossJoin(F.broadcast(totals)).select(
         "w",
@@ -1013,14 +1043,20 @@ def trigram_kn_scores(
     pairs = _grams(2, ["w1", "w2"])
     trips = _grams(3, ["w1", "w2", "w3"])
 
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # cached: c2/c3 ARE the model relations and fan out to 5 / 3 consumers
+    # below (type counts, continuation counts, totals, scoring joins);
+    # uncached, every consumer re-ran the gram explode + count aggregate
+    # over the whole corpus.  n-gram-type-sized — the materialized-model
+    # envelope this scorer already assumes (guide §5: reused and expensive
+    # to recompute).
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")).cache()
     # vocab-sized sides of the bigram level: raw-count follower types and
     # the continuation-unigram numerator (distinct predecessors)
     fol1 = c2.groupBy("w1").agg(F.count("*").alias("f1"))
     cont1 = c2.groupBy("w2").agg(F.count("*").alias("k1"))
     btypes = c2.agg(F.count("*").alias("_bt"))
 
-    c3 = trips.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c3 = trips.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3")).cache()
     fol12 = c3.groupBy("w1", "w2").agg(F.count("*").alias("f12"))
     cont3 = c3.groupBy("w2", "w3").agg(F.count("*").alias("k3"))
     mid = cont3.groupBy("w2").agg(

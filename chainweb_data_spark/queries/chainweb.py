@@ -869,20 +869,31 @@ def cw_continuation_history_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent to the oracle's UNION set semantics here because every walk
     row carries its depth (a duplicate can only coincide with its twin at
     the same depth; chains are acyclic so the recursion terminates
-    regardless)."""
-    _cw(spark, "transactions").createOrReplaceTempView("_cw_tx_for_rcte")
+    regardless).
+
+    r12: ``dtx`` is CACHED before the recursion instead of being a CTE —
+    Spark's UnionLoop re-plans the recursive step per iteration, and as a
+    plain CTE the DISTINCT-aggregate over the transactions scan re-ran in
+    EVERY iteration (plan: ``Aggregate ← LogicalRelation`` under the loop
+    body; measured 22 jobs / 718 tasks for a 530-row result).  Cached, the
+    per-iteration plan is a scan of the in-memory relation — whose size
+    statistics also let the per-step join broadcast instead of shuffling.
+    Same rows, same recursion, one distinct instead of one per depth."""
+    tx_df = _cw(spark, "transactions")
+    tx_df.select("requestkey", "pactid", "code").distinct().cache(
+    ).createOrReplaceTempView("_cw_dtx_rcte")
+    tx_df.createOrReplaceTempView("_cw_tx_for_rcte")
     return spark.sql(
         """
         WITH RECURSIVE
-        dtx AS (SELECT DISTINCT requestkey, pactid, code FROM _cw_tx_for_rcte),
         starts AS (SELECT DISTINCT requestkey AS start_rk, pactid
                    FROM _cw_tx_for_rcte WHERE pactid IS NOT NULL),
         walk AS (
           SELECT s.start_rk, 0 AS depth, d.requestkey AS rk, d.pactid, d.code
-          FROM starts s JOIN dtx d ON d.requestkey = s.pactid
+          FROM starts s JOIN _cw_dtx_rcte d ON d.requestkey = s.pactid
           UNION ALL
           SELECT w.start_rk, w.depth + 1, d.requestkey, d.pactid, d.code
-          FROM walk w JOIN dtx d ON d.requestkey = w.pactid
+          FROM walk w JOIN _cw_dtx_rcte d ON d.requestkey = w.pactid
         ),
         dwalk AS (SELECT DISTINCT start_rk, depth, rk, code FROM walk)
         SELECT start_rk,

@@ -806,13 +806,33 @@ def _fixture_embeddings_count(sf_dir: str = "/root/testdata/sf0.01") -> int:
 
 # Plane count the adaptive rule derives for the gate fixture.  The ORACLE is
 # generated for exactly this count; the Spark side re-derives it at runtime
-# from df.count() (lsh_ann_topk num_planes=None), so at the gate's sf0.01 the
+# from the corpus size (see _auto_planes_for), so at the gate's sf0.01 the
 # two agree, and at any other corpus size the plan keeps constant expected
 # bucket occupancy instead of the quadratic wall a pinned plane count hits.
 _ANN_AUTO_BANDS = 2
 _ANN_AUTO_PLANES = sim.auto_num_planes(
     _fixture_embeddings_count(), bands=_ANN_AUTO_BANDS
 )
+
+
+def _auto_planes_for(sf_dir: str, bands: int) -> int | None:
+    """Corpus-adaptive plane count for ``sf_dir``'s embeddings, derived from
+    the parquet footer row count — FREE metadata (the A4 O(1)-stats pattern),
+    numerically identical to ``auto_num_planes(df.count(), bands)`` on these
+    append-only fixture tables, without running a count JOB inside the timed
+    FULL_WALL plan construction (r12: the count cost ~0.3 s per timed run in
+    embed_dedup_clusters_ann).  Returns None when the footer is unreadable
+    (multi-file layouts, absent tree) — the operator then falls back to its
+    own df.count() derivation, unchanged."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    except Exception:
+        return None
+    return sim.auto_num_planes(n, bands)
 
 
 @register(
@@ -825,17 +845,19 @@ def ann_lsh_auto_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected bucket occupancy (and so rerank work per vector) stays constant
     as the corpus grows, and the rerank is the bucket-local
     ``applyInPandas`` matmul (vectors cross Arrow once per bucket, pair
-    scores are one BLAS gemm per bucket).  This is ``lsh_ann_topk`` exactly
-    as production would call it (``num_planes=None``); the pinned-plane
-    ``ann_lsh_topk`` stays registered as the sparse-occupancy comparison
-    point."""
+    scores are one BLAS gemm per bucket).  This is ``lsh_ann_topk`` as
+    production would call it — the corpus size comes from the parquet
+    footer (``_auto_planes_for``, the A4 free-metadata pattern; identical
+    to the operator's own ``df.count()`` fallback, without the count job);
+    the pinned-plane ``ann_lsh_topk`` stays registered as the
+    sparse-occupancy comparison point."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim.lsh_ann_topk(
         emb,
         "vec_id",
         "embedding",
         k=5,
-        num_planes=None,
+        num_planes=_auto_planes_for(sf_dir, _ANN_AUTO_BANDS),
         bands=_ANN_AUTO_BANDS,
         dim=64,
     ).orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
@@ -1625,7 +1647,10 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     corpus0 = docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
     quality = corpus0.filter(tx.token_count(F.col("text")) >= 5)
-    base = dd.dedup_exact(quality, "doc_id", "text")
+    # cached: the exact-deduped slice has TWO consumers (the shingle-set
+    # chain and the near-dup survivor join below) — uncached, the
+    # md5-groupBy + keep-min join ran once per consumer
+    base = dd.dedup_exact(quality, "doc_id", "text").cache()
     sets_ = dd.shingle_set_arrays(base, "doc_id", "text", k=3).cache()
     sig = dd.minhash_signatures_sets(sets_, "doc_id", num_hashes=16)
     cand = dd.lsh_candidate_pairs(
@@ -1639,7 +1664,13 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id") != F.col("cluster_rep"))
         .select(F.col("id").alias("doc_id"))
     )
-    nd = base.join(dropped, "doc_id", "left_anti")
+    # lazily checkpointed: nd feeds BOTH the decontamination corpus side
+    # and the final survivors join — the checkpoint evaluates it once and
+    # flattens the downstream logical tree to a LogicalRDD (each DataFrame
+    # transformation re-ANALYZES its whole tree; this pipeline's tail was
+    # re-walking the full dedup lineage per operator).  Lazy: the final
+    # collect materializes it — no extra job.
+    nd = base.join(dropped, "doc_id", "left_anti").localCheckpoint(eager=False)
     bench = docs.filter(F.col("doc_id") % _BENCH_MOD == 0)
     cont = dd.contaminated_docs(nd, bench, "doc_id", "text", k=3).select(
         "doc_id"
@@ -2145,7 +2176,7 @@ def embed_dedup_clusters_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         threshold=0.45,
-        num_planes=None,
+        num_planes=_auto_planes_for(sf_dir, _ANN_AUTO_BANDS),
         bands=_ANN_AUTO_BANDS,
         dim=64,
     )

@@ -3944,8 +3944,15 @@ def gopher_repetition_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (flag > 0.15) — the within-document repetition filter next
     to the cross-document ones (line dedup, dup-span trim).  All rational
     arithmetic over integer counts, rounded 6 dp, so the flag boolean
-    itself is engine-exact."""
-    docs = _t(spark, sf_dir, "documents")
+    itself is engine-exact.
+
+    spread: the r12 operator is a pure row-local fold (no shuffle), so on
+    a single-row-group scan ALL its work would run in one task — the
+    relational form it replaced was accidentally parallelized by its
+    (id, gram) exchange.  The input-skew rail keeps the fold parallel on
+    under-partitioned scans and is plan-identical on real multi-split
+    inputs."""
+    docs = _t(spark, sf_dir, "documents", spread=True)
     return tx.gopher_repetition(docs, "doc_id", "text").orderBy("doc_id")
 
 

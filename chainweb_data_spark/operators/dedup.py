@@ -175,7 +175,10 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         .select("e.src", "e.dst")
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: round 0's convergence aggregate is a FULL PASS over edges,
+        # so it materializes the checkpoint in the same job — an eager
+        # checkpoint here was one extra job per invocation for nothing
+        .localCheckpoint(eager=False)
     )
     labels = None
     for rnd in range(max_iters):
@@ -506,19 +509,20 @@ def jaccard_for_pairs_sets(
     b = sets_.select(
         F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")
     )
-    n_inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    # ONE projection, one parse: each withColumn of the previous staged
+    # form re-analyzed the whole join tree, and CollapseProject inlined
+    # its n_inter alias into both references anyway — this expr IS the
+    # plan that form collapsed to (whole-stage codegen's subexpression
+    # elimination evaluates the repeated intersect once per row)
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("n_inter", n_inter)
-        .withColumn("n_a", F.size(F.col("_sa")))
-        .withColumn("n_b", F.size(F.col("_sb")))
         .select(
             "id_a",
             "id_b",
-            (
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            F.expr(
+                "(size(array_intersect(_sa, _sb)) / "
+                "(size(_sa) + size(_sb) - size(array_intersect(_sa, _sb))))"
             ).alias("jaccard"),
         )
     )

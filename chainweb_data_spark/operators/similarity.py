@@ -579,9 +579,15 @@ def refine_hot_cells(
 
 
 def _collect_train_sample(
-    df: DataFrame, id_col: str, vec_col: str, sample_size: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    n_rows: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    n = df.count()
+    # n_rows: caller-known corpus size (e.g. parquet footer metadata) —
+    # skips the count() job; None keeps the self-counting behavior
+    n = df.count() if n_rows is None else n_rows
     m = _md5_mod_keep(n, sample_size)
     samp = df.select(id_col, vec_col)
     if m > 1:
@@ -603,6 +609,7 @@ def ivf_train_kmeans(
     sample_size: int = IVF_TRAIN_SAMPLE,
     iters: int = IVF_TRAIN_ITERS,
     split_hot: bool = False,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Train IVF centroids by sampled spherical k-means on ``df``.
 
@@ -616,7 +623,7 @@ def ivf_train_kmeans(
     corpus is clustered — recommended for production corpora; kept off by
     default so callers pinning ``n_cells`` for a fixed oracle get exactly
     that many cells."""
-    ids, X = _collect_train_sample(df, id_col, vec_col, sample_size)
+    ids, X = _collect_train_sample(df, id_col, vec_col, sample_size, n_rows)
     # rows are already sampled (Spark-side md5-mod filter above);
     # sample_size=len+1 makes the shared core's own sampler a no-op
     return train_centroids_rows(
@@ -1081,13 +1088,15 @@ def pq_train(
     k: int = 16,
     sample_size: int = IVF_TRAIN_SAMPLE,
     iters: int = IVF_TRAIN_ITERS,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Train PQ codebooks by sampled per-subspace k-means: the md5-mod
     sample filter runs distributed (JVM md5 built-in), ≈ ``sample_size``
     vectors reach the driver, training is O(sample × k × iters × dim)
     driver-side numpy regardless of corpus size — the same scale shape as
-    ``ivf_train_kmeans``."""
-    ids, X = _collect_train_sample(df, id_col, vec_col, sample_size)
+    ``ivf_train_kmeans``.  ``n_rows``: caller-known corpus size (parquet
+    footer metadata) — skips the count() job."""
+    ids, X = _collect_train_sample(df, id_col, vec_col, sample_size, n_rows)
     return train_pq_rows(ids, X, m, k, len(ids) + 1, iters)
 
 

@@ -786,22 +786,34 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fixture_embeddings_count(sf_dir: str = "/root/testdata/sf0.01") -> int:
-    """Corpus size of the CORRECTNESS fixture, read from the parquet footer
-    at registration time (same move as the multimodal literal-VALUES oracle:
-    the oracle is derived from deterministic fixture facts, not pinned
-    constants).  Falls back to the known driver fixture size if the
-    testdata tree is absent (e.g. importing the package elsewhere)."""
+def _footer_rows(sf_dir: str, table: str) -> int | None:
+    """Row count of a fixture table from its parquet FOOTER — free metadata
+    (the A4 O(1)-stats pattern), replacing construction-time count() JOBS in
+    query builders.  Valid wherever the builder needs the table's row count
+    (these append-only single-file fixtures; doc_id/vec_id are unique, so
+    distinct-id counts equal row counts).  Returns None when the footer is
+    unreadable (multi-file layouts, absent tree) — callers then fall back
+    to the operator's own count() derivation, unchanged."""
     import os
 
     try:
         import pyarrow.parquet as pq
 
         return pq.read_metadata(
-            os.path.join(sf_dir, "embeddings.parquet")
+            os.path.join(sf_dir, f"{table}.parquet")
         ).num_rows
     except Exception:
-        return 500
+        return None
+
+
+def _fixture_embeddings_count(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    """Corpus size of the CORRECTNESS fixture, read from the parquet footer
+    at registration time (same move as the multimodal literal-VALUES oracle:
+    the oracle is derived from deterministic fixture facts, not pinned
+    constants).  Falls back to the known driver fixture size if the
+    testdata tree is absent (e.g. importing the package elsewhere)."""
+    n = _footer_rows(sf_dir, "embeddings")
+    return 500 if n is None else n
 
 
 # Plane count the adaptive rule derives for the gate fixture.  The ORACLE is
@@ -1917,7 +1929,12 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts it when it is actually small."""
     docs = _t(spark, sf_dir, "documents", spread=True)
     return (
-        tx.tfidf_topk_terms(docs, "doc_id", "text", k=3)
+        # n_docs from the parquet footer (_footer_rows: doc_id is unique, so
+        # the distinct-id count the operator would run equals the row count)
+        # instead of a corpus-wide distinct-count JOB at construction
+        tx.tfidf_topk_terms(
+            docs, "doc_id", "text", k=3, n_docs=_footer_rows(sf_dir, "documents")
+        )
         .withColumn("rank", F.col("rank").cast("long"))
         .orderBy("doc_id", "rank")
     )
@@ -2962,9 +2979,17 @@ if _PQ_CB is not None and _IVFPQ_AUTO_CENTROIDS is not None:
         corpus size the runtime re-derives both the cell count and the
         centroids from the data."""
         emb = _t(spark, sf_dir, "embeddings")
-        n_cells = sim.auto_n_cells(emb.count())
-        cents = sim.ivf_train_kmeans(emb, "vec_id", "embedding", n_cells)
-        cb = sim.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES)
+        # corpus size from the parquet footer (A4 free metadata) — three
+        # construction-time count() jobs (cell rule, both trainers) become
+        # zero; the count() fallback remains for unreadable footers
+        n = _footer_rows(sf_dir, "embeddings")
+        n_cells = sim.auto_n_cells(emb.count() if n is None else n)
+        cents = sim.ivf_train_kmeans(
+            emb, "vec_id", "embedding", n_cells, n_rows=n
+        )
+        cb = sim.pq_train(
+            emb, "vec_id", "embedding", _PQ_M, _PQ_CODES, n_rows=n
+        )
         return sim.ivfpq_topk(
             emb,
             "vec_id",
@@ -2995,8 +3020,12 @@ if _IVFPQ_AUTO_CENTROIDS is not None:
         auto IVFPQ gate carries), so the hash-checked configuration is the
         adaptive one."""
         emb = _t(spark, sf_dir, "embeddings")
-        n_cells = sim.auto_n_cells(emb.count())
-        cents = sim.ivf_train_kmeans(emb, "vec_id", "embedding", n_cells)
+        # corpus size from the parquet footer — no construction count() jobs
+        n = _footer_rows(sf_dir, "embeddings")
+        n_cells = sim.auto_n_cells(emb.count() if n is None else n)
+        cents = sim.ivf_train_kmeans(
+            emb, "vec_id", "embedding", n_cells, n_rows=n
+        )
         return sim.semdedup_prune(
             emb,
             "vec_id",
@@ -3884,7 +3913,10 @@ def bm25_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is rational and engine-exact."""
     docs = _t(spark, sf_dir, "documents")
     return (
-        tx.bm25_topk_terms(docs, "doc_id", "text", k=3)
+        # n_docs from the footer — no construction-time distinct-count job
+        tx.bm25_topk_terms(
+            docs, "doc_id", "text", k=3, n_docs=_footer_rows(sf_dir, "documents")
+        )
         .orderBy("doc_id", "rank")
     )
 
@@ -4051,7 +4083,15 @@ def bm25_search_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scan this path pays is what the persisted-index twin
     (bm25_search_indexed_docs) eliminates."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.bm25_search(docs, "doc_id", "text", _BM25_QUERY, k=10)
+    # n_docs from the footer — no construction-time distinct-count job
+    return tx.bm25_search(
+        docs,
+        "doc_id",
+        "text",
+        _BM25_QUERY,
+        k=10,
+        n_docs=_footer_rows(sf_dir, "documents"),
+    )
 
 
 _BM25_SEARCH_ORACLE = f"""

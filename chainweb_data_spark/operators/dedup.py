@@ -133,10 +133,20 @@ def shingle_set_arrays(
     return base.select(F.col(id_col), F.expr(shingles).alias("_sh"))
 
 
-def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def duplicate_clusters(
+    pairs: DataFrame, max_iters: int = 20, with_sizes: bool = True
+) -> DataFrame:
     """Connected components over a near-duplicate pair list —
     (id, cluster_rep, cluster_size) for every document appearing in ≥1
     pair; ``cluster_rep`` is the component's minimum id (the kept doc).
+    ``with_sizes=False`` omits the ``cluster_size`` column — and with it
+    the per-label count aggregation and the join that attaches it
+    (one exchange + one join fewer): callers that only need the
+    membership/representative mapping (survivor filters, canonical
+    selection) were paying for an aggregate they immediately dropped,
+    and Spark cannot prune it away itself (an inner join is not provably
+    cardinality-preserving to the optimizer, even though this one is —
+    every label in ``labels`` appears in its own groupBy output).
 
     Pairs are only HALF of dedup: near-duplicacy is not transitive-closed
     by pair emission (A~B, B~C may surface without A~C), so production
@@ -229,6 +239,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             f"{max_iters} rounds: a component's diameter exceeds the cap; "
             "raise max_iters"
         )
+    if not with_sizes:
+        return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("id"),

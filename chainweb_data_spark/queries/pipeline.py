@@ -1672,7 +1672,10 @@ def curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard") >= 0.2
     )
     dropped = (
-        dd.duplicate_clusters(vp.select("id_a", "id_b"))
+        # with_sizes=False: only the (id, rep) mapping is consumed here —
+        # skip the cluster-size aggregate + join duplicate_clusters would
+        # otherwise compute just to be dropped
+        dd.duplicate_clusters(vp.select("id_a", "id_b"), with_sizes=False)
         .filter(F.col("id") != F.col("cluster_rep"))
         .select(F.col("id").alias("doc_id"))
     )
@@ -3409,7 +3412,9 @@ def dedup_canonical_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vp = dd.jaccard_for_pairs_sets(sets_, cand, "doc_id").filter(
         F.col("jaccard") >= 0.2
     )
-    clusters = dd.duplicate_clusters(vp.select("id_a", "id_b"))
+    # with_sizes=False: select_canonical consumes only (id, cluster_rep) —
+    # skip the size aggregate + join computed just to be dropped
+    clusters = dd.duplicate_clusters(vp.select("id_a", "id_b"), with_sizes=False)
     scored = docs.select(
         "doc_id", tx.token_count(F.col("text")).alias("n_tokens")
     )
@@ -4694,9 +4699,10 @@ def split_by_cluster_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vp = dd.jaccard_for_pairs_sets(sets_, cand, "doc_id").filter(
         F.col("jaccard") >= 0.2
     )
-    comps = dd.duplicate_clusters(vp.select("id_a", "id_b")).select(
-        F.col("id").alias("doc_id"), F.col("cluster_rep").alias("_rep")
-    )
+    # with_sizes=False: only the (id, rep) mapping feeds the split fold
+    comps = dd.duplicate_clusters(
+        vp.select("id_a", "id_b"), with_sizes=False
+    ).select(F.col("id").alias("doc_id"), F.col("cluster_rep").alias("_rep"))
     assigned = (
         docs.select("doc_id")
         .join(comps, "doc_id", "left")

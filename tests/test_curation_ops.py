@@ -125,6 +125,23 @@ def test_duplicate_clusters_partitioning_invariant(spark):
     assert all(r in {i for (i, _r, _s) in a} for r in reps)
 
 
+def test_duplicate_clusters_without_sizes_same_mapping(spark):
+    # with_sizes=False must return exactly the (id, cluster_rep) mapping of
+    # the full output — it skips only the size aggregate + join
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)]
+        + [(100, 101), (101, 102), (102, 103)],
+        "id_a long, id_b long",
+    )
+    slim = dd.duplicate_clusters(pairs, with_sizes=False)
+    assert slim.columns == ["id", "cluster_rep"]
+    full = {
+        (r["id"], r["cluster_rep"])
+        for r in dd.duplicate_clusters(pairs).collect()
+    }
+    assert {tuple(r) for r in slim.collect()} == full
+
+
 def test_stratified_sample_keeps_null_stratum(spark):
     from chainweb_data_spark.operators.text import stratified_sample
 

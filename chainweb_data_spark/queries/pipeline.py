@@ -1930,7 +1930,11 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear beats ln here).  The df relation joins WITHOUT a forced
     broadcast: at open-vocabulary scale it must stay a shuffle join, and
     AQE broadcasts it when it is actually small."""
-    docs = _t(spark, sf_dir, "documents", spread=True)
+    # no spread: interleaved bench A/B (r12 batch 4) measured the 32-task
+    # repartition a consistent ~0.4 s LOSS here (tf/df aggregations are
+    # map-side combined — the repartition adds an exchange without
+    # shortening the critical path at this corpus size)
+    docs = _t(spark, sf_dir, "documents")
     return (
         # n_docs from the parquet footer (_footer_rows: doc_id is unique, so
         # the distinct-id count the operator would run equals the row count)
@@ -2666,7 +2670,11 @@ def unigram_ppl_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc mean negative log-likelihood and perplexity.  Model broadcast
     (vocabulary ≪ corpus), token stream never shuffles for the lookup;
     floats rounded (6/2 dp) so both engines agree bit-for-bit."""
-    docs = _t(spark, sf_dir, "documents", spread=True)
+    # no spread: interleaved bench A/B (r12 batch 4) measured the 32-task
+    # repartition a consistent ~0.3 s LOSS here — the model-join + per-doc
+    # mean doesn't amortize the extra exchange at this corpus size, unlike
+    # the shingle/signature pipelines that keep the rail
+    docs = _t(spark, sf_dir, "documents")
     return tx.unigram_nll_scores(docs, "doc_id", "text").orderBy("doc_id")
 
 

@@ -190,47 +190,70 @@ def duplicate_clusters(
         # checkpoint here was one extra job per invocation for nothing
         .localCheckpoint(eager=False)
     )
-    labels = None
-    for rnd in range(max_iters):
-        if labels is None:
-            # round 1: label(v)=v, so min over N(v) ∪ {v} is groupBy(min)
-            new_labels = edges.groupBy("src").agg(F.min("dst").alias("label")).select(
-                F.col("src").alias("id"),
-                "label",
-                (F.col("label") < F.col("src")).alias("_chg"),
-            )
-        else:
-            new_labels = (
-                edges.join(
-                    labels.select(
-                        F.col("id").alias("dst"), F.col("label").alias("_nl")
-                    ),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(
-                    F.min("_nl").alias("label"),
-                    F.min(
-                        F.when(F.col("dst") == F.col("src"), F.col("_nl"))
-                    ).alias("_old"),
-                )
+    def _step(lbl: DataFrame | None) -> DataFrame:
+        if lbl is None:
+            # step 1: label(v)=v, so min over N(v) ∪ {v} is groupBy(min)
+            return (
+                edges.groupBy("src")
+                .agg(F.min("dst").alias("label"))
                 .select(
                     F.col("src").alias("id"),
                     "label",
-                    (F.col("label") < F.col("_old")).alias("_chg"),
+                    (F.col("label") < F.col("src")).alias("_chg"),
                 )
             )
-        new_labels = new_labels.localCheckpoint(eager=False)
+        return (
+            edges.join(
+                lbl.select(
+                    F.col("id").alias("dst"), F.col("label").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(
+                F.min("_nl").alias("label"),
+                F.min(
+                    F.when(F.col("dst") == F.col("src"), F.col("_nl"))
+                ).alias("_old"),
+            )
+            .select(
+                F.col("src").alias("id"),
+                "label",
+                (F.col("label") < F.col("_old")).alias("_chg"),
+            )
+        )
+
+    # TWO propagation steps per convergence check: near-dup components
+    # are shallow (a boilerplate blob is a dense clique, diameter ~2), so
+    # the old one-step-per-round loop spent most of its rounds CONFIRMING
+    # convergence — each round a full driver round trip (plan analysis +
+    # job + collect).  Pairing steps halves the barrier count while
+    # keeping detection sound: the check reads the SECOND step's _chg
+    # only, and "step 2k changed nothing" means step 2k-1's labels were
+    # already a fixpoint (new_label(v) = min over N(v) ∪ {v} equalled the
+    # old label for every v), so the returned labels are stable
+    # regardless of what the first step of the pair did.  ``max_iters``
+    # still bounds total STEPS, so the convergence envelope (component
+    # diameter) is unchanged.
+    labels = None
+    steps = 0
+    converged = False
+    while steps < max_iters and not converged:
+        mid = _step(labels)
+        steps += 1
+        if steps < max_iters:
+            mid = _step(mid.drop("_chg"))
+            steps += 1
+        new_labels = mid.localCheckpoint(eager=False)
         # full-pass aggregate (never limit(1)): it both answers "did any
         # label move" AND materializes every partition of the lazy
         # checkpoint in the same job
         changed = new_labels.agg(F.max("_chg")).collect()[0][0]
         labels = new_labels.drop("_chg")
-        if not changed:
-            break
-    else:
+        converged = not changed
+    if not converged:
         # refuse-loudly policy (same stance as the matmul/broadcast
-        # envelopes): labels that are still moving after max_iters rounds
+        # envelopes): labels that are still moving after max_iters steps
         # would be silently WRONG cluster assignments — a component with
         # diameter > max_iters (e.g. a long version-chain of successive
         # edits) needs a higher cap, not a wrong answer.

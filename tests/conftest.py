@@ -7,6 +7,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from chainweb_data_spark.session import get_spark
 
+# r13 (VERDICT item 2): the serial suite outgrew the driver's pytest window
+# (VERIFY_r12 truncated at ~60% with zero failures).  Tests measured >= ~20 s
+# each — almost all multi-minute streaming/sink crash-replay and compaction
+# REHEARSALS — carry @pytest.mark.heavy and are SKIPPED by default with this
+# explicit reason; they all still run in the round-end full-suite
+# verification (SPARK_GRAFT_HEAVY_TESTS=1), and nothing is deleted or
+# deselected — the driver's run reports them as skips, so the collected
+# count is unchanged.  Oracle tests (test_entry_oracle) are never marked:
+# result-correctness coverage stays in the default run.
+RUN_HEAVY = os.environ.get("SPARK_GRAFT_HEAVY_TESTS") == "1"
+HEAVY_SKIP_REASON = (
+    "heavy integration rehearsal (>=20 s; crash/replay/compaction style) — "
+    "opt in with SPARK_GRAFT_HEAVY_TESTS=1; always run in the round-end "
+    "full-suite verification"
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: multi-minute integration rehearsal, skipped unless "
+        "SPARK_GRAFT_HEAVY_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_HEAVY:
+        return
+    skip = pytest.mark.skip(reason=HEAVY_SKIP_REASON)
+    for item in items:
+        if "heavy" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(scope="session")
 def spark():

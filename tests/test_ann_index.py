@@ -3,6 +3,8 @@ index must answer searches exactly like the one-shot in-plan IVFPQ over the
 same corpus, replays must merge to nothing, and the sink wrapper must build
 the same index through a real stream with checkpointed batch ids."""
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -44,6 +46,7 @@ def _pairs(df):
     )
 
 
+@pytest.mark.heavy
 def test_incremental_index_equals_oneshot_ivfpq(spark, tmp_path):
     out = str(tmp_path / "idx")
     all_rows = _vec_rows(0, 60)
@@ -70,6 +73,7 @@ def test_incremental_index_equals_oneshot_ivfpq(spark, tmp_path):
     assert "key_bucket" in members.columns
 
 
+@pytest.mark.heavy
 def test_replayed_batch_merges_to_nothing(spark, tmp_path):
     out = str(tmp_path / "idx2")
     rows = _vec_rows(0, 30)
@@ -88,6 +92,7 @@ def test_replayed_batch_merges_to_nothing(spark, tmp_path):
     assert read_manifest(out)["version"] == v_before
 
 
+@pytest.mark.heavy
 def test_sink_wrapper_builds_same_index(spark, tmp_path):
     feed = str(tmp_path / "feed")
     out = str(tmp_path / "idx3")
@@ -195,6 +200,7 @@ def test_search_prunes_to_probed_cells(spark, tmp_path):
     assert f"= {next(iter(probed))}" in plan
 
 
+@pytest.mark.heavy
 def test_pre_migration_members_refuse_and_migrate(spark, tmp_path):
     """Round-6 advice: an index written with digit-only cell buckets must
     refuse fold AND search loudly, and migrate_ann_index must restore
@@ -263,6 +269,7 @@ def _drifted_rows(lo, hi, shift):
     return rows
 
 
+@pytest.mark.heavy
 def test_quantizer_digest_pins_fold_and_search(spark, tmp_path):
     import pytest as pt
 
@@ -290,6 +297,7 @@ def test_quantizer_digest_pins_fold_and_search(spark, tmp_path):
         )
 
 
+@pytest.mark.heavy
 def test_stats_track_imbalance_per_batch(spark, tmp_path):
     from chainweb_data_spark.streaming.ann_index import (
         STATS_TABLE,
@@ -315,6 +323,7 @@ def test_stats_track_imbalance_per_batch(spark, tmp_path):
     assert stats[-1][2] < 2.0
 
 
+@pytest.mark.heavy
 def test_rebuild_recenters_and_is_one_flip(spark, tmp_path):
     import numpy as np
 
@@ -366,6 +375,7 @@ def test_rebuild_recenters_and_is_one_flip(spark, tmp_path):
     assert read_manifest(out)["version"] == v_rebuild + 1  # one more flip
 
 
+@pytest.mark.heavy
 def test_maybe_rebuild_trigger(spark, tmp_path):
     from chainweb_data_spark.streaming.ann_index import maybe_rebuild_ann_index
 

@@ -56,6 +56,7 @@ def _recall(approx: dict, exact: dict) -> float:
     ) / len(exact)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("name", sorted(FLOORS))
 def test_gated_ann_variant_holds_recall_floor(spark, exact_topk, name):
     from chainweb_data_spark.queries import query_fns

@@ -34,6 +34,7 @@ def _raw_df(spark, rows):
     )
 
 
+@pytest.mark.heavy
 def test_atomic_stream_equals_batch_and_replay_is_noop(
     spark, tmp_path_factory, raw_rows
 ):
@@ -78,6 +79,7 @@ def _count(spark, out, name):
     return 0 if df is None else df.count()
 
 
+@pytest.mark.heavy
 def test_reader_never_sees_half_applied_batch(spark, tmp_path_factory, raw_rows):
     """Crash AFTER staging/moving files for some tables but BEFORE the
     manifest flip: a reader must still see exactly the previous snapshot for
@@ -131,6 +133,7 @@ def test_reader_never_sees_half_applied_batch(spark, tmp_path_factory, raw_rows)
         assert _count(spark, out, name) == exp, name
 
 
+@pytest.mark.heavy
 def test_publish_probe_skips_published_duplicates(spark, tmp_path_factory, raw_rows):
     """Publishing the same rows twice adds no rows and no files (the
     ON CONFLICT DO NOTHING semantics against the PUBLISHED snapshot)."""

@@ -45,6 +45,7 @@ def test_probe_matches_corpus_scan_bitwise(spark, index_dir):
     assert _pairs(probe) == _pairs(scan)
 
 
+@pytest.mark.heavy
 def test_incremental_batches_match_full_build(spark, index_dir, tmp_path):
     out = str(tmp_path / "inc")
     docs = _docs(spark)
@@ -119,6 +120,7 @@ def test_term_absent_from_index(spark, index_dir):
     assert out.count() == 0
 
 
+@pytest.mark.heavy
 def test_bm25_index_sink_streams_to_same_index(spark, tmp_path):
     """The foreachBatch wrapper: a 3-file document stream builds, batch by
     checkpointed batch, an index whose probe answers exactly like the
@@ -225,6 +227,7 @@ def test_batched_probe_matches_single_probes(spark, index_dir):
         bm25_search_indexed_many(spark, index_dir, {"bad": "  "})
 
 
+@pytest.mark.heavy
 def test_compact_every_bounds_files_probe_identical(spark, tmp_path):
     """r9 (r8 verdict #3): N streamed batches with compact_every must hold
     the live file count far below the unbounded twin's O(batches ×
@@ -277,6 +280,7 @@ def _mine_cobucket_terms(anchor: str, n: int, width: int) -> list[str]:
     return out
 
 
+@pytest.mark.heavy
 def test_term_sorted_files_prune_rows_within_bucket(spark, tmp_path):
     """r9 (r8 verdict #4): with postings written term-sorted, a probe's
     parquet scan must emit FEWER rows than the same index written in
@@ -328,6 +332,7 @@ def test_term_sorted_files_prune_rows_within_bucket(spark, tmp_path):
     assert r_sorted < r_unsorted / 2, (r_sorted, r_unsorted)
 
 
+@pytest.mark.heavy
 def test_migrate_bm25_index_from_narrow_buckets(spark, tmp_path):
     """r10 (r9 verdict #2): a pre-r9 16-bucket index must be migratable
     to the 256-bucket term-sorted layout — probe bitwise-identical to a

@@ -6,6 +6,7 @@ full result set in cursor order; a full page ALWAYS carries a resume cursor
 request — the remaining matches of the final slice must surface on resume.
 """
 
+import pytest
 from pyspark.sql import functions as F
 
 from chainweb_data_spark.operators.cursor import CursorSpec
@@ -81,6 +82,7 @@ def test_drain_with_matches_exceeding_limit_in_floor_slice(spark):
     assert heights == sorted(heights, reverse=True)
 
 
+@pytest.mark.heavy
 def test_empty_result(spark):
     df = _table(spark, n=40)
     res = bounded_scan(df, F.col("flag") == 99, SPEC, limit=5, slice_width=10,
@@ -104,6 +106,7 @@ def test_scaled_budget_matches_reference_throttle():
     assert scaled_budget(4, 100) == 1  # never starves
 
 
+@pytest.mark.heavy
 def test_truly_concurrent_drains_throttle_and_stay_exact(spark):
     """Eight REAL threads drain the same governed scan concurrently.  A
     barrier inside the gauge's first entry makes the overlap deterministic:
@@ -179,6 +182,7 @@ def test_truly_concurrent_drains_throttle_and_stay_exact(spark):
         assert [(r.height, r.rk) for r in rows] == expected
 
 
+@pytest.mark.heavy
 def test_concurrent_governed_scans_get_smaller_budgets(spark):
     """Under simulated load the governor examines proportionally fewer
     slices per request, and the under-budget request still hands back a
@@ -204,6 +208,7 @@ def test_concurrent_governed_scans_get_smaller_budgets(spark):
     assert gauge.active == 0  # the governed call released its own slot
 
 
+@pytest.mark.heavy
 def test_snapshot_pinned_pagination_is_isolated(spark, tmp_path):
     """SURVEY X6: the reference holds ONE REPEATABLE READ snapshot across
     the bounded scan (Server.hs:525).  A pagination session pinned to the

@@ -7,6 +7,7 @@ equivalence, column-pruned file-set reads, legacy inline-checkpoint
 stores, crash-orphan sidecar reclamation (referenced sidecars never
 deleted), and file skipping through sidecar-carried stats."""
 
+import pytest
 import json
 import os
 
@@ -38,6 +39,7 @@ def _grow(spark, out, n, start=0):
         publish_batch(spark, {"t": _batch(spark, lo, lo + 10)}, out, pks=PK)
 
 
+@pytest.mark.heavy
 def test_checkpoint_json_is_thin_and_sidecar_hydrates(spark, tmp_path):
     out = str(tmp_path / "cp")
     _grow(spark, out, pub.CHECKPOINT_EVERY + 2)
@@ -65,6 +67,7 @@ def test_checkpoint_json_is_thin_and_sidecar_hydrates(spark, tmp_path):
     assert snap["stats"]["t"][some_file]  # at least one column range
 
 
+@pytest.mark.heavy
 def test_pruned_file_sets_match_full_resolve(spark, tmp_path):
     out = str(tmp_path / "pr")
     _grow(spark, out, pub.CHECKPOINT_EVERY + 3)
@@ -77,6 +80,7 @@ def test_pruned_file_sets_match_full_resolve(spark, tmp_path):
         assert pruned == full
 
 
+@pytest.mark.heavy
 def test_legacy_inline_checkpoints_still_read(spark, tmp_path):
     """A pre-r9 store (checkpoints with inline tables/stats) must resolve
     unchanged — rewrite the new form back to the old to simulate one."""
@@ -118,6 +122,7 @@ def test_legacy_inline_checkpoints_still_read(spark, tmp_path):
     assert len(rows) >= 10 * (latest - 1)
 
 
+@pytest.mark.heavy
 def test_orphan_sidecars_reclaimed_referenced_kept(spark, tmp_path):
     out = str(tmp_path / "or")
     _grow(spark, out, pub.CHECKPOINT_EVERY)
@@ -161,6 +166,7 @@ def test_orphan_sidecars_reclaimed_referenced_kept(spark, tmp_path):
     assert os.path.exists(crash)
 
 
+@pytest.mark.heavy
 def test_file_skipping_through_sidecar_stats(spark, tmp_path):
     """read_published(where=...) must keep pruning files whose min/max
     ranges exclude the predicate when the stats come from a parquet

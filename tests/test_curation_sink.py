@@ -3,6 +3,8 @@
 table, replay idempotence of every output table, and the foreachBatch
 wrapper end-to-end."""
 
+import pytest
+
 import json as _json
 import os
 
@@ -41,6 +43,7 @@ def _rejects(spark, out):
     )
 
 
+@pytest.mark.heavy
 def test_stages_and_summary(spark, tmp_path):
     """One batch exercising all three reject stages at once: the junk doc
     falls at quality, the identical twin at exact (min-id canonical), the
@@ -78,6 +81,7 @@ def test_stages_and_summary(spark, tmp_path):
     assert hashes.count() == hashes.select("content_hash").distinct().count()
 
 
+@pytest.mark.heavy
 def test_cross_batch_exact_and_near(spark, tmp_path):
     """History wins: a later batch's identical copy flags exact_dup
     against the FIRST holder's id, and a near-variant flags near_dup —
@@ -113,6 +117,7 @@ def test_cross_batch_exact_and_near(spark, tmp_path):
     assert _ids(spark, out, CURATED_TABLE) == [1, 13]
 
 
+@pytest.mark.heavy
 def test_replay_is_idempotent(spark, tmp_path):
     """Re-running a batch with the same batch_id (the crash-replay path)
     returns the same summary and appends nothing to any table."""
@@ -156,6 +161,7 @@ def test_corpus_stats_track_kept_only(spark, tmp_path):
     assert sum(r["n_tokens"] for r in totals) == 10  # BASE_TEXT only
 
 
+@pytest.mark.heavy
 def test_sink_wrapper_end_to_end(spark, tmp_path):
     """curation_sink drives curate_batch through a real foreachBatch
     stream: per-file micro-batches, engine batch ids, cross-batch dedup
@@ -194,6 +200,7 @@ def test_sink_wrapper_end_to_end(spark, tmp_path):
     assert (20, "near_dup") in _rejects(spark, out)
 
 
+@pytest.mark.heavy
 def test_atomic_commit_covers_all_four_tables(spark, tmp_path):
     """atomic=True (default) lands curated/rejects/hashes/stats in ONE
     manifest version; read_published sees exactly what plain reads see."""
@@ -231,6 +238,7 @@ def test_atomic_commit_covers_all_four_tables(spark, tmp_path):
         assert pub.count() == plain.count()
 
 
+@pytest.mark.heavy
 def test_non_atomic_path_matches(spark, tmp_path):
     """atomic=False produces the same curated/reject decisions through
     plain per-table merges (no manifest anywhere in out_dir itself)."""
@@ -257,6 +265,7 @@ def test_non_atomic_path_matches(spark, tmp_path):
     assert not os.path.exists(os.path.join(out, "_manifest"))
 
 
+@pytest.mark.heavy
 def test_compaction_bounds_files_and_preserves_rows(spark, tmp_path):
     """compact_every folds the four curation tables' live files down
     through a manifest flip (and the index's via its own knob): rows are
@@ -296,6 +305,7 @@ def test_compaction_bounds_files_and_preserves_rows(spark, tmp_path):
     assert s["n_exact"] == 1
 
 
+@pytest.mark.heavy
 def test_crash_at_the_single_commit_leaves_nothing(spark, tmp_path, monkeypatch):
     """Round 7 unified the sink's two commits into ONE manifest flip over
     all eight tables, so the old crash window ("index folded, batch not
@@ -357,6 +367,7 @@ def test_crash_at_the_single_commit_leaves_nothing(spark, tmp_path, monkeypatch)
         assert got == want, t
 
 
+@pytest.mark.heavy
 def test_legacy_two_log_store_refuses_and_migrates(spark, tmp_path):
     """A store written by the pre-unified layout (index under its own log)
     must REFUSE to resume (the unified probe would silently see an empty

@@ -27,6 +27,7 @@ def _flags(df):
     return sorted((r["doc_id"], r["dup_of"]) for r in df.collect())
 
 
+@pytest.mark.heavy
 def test_cross_batch_and_internal_flags(spark, tmp_path):
     out = str(tmp_path / "idx")
     # batch 0: two distinct docs
@@ -59,6 +60,7 @@ def test_cross_batch_and_internal_flags(spark, tmp_path):
         assert os.path.exists(os.path.join(out, t))
 
 
+@pytest.mark.heavy
 def test_replay_is_idempotent(spark, tmp_path):
     out = str(tmp_path / "idx")
     b0 = _docs(spark, [(1, BASE_TEXT)])
@@ -76,6 +78,7 @@ def test_replay_is_idempotent(spark, tmp_path):
     )
 
 
+@pytest.mark.heavy
 def test_string_ids_flag_and_replay(spark, tmp_path):
     """Regression: key_bucket was pmod(id, 16), which assumed numeric ids
     — string ids (URLs, content hashes) crashed the fold under ANSI mode,
@@ -110,6 +113,7 @@ def test_corpus_stats_empty_before_first_batch(spark, tmp_path):
     assert got.columns == ["lang", "n_docs", "n_tokens", "n_chars"]
 
 
+@pytest.mark.heavy
 def test_matches_batch_operator_on_union(spark, tmp_path):
     """Feeding the corpus in two batches flags exactly the pairs the batch
     operator finds on the union (oriented newer←older)."""
@@ -171,6 +175,7 @@ def test_replay_idempotent_at_the_hot_cap_boundary(spark, tmp_path):
     assert replay == first
 
 
+@pytest.mark.heavy
 def test_non_atomic_fallback_matches_atomic(spark, tmp_path):
     rows0 = [(1, BASE_TEXT)]
     rows1 = [(10, BASE_TEXT + " tail"), (11, BASE_TEXT + " tail extra")]
@@ -309,6 +314,7 @@ def test_sink_wrapper_end_to_end(spark, tmp_path):
     assert any(d == 20 for d, _ in pairs)  # the new batch was processed
 
 
+@pytest.mark.heavy
 def test_sink_wrapper_replay_after_crash(spark, tmp_path):
     """A batch whose foreachBatch ran but whose checkpoint commit did not
     land is replayed with the SAME batch_id on restart — the index merges
@@ -352,6 +358,7 @@ def test_sink_wrapper_replay_after_crash(spark, tmp_path):
     assert flags_after == flags_before
 
 
+@pytest.mark.heavy
 def test_compaction_preserves_rows_and_bounds_files(spark, tmp_path):
     """compact_every folds the three tables' files down through a manifest
     flip: rows identical before/after, live file count drops to one per
@@ -394,6 +401,7 @@ def test_compaction_preserves_rows_and_bounds_files(spark, tmp_path):
     assert (999, 0) in got
 
 
+@pytest.mark.heavy
 def test_pre_migration_bands_refuse_and_migrate(spark, tmp_path):
     """Round-6 advice: an index written before the 'h'-prefixed key_bucket
     format must REFUSE the pruned cross-era probe (silent history loss
@@ -452,6 +460,7 @@ def test_pre_migration_bands_refuse_and_migrate(spark, tmp_path):
     assert (10, 1) in got
 
 
+@pytest.mark.heavy
 def test_pre_migration_detection_legacy_layout(spark, tmp_path):
     """Log-less (atomic=False) indexes detect via listdir and migrate via
     the park-and-rename directory swap."""

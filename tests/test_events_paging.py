@@ -4,6 +4,8 @@ token enumerates exactly the unpaginated prefix, with no dropped or
 duplicated rows across page boundaries (orphan twins included: the cursor
 carries the block tie-break)."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from chainweb_data_spark.queries.chainweb import (
@@ -33,6 +35,7 @@ def test_three_pages_equal_unpaginated_prefix(spark):
     assert [tuple(r) for r in pages] == [tuple(r) for r in expected]
 
 
+@pytest.mark.heavy
 def test_walk_to_exhaustion_no_dups(spark):
     ev = _cw(spark, "events")
     total = ev.count()
@@ -50,6 +53,7 @@ def test_walk_to_exhaustion_no_dups(spark):
     assert len(set(keys)) == total, "duplicate rows across page boundaries"
 
 
+@pytest.mark.heavy
 def test_page_boundary_inside_twin_group(spark):
     """Force a page boundary at every position around orphan twins (rows
     sharing (height, requestkey, idx) but differing in block): stepping

@@ -274,6 +274,7 @@ def test_export_refuses_after_explicit_unpin(spark, tmp_path):
         )
 
 
+@pytest.mark.heavy
 def test_export_refuses_parent_from_other_store(spark, tmp_path):
     """ADVICE r8 (medium): a parent exported from a DIFFERENT store (or
     table) must refuse — a delta between unrelated version counters would

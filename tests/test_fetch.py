@@ -82,6 +82,7 @@ def test_classification_matches_reference():
     assert classify_status(301) == OTHER_ERROR
 
 
+@pytest.mark.heavy
 def test_fetch_plan_rebuilds_fixture_tables(spark, raw_rows, mock_node):
     report = run_fetch_plan(mock_node, _plan(), FetchPolicy())
     assert not report.failures and report.dropped_items == 0

@@ -91,6 +91,7 @@ def test_find_gap_plan_covers_exactly_the_withheld_heights(spark, gappy_store):
     assert not (covered & present)
 
 
+@pytest.mark.heavy
 def test_fill_gaps_restores_full_ingest(spark, raw_rows, gappy_store, mock_node):
     report = fill_gaps(
         spark, gappy_store, mock_node, event_min_height=ACTIVATION, chunk=2
@@ -125,7 +126,11 @@ def test_fill_gaps_restores_full_ingest(spark, raw_rows, gappy_store, mock_node)
             assert h not in feed_heights[c], (c, h)
 
 
+@pytest.mark.heavy
 def test_fill_gaps_is_idempotent(spark, gappy_store, mock_node):
+    # heavy, paired with test_fill_gaps_restores_full_ingest above: the
+    # idempotence claim is "a SECOND fill changes nothing" and depends on
+    # that test's first fill of the module-scoped store
     before = {
         name: spark.read.parquet(
             os.path.join(gappy_store, f"{name}.parquet")

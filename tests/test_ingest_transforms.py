@@ -307,6 +307,7 @@ def test_minerkeys(spark):
     ]
 
 
+@pytest.mark.heavy
 def test_payload_to_tables_counts(spark):
     raw = make_raw(spark, [exec_tx(events=[TRANSFER_EVENT]), cont_tx()])
     tables = payload_to_tables(raw)

@@ -144,6 +144,7 @@ def test_dataset_snapshot_pin_flag(spark, tmp_path):
     assert pinned_versions(out) == {v: "dataset_snapshot"}
 
 
+@pytest.mark.heavy
 def test_pins_folded_into_checkpoints_bounds_the_scan(spark, tmp_path):
     """r9 (ADVICE): pinned_versions must replay O(CHECKPOINT_EVERY)
     commits, not the whole log — checkpoints carry the folded pin set,

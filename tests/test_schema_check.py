@@ -14,6 +14,7 @@ from chainweb_data_spark.sources.schema_check import check_store, check_table_sc
 from chainweb_data_spark.streaming.listen import TABLE_PKS, merge_batch
 
 
+@pytest.mark.heavy
 def test_streamed_store_passes(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("schema") / "tables")
     rows = generate_raw_rows(n_chains=1, max_height=80, seed=3)
@@ -62,6 +63,7 @@ def test_extra_columns_tolerated(spark, tmp_path_factory):
     assert rep.ok and rep.extra == ["added_later"]
 
 
+@pytest.mark.heavy
 def test_curation_store_guard(spark, tmp_path):
     """check_curation_store passes on a store the sink just wrote (all
     eight tables, declared vs stored), and refuses a drifted table with

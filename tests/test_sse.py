@@ -62,6 +62,7 @@ def raw_rows():
     return generate_raw_rows(n_chains=2, max_height=40, seed=31)
 
 
+@pytest.mark.heavy
 def test_sse_stream_to_tables_end_to_end(spark, raw_rows):
     """Synthesize the node's header/updates stream from fixture blocks, feed
     it through framing + PowHeader decode + payload fetch, and check the

@@ -650,6 +650,7 @@ def test_closing_heartbeat_drains_reorder_tail(spark, tmp_path):
     assert not any(k == HEARTBEAT_KEY for k, _, _ in stripped)
 
 
+@pytest.mark.heavy
 def test_closing_heartbeat_composed_reorder_sessionize(spark, tmp_path):
     """End-to-end drain of the documented composition reorder_stream →
     sessionize_stream: stage 1 drains via a global-watermark heartbeat,

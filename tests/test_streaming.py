@@ -35,6 +35,7 @@ def _write_feed(rows, feed_dir, chunks):
                 f.write(json.dumps(r) + "\n")
 
 
+@pytest.mark.heavy
 def test_stream_equals_batch_and_replay_is_noop(spark, tmp_path_factory, raw_rows):
     base = str(tmp_path_factory.mktemp("stream"))
     feed = os.path.join(base, "feed")
@@ -69,6 +70,7 @@ def test_stream_equals_batch_and_replay_is_noop(spark, tmp_path_factory, raw_row
         ), f"{name}: PK sets differ"
 
 
+@pytest.mark.heavy
 def test_second_run_is_noop(spark, tmp_path_factory, raw_rows):
     base = str(tmp_path_factory.mktemp("stream2"))
     feed = os.path.join(base, "feed")
@@ -230,6 +232,7 @@ def test_merge_into_legacy_flat_table_stays_readable(spark, tmp_path_factory):
     )
 
 
+@pytest.mark.heavy
 def test_crash_between_table_writes_converges(spark, tmp_path_factory, raw_rows, monkeypatch):
     """The LEGACY (atomic=False) path is not atomic across tables, so its
     guarantee is replay-convergence: kill the batch between table writes,
@@ -283,6 +286,7 @@ def test_crash_between_table_writes_converges(spark, tmp_path_factory, raw_rows,
         ), f"{name}: PK sets differ after crash-recovery"
 
 
+@pytest.mark.heavy
 def test_crash_mid_atomic_batch_is_invisible_then_heals(
     spark, tmp_path_factory, raw_rows, monkeypatch
 ):
@@ -378,6 +382,7 @@ def test_crash_mid_atomic_batch_is_invisible_then_heals(
         assert got.count() == exp.count(), f"{name}: vacuum changed published rows"
 
 
+@pytest.mark.heavy
 def test_atomic_default_adopts_legacy_dir(spark, tmp_path_factory, raw_rows):
     """Flipping a deployment to the (now default) atomic sink over an
     out_dir written by the old table-by-table path must adopt the legacy

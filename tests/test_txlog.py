@@ -221,6 +221,7 @@ def test_vacuum_horizon_bounds_time_travel(spark, tmp_path):
         read_published(spark, out, "t", version=v_both).count()
 
 
+@pytest.mark.heavy
 def test_zorder_rewrite_improves_file_skipping(spark, tmp_path):
     """OPTIMIZE ZORDER composed with footer-stats skipping: after the
     rewrite, a height-only predicate prunes MORE files than under the
@@ -281,6 +282,7 @@ def test_zorder_rewrite_improves_file_skipping(spark, tmp_path):
     assert history(out)[-1]["op"] == "zorder"
 
 
+@pytest.mark.heavy
 def test_two_real_writers_interleave_safely(spark, tmp_path):
     """Optimistic concurrency under REAL thread interleaving: two writers
     publish disjoint id ranges to the same directory concurrently; every

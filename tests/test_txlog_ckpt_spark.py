@@ -225,6 +225,7 @@ def test_checkpoints_carry_their_delta_for_race_detection(
         assert any(fs for fs in added.values())
 
 
+@pytest.mark.heavy
 def test_publish_batch_engages_spark_checkpoint_end_to_end(
     spark, tmp_path, monkeypatch
 ):

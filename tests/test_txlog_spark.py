@@ -58,6 +58,7 @@ def _dict_rows(d):
     return sorted((t, f) for t, fs in d.items() for f in fs)
 
 
+@pytest.mark.heavy
 def test_snapshot_files_df_matches_driver_resolve(spark, tmp_path):
     """Across a checkpoint boundary, through deltas, after compaction
     removes, and at time-travel versions, the DataFrame resolve must be

@@ -157,19 +157,20 @@ def duplicate_clusters(
     cluster is a dense blob, diameter ~2).
 
     Scale shape (round-trip-minimized): the symmetric edge list carries
-    SELF-LOOPS, so every round is ONE equi-join edges⋈labels plus ONE
-    map-side-combined groupBy min — ``new_label(v) = min over
+    SELF-LOOPS, so every propagation STEP is ONE equi-join edges⋈labels
+    plus ONE map-side-combined groupBy min — ``new_label(v) = min over
     N(v) ∪ {v}`` needs no second join to fold the node's own label in,
     and the old label (for convergence detection) rides along as the
-    self-loop row's value.  Round 1 needs no join at all (labels0(v)=v
+    self-loop row's value.  Step 1 needs no join at all (labels0(v)=v
     makes the neighborhood min a pure groupBy over the edge list), which
-    also deletes the separate label-initialization pass.  Each round's
-    relation is lineage-truncated with a LAZY localCheckpoint whose
+    also deletes the separate label-initialization pass.  Steps run in
+    PAIRS per convergence check (see the inline pairing comment below):
+    lineage is truncated with a LAZY localCheckpoint once per pair, whose
     materialization is driven by the convergence aggregate — one Spark
-    job per round total, where the previous shape paid two joins, an
-    eager checkpoint job AND a separate changed-count job.  Early exit on
-    convergence (no label changed).  Same fixpoint pattern as the
-    continuation-history walk (queries/chainweb.py)."""
+    job per two steps total, where the previous shape paid two joins, an
+    eager checkpoint job AND a separate changed-count job per step.
+    Early exit on convergence (no label changed).  Same fixpoint pattern
+    as the continuation-history walk (queries/chainweb.py)."""
     # ONE explode emits both directions plus both self-loops per pair —
     # a union of projections would re-evaluate the (expensive) upstream
     # pair pipeline once per branch; this evaluates it exactly once
@@ -244,6 +245,16 @@ def duplicate_clusters(
         if steps < max_iters:
             mid = _step(mid.drop("_chg"))
             steps += 1
+        # r13 examined-and-rejected: a .cache() on top of this checkpoint
+        # (so the relation reports real statistics and downstream joins
+        # plan as broadcasts up front instead of being SMJ-planned and
+        # AQE-rescued) measured a consistent small LOSS over 3 interleaved
+        # A/B rounds on the 4 composites (cache pooled-min 1.64/2.20/1.27/
+        # 2.00 s vs plain 1.67/1.89/1.26/1.75 for dedup_canonical/curation/
+        # embed_dedup/semdedup): the per-round InMemoryRelation build costs
+        # more than the planning improvement returns, locally AND it would
+        # double-store the labels at scale.  AQE's runtime BHJ conversion
+        # (with local shuffle read) is the cheaper rescue.
         new_labels = mid.localCheckpoint(eager=False)
         # full-pass aggregate (never limit(1)): it both answers "did any
         # label move" AND materializes every partition of the lazy
@@ -259,8 +270,8 @@ def duplicate_clusters(
         # edits) needs a higher cap, not a wrong answer.
         raise RuntimeError(
             f"duplicate_clusters did not converge within max_iters="
-            f"{max_iters} rounds: a component's diameter exceeds the cap; "
-            "raise max_iters"
+            f"{max_iters} propagation steps: a component's diameter "
+            "exceeds the cap; raise max_iters"
         )
     if not with_sizes:
         return labels.select(F.col("id"), F.col("label").alias("cluster_rep"))
@@ -1103,11 +1114,18 @@ def select_canonical(
     another), so it lives in its own operator with the policy as an
     argument.
 
-    Scale shape: canonical selection is one ``max_by`` aggregation over
-    the CLUSTERED slice only (map-side combined, one row per cluster — no
-    window sort), and the survivors union is a left-anti join on the
-    cluster membership list, which is orders of magnitude smaller than
-    the corpus (only docs appearing in ≥1 verified pair) and typically
+    Scale shape (r13 single-pass form): canonical selection is one
+    ``max_by`` aggregation over the CLUSTERED slice only (map-side
+    combined, one row per cluster — no window sort); survivors then come
+    from ONE pass over the corpus — a left join onto the membership list
+    and onto the per-cluster keeper, keeping rows that are unclustered or
+    ARE their cluster's keeper.  The previous union shape paid a third
+    corpus pass (a separate anti-join branch for unclustered docs plus a
+    re-join to re-attach the score to the keepers); the filter form is
+    row-identical — every doc appears once, survives iff it has no
+    cluster or is its cluster's ``max_by`` pick — and drops that pass.
+    The membership/keeper sides are orders of magnitude smaller than the
+    corpus (only docs appearing in ≥1 verified pair) and typically
     broadcastable; we leave the strategy to AQE rather than forcing
     ``broadcast()`` because membership CAN be corpus-sized in a
     pathological all-duplicate corpus.  Requires a numeric id (the
@@ -1117,20 +1135,22 @@ def select_canonical(
     this extends it for training-data curation (SURVEY.md north-star)."""
     scored = docs.select(F.col(id_col), F.col(score_col))
     memb = clusters.select(F.col("id").alias(id_col), "cluster_rep")
-    canon_ids = (
+    canon = (
         memb.join(scored, id_col)
         .groupBy("cluster_rep")
         .agg(
             F.expr(
                 f"max_by({id_col}, struct({score_col}, -{id_col}))"
-            ).alias(id_col)
+            ).alias("_keep")
         )
-        .select(id_col)
     )
-    unclustered = docs.join(memb.select(id_col), id_col, "left_anti")
     return (
-        unclustered.select(F.col(id_col), F.col(score_col))
-        .unionByName(canon_ids.join(scored, id_col))
+        scored.join(memb, id_col, "left")
+        .join(canon, "cluster_rep", "left")
+        .filter(
+            F.col("cluster_rep").isNull() | (F.col(id_col) == F.col("_keep"))
+        )
+        .select(F.col(id_col), F.col(score_col))
     )
 
 

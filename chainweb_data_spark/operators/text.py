@@ -17,6 +17,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+# n-gram scorer MODEL caches (r12 §5: the uni/p_uni/c2/c3 relations are
+# reused by 2-5 consumers inside one scoring plan and are vocab/type-sized).
+# .cache() entries live in Spark's CacheManager until unpersisted, so a
+# long-lived server that scores repeatedly would otherwise accumulate dead
+# model relations in the executor storage pool (the bench isolates itself
+# with clearCache() between queries; this is the in-process equivalent).
+# Ownership contract: the caller that materializes the scoring DataFrame
+# owns the release — call release_scorer_model_caches() once the scores are
+# consumed.  The registry holds plain references (NOT results); dropping
+# them does not change any result, only frees storage memory.
+_SCORER_MODEL_CACHES: list[DataFrame] = []
+
+
+def _model_cache(df: DataFrame) -> DataFrame:
+    """Cache a scorer model relation and register it for release."""
+    out = df.cache()
+    _SCORER_MODEL_CACHES.append(out)
+    return out
+
+
+def release_scorer_model_caches() -> int:
+    """Unpersist every registered n-gram scorer model relation (r13,
+    VERDICT item 7).  Returns the number released.  Safe to call at any
+    time: a consumer mid-collect simply recomputes the (deterministic)
+    model subtree on its next action."""
+    n = 0
+    while _SCORER_MODEL_CACHES:
+        df = _SCORER_MODEL_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — a dead session is not an error
+            pass
+    return n
+
+
 # Tiny deterministic stopword lists per language (public common words).
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that"],
@@ -867,20 +903,22 @@ def bigram_backoff_scores(
     # cached (vocab-sized): consumed by the Laplace totals, p_uni, and —
     # in the trigram scorer — the token-2 broadcast; uncached each ran its
     # own corpus explode + groupBy
-    uni = (
+    uni = _model_cache(
         base.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
-    ).cache()
+    )
     totals = uni.agg(F.sum("c1").alias("_n"), F.count("*").alias("_v"))
-    puni = uni.crossJoin(F.broadcast(totals)).select(
-        "w",
-        (
-            (F.col("c1") + F.lit(1.0))
-            / (F.col("_n") + F.col("_v")).cast("double")
-        ).alias("p_uni"),
-        "c1",
-    ).cache()
+    puni = _model_cache(
+        uni.crossJoin(F.broadcast(totals)).select(
+            "w",
+            (
+                (F.col("c1") + F.lit(1.0))
+                / (F.col("_n") + F.col("_v")).cast("double")
+            ).alias("p_uni"),
+            "c1",
+        )
+    )
     # ^ cached: p_uni has THREE consumers (lambda build, first-token leg,
     # backoff leg); uncached, each re-ran the full corpus explode + vocab
     # groupBy + singleton-totals attach (3× the scan subtree in the plan).
@@ -909,7 +947,7 @@ def bigram_backoff_scores(
     # cached: the bigram model itself — consumed by the lambda build AND
     # the open-vocab scoring join; uncached, each re-ran the pair explode
     # and its count aggregate over the whole corpus
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")).cache()
+    c2 = _model_cache(pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
     lam = (
         c2.groupBy("w1")
         .agg(F.count("*").alias("_f"))
@@ -1002,11 +1040,11 @@ def trigram_kn_scores(
     # cached (vocab-sized): consumed by the Laplace totals, p_uni, and —
     # in the trigram scorer — the token-2 broadcast; uncached each ran its
     # own corpus explode + groupBy
-    uni = (
+    uni = _model_cache(
         base.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
-    ).cache()
+    )
     totals = uni.agg(F.sum("c1").alias("_n"), F.count("*").alias("_v"))
     puni = uni.crossJoin(F.broadcast(totals)).select(
         "w",
@@ -1049,14 +1087,16 @@ def trigram_kn_scores(
     # over the whole corpus.  n-gram-type-sized — the materialized-model
     # envelope this scorer already assumes (guide §5: reused and expensive
     # to recompute).
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")).cache()
+    c2 = _model_cache(pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
     # vocab-sized sides of the bigram level: raw-count follower types and
     # the continuation-unigram numerator (distinct predecessors)
     fol1 = c2.groupBy("w1").agg(F.count("*").alias("f1"))
     cont1 = c2.groupBy("w2").agg(F.count("*").alias("k1"))
     btypes = c2.agg(F.count("*").alias("_bt"))
 
-    c3 = trips.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3")).cache()
+    c3 = _model_cache(
+        trips.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    )
     fol12 = c3.groupBy("w1", "w2").agg(F.count("*").alias("f12"))
     cont3 = c3.groupBy("w2", "w3").agg(F.count("*").alias("k3"))
     mid = cont3.groupBy("w2").agg(

@@ -4313,8 +4313,15 @@ if _PQ_CB is not None and _IVF_CENTROIDS is not None:
         everything the probes saw.  The gate pins BOTH stages: the ADC
         shortlist boundary and the rerank's cosine/tie-break arithmetic."""
         emb = _t(spark, sf_dir, "embeddings")
-        cents = sim.ivf_train_kmeans(emb, "vec_id", "embedding", _IVF_CELLS)
-        cb = sim.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES)
+        # corpus size from the parquet footer (A4 free metadata), same as
+        # the sibling IVFPQ variants — the two construction-time count()
+        # jobs become zero; the count() fallback remains inside the
+        # trainers for unreadable footers
+        n = _footer_rows(sf_dir, "embeddings")
+        cents = sim.ivf_train_kmeans(
+            emb, "vec_id", "embedding", _IVF_CELLS, n_rows=n
+        )
+        cb = sim.pq_train(emb, "vec_id", "embedding", _PQ_M, _PQ_CODES, n_rows=n)
         return sim.ivfpq_rerank_topk(
             emb, "vec_id", "embedding", cents, cb,
             nprobe=_IVF_NPROBE, k=_IVF_K, shortlist=32,

@@ -65,27 +65,64 @@ def _t(
     if df is None:
         df = load_table(spark, sf_dir, name)
         if spread:
-            df = _spread(df, spark)
+            try:
+                nbytes = os.path.getsize(
+                    os.path.join(sf_dir, f"{name}.parquet")
+                )
+            except OSError:
+                nbytes = None  # multi-file/absent layouts: size-blind rail
+            df = _spread(df, spark, nbytes)
         if len(_TABLE_HANDLES) > 256:  # bound: sessions leave stale keys
             _TABLE_HANDLES.clear()
         _TABLE_HANDLES[key] = df
     return df
 
 
-def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+# Per-task input-byte target for the _spread rail below (r13, guide §2.5 +
+# VERDICT r12 item 3).  The rail exists ONLY for under-split inputs (a
+# single-row-group file); its task count now scales with the input's size
+# instead of jumping straight to the core count, so a tiny input gets a few
+# tasks and only a big unsplittable file fans out to every core.  The
+# consumers are shingle/signature/vector kernels with ~50-100× generated
+# data per input byte, which is why the per-task target is far below a
+# scan-bound maxPartitionBytes: 256 KiB of compressed input ≈ 15-25 MB of
+# generated intermediate per task.  Chosen by measurement: PERF_r12's
+# c8-vs-c32 scaling inversions (minhash 0.46, ngram 0.55 — 8 cores BEAT 32
+# under the flat core-count rail) plus this round's interleaved sweep over
+# {cores, 32Ki, 64Ki, 128Ki, 256Ki} at c32 (totals 7.9/7.6 → 7.3-7.6 →
+# 6.6-6.9 → 6.4-6.7 → 6.1 s for the 7 spread consumers; see
+# OPTIMIZATION_r13.md).  Override per deployment with
+# SPARK_GRAFT_SPREAD_TARGET_BYTES.  On production multi-split inputs the
+# rail stays plan-identical to not calling it (scan partitions already
+# exceed the derived target).
+_SPREAD_TARGET_BYTES = int(
+    os.environ.get("SPARK_GRAFT_SPREAD_TARGET_BYTES", str(256 * 1024))
+)
+
+
+def _spread(
+    df: DataFrame, spark: SparkSession, nbytes: int | None = None
+) -> DataFrame:
     """Input-skew rail (optimization guide §2.5 "one huge unsplittable
     file"): the fixture tables are single-row-group parquet files, so a
     scan is ONE task no matter how it is split, and every row-local
     heavy stage above it (tokenize → shingle → md5 signatures, vector
     math) runs single-threaded.  Queries whose per-row work dominates
-    opt in to a round-robin repartition to the session's core count —
-    applied ONLY when the scan actually under-parallelizes (fewer
-    partitions than cores), so on production inputs with many
-    files/row-groups this is plan-identical to not calling it (no
-    Repartition node at all, not merely an empty one)."""
+    opt in to a round-robin repartition to
+    ``min(cores, ceil(nbytes / _SPREAD_TARGET_BYTES))`` — size-aware, so
+    tiny inputs no longer pay a full core-count fan-out of near-empty
+    tasks (the r12 scaling block measured 8 cores BEATING 32 on exactly
+    these queries) — applied ONLY when the scan actually
+    under-parallelizes (fewer partitions than the target), so on
+    production inputs with many files/row-groups this is plan-identical
+    to not calling it (no Repartition node at all, not merely an empty
+    one)."""
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
-        return df.repartition(cores)
+    n = cores
+    if nbytes is not None and nbytes > 0:
+        n = min(cores, -(-nbytes // _SPREAD_TARGET_BYTES))
+    if n > 1 and df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
     return df
 
 

@@ -617,3 +617,35 @@ def test_corpus_report_approx_median_rank_bound_at_bench_scale(spark):
         # and the approx median is an ACTUAL data value (GK returns
         # members, never interpolations)
         assert any(l == med for l, _c in pairs), (src, med)
+
+
+def test_scorer_model_caches_release(spark):
+    """r13 (VERDICT item 7): the n-gram scorers register their cached
+    model relations (uni/p_uni/c2/c3) and release_scorer_model_caches()
+    drops them — no net storage-pool growth across a two-query session.
+    The release changes no result: the models are deterministic
+    aggregates, recomputed on the next action if needed."""
+    docs = spark.createDataFrame(
+        [(1, "a b a c a b"), (2, "b c b d"), (3, "a a a b c d e")],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+    tx.release_scorer_model_caches()  # drain any prior registrations
+
+    def catalog_cache_empty():
+        # the catalog-level CacheManager is exactly the pool .cache()
+        # fills and release targets (RDD-level persists from
+        # localCheckpoint elsewhere in the session are out of scope)
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    assert catalog_cache_empty()
+    first = tx.bigram_backoff_scores(docs, "doc_id", "text").collect()
+    tx.trigram_kn_scores(docs, "doc_id", "text").collect()
+    assert not catalog_cache_empty()  # models really were persisted
+    released = tx.release_scorer_model_caches()
+    assert released == 6  # 3 per scorer: uni, p_uni/c2, c3
+    assert catalog_cache_empty()  # no net storage-pool growth
+    # releasing is result-neutral: a re-run recomputes the same scores
+    again = tx.bigram_backoff_scores(docs, "doc_id", "text").collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    tx.release_scorer_model_caches()

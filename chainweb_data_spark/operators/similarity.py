@@ -119,8 +119,13 @@ def cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 MATMUL_MAX_VECTORS = 2_000_000
 
 
-def _check_matmul_envelope(df: DataFrame, op: str, max_vectors: int) -> None:
-    n = df.count()  # column-pruned footer count — cheap vs the collect
+def _check_matmul_envelope(
+    df: DataFrame, op: str, max_vectors: int, n_rows: int | None = None
+) -> None:
+    # n_rows: caller-known corpus size (parquet footer metadata, the same
+    # free-stats pattern as the IVF/PQ trainers) — skips the count() job;
+    # None keeps the self-counting behavior
+    n = df.count() if n_rows is None else n_rows
     if n > max_vectors:
         raise ValueError(
             f"{op} is the exact tier for corpora <= {max_vectors} vectors "
@@ -135,6 +140,7 @@ def cosine_topk_matmul(
     vec_col: str,
     k: int = 5,
     max_vectors: int = MATMUL_MAX_VECTORS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors via blocked BLAS matmul.
 
@@ -158,7 +164,7 @@ def cosine_topk_matmul(
     to exclude yet still receives only ``kk`` neighbors (one fewer than a
     corpus member would).  Here ``df`` is both sides, so both hold.
     """
-    _check_matmul_envelope(df, "cosine_topk_matmul", max_vectors)
+    _check_matmul_envelope(df, "cosine_topk_matmul", max_vectors, n_rows)
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
@@ -227,12 +233,13 @@ def near_dup_pairs_matmul(
     vec_col: str,
     min_cosine: float,
     max_vectors: int = MATMUL_MAX_VECTORS,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold, via the same
     broadcast-matmul pattern (threshold applied inside the numpy kernel, so
     only qualifying pairs ever materialize as rows).  Same enforced
     ``max_vectors`` envelope as cosine_topk_matmul."""
-    _check_matmul_envelope(df, "near_dup_pairs_matmul", max_vectors)
+    _check_matmul_envelope(df, "near_dup_pairs_matmul", max_vectors, n_rows)
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     C = np.asarray([list(r[1]) for r in rows], dtype=np.float64)

@@ -337,7 +337,9 @@ _SIMHASH_CTE = f"""
 def simhash_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (md5-derived token hashes, bitwise
     built-ins)."""
-    docs = _t(spark, sf_dir, "documents", spread=True)
+    # spread_target=1: same full fan-out as simhash_near_pairs_q — the
+    # simhash signature kernel measured faster at cores (see that site)
+    docs = _t(spark, sf_dir, "documents", spread=True, spread_target=1)
     return dd.simhash(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -371,7 +373,10 @@ def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming ≤ bands-1 (the exact pigeonhole
     recall bound — see operators/dedup.py simhash_near_pairs): banded
     equi-join candidates, then bit_count(XOR) verification."""
-    docs = _t(spark, sf_dir, "documents", spread=True)
+    # spread_target=1: full core-count fan-out — the simhash signature
+    # pass measured consistently faster at cores than at the size-aware
+    # default (1.47-1.52 s vs 1.59-1.66 s, three interleaved rounds)
+    docs = _t(spark, sf_dir, "documents", spread=True, spread_target=1)
     # the banded self-join consumes the signature relation on both sides;
     # cache it (5 longs per doc) so the token-hash aggregation runs once.
     sh = dd.simhash(docs, "doc_id", "text").cache()
@@ -651,9 +656,11 @@ def embed_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-corpus blocked BLAS matmul (no pair-space shuffle at all).
     Cosine rounded to 6dp before ranking (engine-stable ordering)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.cosine_topk_matmul(emb, "vec_id", "embedding", k=5).orderBy(
-        "vec_id", F.col("cosine").desc(), "neighbor_id"
-    )
+    # envelope check from the parquet footer (A4 free metadata) — drops a
+    # construction-time count() job; count() fallback inside the operator
+    return sim.cosine_topk_matmul(
+        emb, "vec_id", "embedding", k=5, n_rows=_footer_rows(sf_dir, "embeddings")
+    ).orderBy("vec_id", F.col("cosine").desc(), "neighbor_id")
 
 
 @register(
@@ -672,9 +679,10 @@ def embed_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold (broadcast
     matmul kernel; only qualifying pairs materialize as rows)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return sim.near_dup_pairs_matmul(emb, "vec_id", "embedding", 0.45).orderBy(
-        "id_a", "id_b"
-    )
+    return sim.near_dup_pairs_matmul(
+        emb, "vec_id", "embedding", 0.45,
+        n_rows=_footer_rows(sf_dir, "embeddings"),
+    ).orderBy("id_a", "id_b")
 
 
 def _ann_lsh_oracle(num_planes: int = 16, bands: int = 2, dim: int = 64, k: int = 5) -> str:
@@ -2114,7 +2122,10 @@ def embed_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumes either pair source unchanged (the operator boundary a
     pipeline actually wants)."""
     emb = _t(spark, sf_dir, "embeddings", spread=True)
-    vp = sim.near_dup_pairs_matmul(emb, "vec_id", "embedding", 0.45)
+    vp = sim.near_dup_pairs_matmul(
+        emb, "vec_id", "embedding", 0.45,
+        n_rows=_footer_rows(sf_dir, "embeddings"),
+    )
     return dd.duplicate_clusters(vp.select("id_a", "id_b")).orderBy("id")
 
 

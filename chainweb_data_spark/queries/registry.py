@@ -51,7 +51,11 @@ _TABLE_HANDLES: dict[tuple, DataFrame] = {}
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread: bool = False,
+    spread_target: int | None = None,
 ) -> DataFrame:
     from ..sources.tables import load_table
 
@@ -60,6 +64,7 @@ def _t(
         os.path.realpath(sf_dir),
         name,
         spread,
+        spread_target,
     )
     df = _TABLE_HANDLES.get(key)
     if df is None:
@@ -71,7 +76,7 @@ def _t(
                 )
             except OSError:
                 nbytes = None  # multi-file/absent layouts: size-blind rail
-            df = _spread(df, spark, nbytes)
+            df = _spread(df, spark, nbytes, spread_target)
         if len(_TABLE_HANDLES) > 256:  # bound: sessions leave stale keys
             _TABLE_HANDLES.clear()
         _TABLE_HANDLES[key] = df
@@ -101,7 +106,10 @@ _SPREAD_TARGET_BYTES = int(
 
 
 def _spread(
-    df: DataFrame, spark: SparkSession, nbytes: int | None = None
+    df: DataFrame,
+    spark: SparkSession,
+    nbytes: int | None = None,
+    target: int | None = None,
 ) -> DataFrame:
     """Input-skew rail (optimization guide §2.5 "one huge unsplittable
     file"): the fixture tables are single-row-group parquet files, so a
@@ -116,11 +124,20 @@ def _spread(
     under-parallelizes (fewer partitions than the target), so on
     production inputs with many files/row-groups this is plan-identical
     to not calling it (no Repartition node at all, not merely an empty
-    one)."""
+    one).
+
+    ``target`` overrides the per-task byte budget for kernels whose
+    per-byte cost diverges from the default's calibration (a call site
+    passing ``target=1`` asks for the full core-count fan-out — e.g. the
+    simhash signature pass, measured consistently faster at cores than at
+    the sized default: 1.47-1.52 s vs 1.59-1.66 s over three interleaved
+    rounds)."""
     cores = spark.sparkContext.defaultParallelism
     n = cores
+    if target is None:
+        target = _SPREAD_TARGET_BYTES
     if nbytes is not None and nbytes > 0:
-        n = min(cores, -(-nbytes // _SPREAD_TARGET_BYTES))
+        n = min(cores, -(-nbytes // target))
     if n > 1 and df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

@@ -468,8 +468,23 @@ def lsh_ann_topk(
     if num_planes is None:
         num_planes = auto_num_planes(df.count(), bands)
     banded = _lsh_banded_units(df, id_col, vec_col, num_planes, bands, dim)
-    scored = bucket_pair_cosines(banded, id_col, "_unit").dropDuplicates(
-        [id_col, "neighbor_id"]
+    # one exchange instead of two (r13, guide §2.4): candidates are
+    # explicitly repartitioned by the QUERY id before the cross-band
+    # dedup — hash(id) satisfies the dedup aggregate's clustering on
+    # (id, neighbor) (subset rule) AND the top-k window's clustering on
+    # id, so neither plans its own exchange.  The old shape shuffled the
+    # pair relation twice (hash(id, neighbor) for dropDuplicates, then
+    # hash(id) for the window); map-side partial dedup removed almost
+    # nothing there because duplicate pairs come from DIFFERENT band
+    # buckets and rarely share a map partition.  Plan: Exchange 4 → 3;
+    # rows verified identical; interleaved A/B 1.44 → 1.36 s (pinned) /
+    # 1.17 → 1.14 s (auto).  No skew risk: per-id candidate count is
+    # bounded by bands × bucket occupancy, the same key the window
+    # already partitions by.
+    scored = (
+        bucket_pair_cosines(banded, id_col, "_unit")
+        .repartition(F.col(id_col))
+        .dropDuplicates([id_col, "neighbor_id"])
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

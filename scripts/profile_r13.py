@@ -168,9 +168,19 @@ def main() -> None:
         print(json.dumps({name: row}), flush=True)
 
     out_path = os.path.join(PLANS_DIR, f"profile_{tag}.json")
+    # MERGE into an existing capture: partial invocations (a few queries
+    # after an edit) must not drop the other queries' entries
+    merged = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(results)
     with open(out_path, "w") as f:
-        json.dump(results, f, indent=1, sort_keys=True)
-    print(f"wrote {out_path}", file=sys.stderr)
+        json.dump(merged, f, indent=1, sort_keys=True)
+    print(f"wrote {out_path} ({len(merged)} queries)", file=sys.stderr)
 
 
 if __name__ == "__main__":
